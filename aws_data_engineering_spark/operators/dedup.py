@@ -1,0 +1,266 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact: hash-groupBy on the raw or normalized text (one shuffle keyed by
+  the dedup column; at 100 TB pre-hash to a fixed-width key so the shuffle
+  carries 16 bytes/row, not the document).
+- latest-by-key: window row_number — the Spark-native form of the
+  reference's MERGE "update-all" semantics (SURVEY.md §2a W5).
+- MinHash-LSH / SimHash / n-gram Jaccard: fuzzy near-dup, built on
+  deterministic hashing so runs are reproducible across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.operators.text import normalize_text
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct value of ``cols`` (arbitrary survivor).
+    Spark plans this as a hash aggregate — map-side partial dedup first."""
+    return df.dropDuplicates(cols)
+
+
+def dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonical-id view of exact duplicate groups: min id survives.
+    Deterministic (unlike dropDuplicates) → oracle-checkable."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+def latest_by_key(df: DataFrame, keys: list[str], order_col: str, tiebreak: str) -> DataFrame:
+    """Keep the newest row per key — the engine's native 'upsert collapse'.
+    One shuffle keyed on ``keys``; AQE splits skewed keys."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.asc(tiebreak))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by MinHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles over normalized text. Pure JVM: split +
+    transform over index sequence; distinct to make it a set."""
+    toks = F.split(normalize_text(col), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+# Deterministic universal-hash parameters: h_i(x) = (a_i * x + b_i) mod p.
+# p = 2^31-1 (Mersenne): keeps a*x < 2^62 so the affine map never overflows
+# a 64-bit long (Spark 4 runs ANSI mode — overflow is an error, not a wrap).
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a simple LCG — reproducible across
+    cluster sizes and runs (no RNG state on executors)."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(col: str | Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<bigint>. Each shingle is xxhash64'd to a
+    base integer; each of the ``num_hashes`` permutations is an affine map
+    over the Mersenne prime. All JVM-side higher-order functions — no UDF,
+    no shuffle; cost is O(shingles × hashes) per row, embarrassingly
+    parallel."""
+    sh = shingles(col, shingle_n)
+    base = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
+    # Single-pass structure: one num_hashes-wide row of affine hashes per
+    # shingle, folded with an elementwise min. Building num_hashes separate
+    # array_min(transform(...)) columns instead re-evaluates the whole
+    # shingle pipeline per hash (HOFs are interpreted, no common-subexpr
+    # elimination across columns) — measured 30× slower.
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _hash_params(num_hashes)
+        ]
+    )
+    matrix = F.transform(
+        base,
+        lambda h: F.transform(params, lambda p: (h * p["a"] + p["b"]) % _MERSENNE_P),
+    )
+    init = F.array_repeat(F.lit(_MERSENNE_P).cast("bigint"), num_hashes)
+    return F.aggregate(matrix, init, lambda acc, row: F.zip_with(acc, row, lambda x, y: F.least(x, y)))
+
+
+def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of (band_id, band_hash) structs. Docs sharing any
+    band bucket are near-dup candidates."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig_col, band * rows_per_band + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for band in range(num_bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash-LSH.
+
+    Pipeline: signature (map-only) → explode bands → self-join on
+    (band, band_hash) → distinct pairs → estimated Jaccard from signature
+    agreement. The only shuffle is keyed on band buckets, whose size is
+    controlled by band count — the standard scale-out for fuzzy dedup at
+    100 TB (docs never compare all-pairs).
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes).alias("sig"),
+    )
+    banded = sigs.select(
+        "id", "sig", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
+    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(agree / F.size(F.col("sig_a")), 4).alias("est_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: str | Column, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    hashes. Built from higher-order array functions (JVM-side).
+
+    For each bit i: sum over tokens of (+1 if bit set else -1) > 0 → bit=1.
+    """
+    toks = F.split(normalize_text(col), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def voter(i: int):
+        # closure factory: PySpark HOF lambdas must take exactly 1-2 params
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), voter(i))
+        bit = F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        # shiftleft wraps at bit 63 (sign bit) — fine, signatures are opaque
+        out = out + F.shiftleft(bit, i)
+    return out
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted shingle index.
+
+    explode(shingles) → self-join on shingle (inverted index — only docs
+    sharing ≥1 shingle ever meet) → per-pair intersection count →
+    |A∪B| = |A|+|B|−|A∩B|. The shuffle is keyed on shingle values; hot
+    shingles are the skew risk, so callers should pre-filter stop-shingles
+    (AQE skew-join splits the rest).
+    """
+    sized = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("sh_size", F.size("sh"))
+    exploded = sized.select("id", "sh_size", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh_size").alias("size_a"),
+            F.col("b.sh_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+    return inter.select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= min_jaccard)

@@ -1,0 +1,139 @@
+"""Embedding similarity search (approximate-nearest-neighbor).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline. The
+  candidate side is broadcast when small; the dot product is a JVM-side
+  higher-order fold (no Python in the hot path).
+- ``lsh_topk``: random-hyperplane LSH bucketing — the 100 TB path. Vectors
+  are bucketed by sign-pattern; only same-bucket (plus probing) pairs are
+  compared, turning the O(N·Q) cross join into a bucket-local join.
+
+Everything computes in double precision (cast from float32 storage) so
+results are reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — matches the oracle's summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against all candidates.
+
+    Plan shape: broadcast(queries) ⨯ candidates → per-pair cosine →
+    window top-k per query. With Q queries broadcast, the big candidate
+    table streams through map-side only — the single shuffle is the
+    top-k window keyed by query id (Q keys). For large Q, swap to
+    ``lsh_topk``.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via an LCG (reproducible
+    across runs/executors without RNG state)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            # map to [-1, 1)
+            row.append(state / float(1 << 62) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit i = sign(vec · plane_i)."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(vec, p) > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: compare only within the same hyperplane
+    bucket. Recall is tunable via ``n_planes`` (fewer planes → bigger
+    buckets → higher recall, more compute). The join is an equi-join on
+    bucket id → ordinary shuffle-hash join, scales linearly."""
+    planes = _hyperplanes(dim, n_planes)
+    q = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("bucket", lsh_bucket(F.col("q_vec"), planes))
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), planes))
+    pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rnk")
+    )

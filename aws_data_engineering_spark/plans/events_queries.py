@@ -1,0 +1,207 @@
+"""Event-stream query surface: time windows, JSON extraction, analytic
+windows (lag/running sums), sessionization.
+
+These run in batch here (oracle-checkable); the streaming module
+(aws_data_engineering_spark.streaming) exposes the same window logic over
+``readStream`` with watermarks.
+
+Scale notes: every window is partitioned by ``user_id`` (or keyed by the
+time bucket), so the shuffle key matches the natural access pattern; no
+global windows over unbounded partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.plans.registry import register
+from aws_data_engineering_spark.sources.tables import load_table
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "q20_events_hourly_tumbling",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "tumbling time-window aggregation (1 hour)",
+)
+def q20_events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q21_events_sliding_window",
+    f"""
+    WITH shifted AS (
+      SELECT date_trunc('hour', ts) - INTERVAL (k.k) HOUR AS window_start, value
+      FROM events CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k
+    )
+    SELECT strftime(window_start, '{_FMT_DUCK}') AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) / COUNT(*) AS avg_value
+    FROM shifted GROUP BY 1
+    """,
+    "sliding time-window aggregation (2h window / 1h slide)",
+)
+def q21_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # stabilized avg: round the sum first so both engines round a
+            # bit-identical double (see relational_queries q01 note)
+            (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "q22_events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    "JSON field extraction from string column (events.props)",
+)
+def q22_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        # integer sum is exact on both engines → identical division result
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+@register(
+    "q23_events_user_gaps",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us)                              AS n_gaps,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0 AS avg_gap_sec,
+           CAST(MAX(gap_us) // 1000000 AS BIGINT)     AS max_gap_sec
+    FROM gaps GROUP BY user_id
+    """,
+    "analytic window: lag() inter-event gaps per user",
+)
+def q23_events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_us", F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us") / 1000000.0).alias("avg_gap_sec"),
+        F.floor(F.max("gap_us") / 1000000).cast("bigint").alias("max_gap_sec"),
+    )
+
+
+@register(
+    "q24_events_running_total",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_value
+    FROM events
+    """,
+    "analytic window: cumulative sum per user",
+)
+def q24_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@register(
+    "q25_events_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "sessionization: 30-min inactivity gap → session ids → per-session agg",
+)
+def q25_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us > 1800 * 1_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wcum).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )

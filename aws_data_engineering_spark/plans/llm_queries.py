@@ -1,0 +1,303 @@
+"""LLM-data-pipeline query surface: dedup, text analysis, similarity search.
+
+Oracle-checkable queries use deterministic formulas replicated in DuckDB SQL;
+genuinely non-SQL ops (MinHash-LSH, SimHash, LSH-ANN) register with
+``oracle=None`` → the driver records the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.operators import dedup as D
+from aws_data_engineering_spark.operators import similarity as S
+from aws_data_engineering_spark.operators import text as T
+from aws_data_engineering_spark.plans.registry import register
+from aws_data_engineering_spark.sources.tables import load_table
+
+_SW_LIST_SQL = "('" + "', '".join(T.STOPWORDS) + "')"
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+@register(
+    "d01_exact_dedup_groups",
+    """
+    SELECT text, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+    FROM documents GROUP BY text
+    """,
+    "exact dedup: hash-groupBy duplicate groups with canonical survivor",
+)
+def d01_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_groups(docs, "text", "doc_id")
+
+
+@register(
+    "d02_latest_event_per_user",
+    """
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM (SELECT event_id, user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id ASC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    "dedup-latest-by-key: window row_number collapse (reference W5 semantics)",
+)
+def d02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return D.latest_by_key(ev, ["user_id"], "ts", "event_id").select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "d03_fingerprint_dedup",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS group_size
+    FROM documents GROUP BY 1
+    """,
+    "normalized-fingerprint dedup (md5 of lowercased collapsed text)",
+)
+def d03_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(T.fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+@register(
+    "d04_minhash_candidate_pairs",
+    None,  # MinHash-LSH is not SQL-expressible → rows-only check
+    "fuzzy dedup: MinHash-LSH candidate pairs with estimated Jaccard",
+)
+def d04_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_candidate_pairs(docs, "doc_id", "text")
+
+
+@register(
+    "d05_ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                      FOR i IN generate_series(1, len(t) - 2)])
+             END AS sh
+      FROM toks
+    ), sized AS (
+      SELECT doc_id, sh, len(sh) AS sh_size FROM grams
+    ), exploded AS (
+      SELECT doc_id, sh_size, UNNEST(sh) AS shingle FROM sized
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh_size AS size_a, b.sh_size AS size_b,
+             COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter / (size_a + size_b - n_inter), 4) AS jaccard
+    FROM inter
+    WHERE n_inter / (size_a + size_b - n_inter) >= 0.2
+    """,
+    "fuzzy dedup: exact word-3gram Jaccard via inverted shingle index",
+)
+def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, min_jaccard=0.2)
+
+
+@register(
+    "d06_simhash",
+    None,  # 64-bit majority-vote hash not practically SQL-expressible
+    "SimHash 64-bit document signatures (near-dup by hamming distance)",
+)
+def d06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash("text").alias("simhash64"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "t01_text_stats",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_actual,
+           LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+           LEN(regexp_extract_all(text, '[0-9]')) AS n_digits,
+           LEN(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+    FROM documents
+    """,
+    "per-document text statistics (chars/tokens/digits/punctuation)",
+)
+def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.char_count("text").alias("n_chars_actual"),
+        T.token_count("text").alias("n_tokens"),
+        F.regexp_count("text", F.lit("[0-9]")).alias("n_digits"),
+        T.punct_count("text").alias("n_punct"),
+    )
+
+
+@register(
+    "t02_quality_scores",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CAST(LEN(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                                  x -> x IN {_SW_LIST_SQL})) AS DOUBLE) AS n_sw,
+             CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_dig,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, source,
+           ROUND(LEAST(n_tok / 20.0, 1.0) * 0.4
+                 + LEAST(n_sw / GREATEST(n_tok, 1) * 4, 1.0) * 0.4
+                 + (1 - LEAST(n_dig / GREATEST(n_chars, 1) * 10, 1.0)) * 0.2, 4)
+             AS quality,
+           CASE WHEN n_sw / GREATEST(n_tok, 1) >= 0.05 THEN 'en'
+                WHEN n_tok < 3 THEN 'short'
+                ELSE 'unknown' END AS lang_pred
+    FROM feats
+    """,
+    "quality scoring + heuristic language-ID per document",
+)
+def t02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "t03_token_counts_by_source",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(LEN(string_split_regex(TRIM(text), '\\s+'))) AS DOUBLE) / COUNT(*)
+             AS avg_tokens,
+           CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT)
+             AS total_bpe_tokens
+    FROM documents GROUP BY source
+    """,
+    "corpus token accounting per source (whitespace + BPE-ish regex tokens)",
+)
+def t03_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).cast("bigint").alias("total_tokens"),
+        (F.sum(T.token_count("text")).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum(T.bpe_token_count("text")).cast("bigint").alias("total_bpe_tokens"),
+    )
+
+
+@register(
+    "t04_lang_distribution",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+    "language × source distribution with char-length stats",
+)
+def t04_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@register(
+    "s01_ann_bruteforce_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(q.v, c.v) AS sim
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    "exact cosine top-5 neighbors for 10 query vectors (brute force baseline)",
+)
+def s01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(queries, emb, k=5)
+
+
+@register(
+    "s02_ann_lsh_topk",
+    None,  # approximate — recall depends on bucketing; rows-only check
+    "LSH-bucketed approximate cosine top-k (the 100 TB scale path)",
+)
+def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(queries, emb, k=5, n_planes=4)
+
+
+@register(
+    "s03_embedding_stats_by_label",
+    """
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(SUM(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 6) / COUNT(*)
+             AS avg_self_sim,
+           ROUND(SUM(sqrt(list_aggregate([x * x FOR x IN CAST(embedding AS DOUBLE[])],
+                                        'sum'))), 6) / COUNT(*)
+             AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    "embedding column stats: norms per label (multimodal array column agg)",
+)
+def s03_embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.round(F.sum(S.cosine(v, v)), 6) / F.count(F.lit(1))).alias("avg_self_sim"),
+        (F.round(F.sum(S.norm(v)), 6) / F.count(F.lit(1))).alias("avg_norm"),
+    )

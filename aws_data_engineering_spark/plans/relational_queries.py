@@ -1,0 +1,512 @@
+"""Relational query surface (SURVEY.md §2b: joins, aggregations, windows,
+sort/limit/top-k, set ops, scalar functions, subqueries).
+
+Design notes (scale-first):
+- Dimension tables (region/nation/customer/supplier/part) get explicit
+  ``F.broadcast`` hints: at 100 TB the fact side (lineitem/orders) must never
+  shuffle for a dim join. AQE would usually discover this, but the hint makes
+  the plan deterministic.
+- Aggregations run straight ``groupBy().agg()`` — Catalyst plans partial
+  (map-side) aggregation before the shuffle, so the shuffle carries one row
+  per (partition × group), not per input row.
+- Filters sit as early as possible so they reach the parquet scan as
+  PushedFilters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.plans.registry import register
+from aws_data_engineering_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01 — full-table aggregation with computed measures (TPC-H Q1 shape).
+# Map-side partial agg → tiny shuffle (one row per group per partition).
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(SUM(l_quantity), 2) / COUNT(*)                         AS avg_qty,
+           ROUND(SUM(l_extendedprice), 2) / COUNT(*)                    AS avg_price,
+           ROUND(SUM(l_discount), 2) / COUNT(*)                         AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "groupBy aggregation: sum/avg/count with computed measures",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # avg derived from the 2-dec-rounded sum: both engines then round
+            # a bit-identical double, so hash-match survives summation-order
+            # ulp drift (raw AVG can land exactly on a .xxxx5 boundary).
+            (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias("avg_price"),
+            (F.round(F.sum("l_discount"), 2) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — flagship: 5-table star join → revenue by nation. The fact table joins
+# only against broadcast dims, so the single shuffle is the final groupBy.
+# --------------------------------------------------------------------------
+@register(
+    "q02_revenue_by_nation",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+    "star join (broadcast dims) + aggregation: revenue per nation",
+)
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    # customer⨝nation⨝region is dim-side: fold it first, broadcast the result
+    # so the fact table never shuffles. orders is broadcastable at test SF and
+    # handled by AQE at scale (falls back to shuffle-hash join).
+    cust_geo = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_geo), orders.o_custkey == cust_geo.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — join + agg + global top-k. ORDER BY ... LIMIT k compiles to
+# TakeOrderedAndProject: each partition keeps k rows, driver merges — no
+# full sort at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "q03_top_orders",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey, o_orderdate,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'O'
+      GROUP BY o_orderkey, o_orderdate
+    ) ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    "sort/limit top-k: 10 highest-revenue open orders",
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — window ranking: per-nation top-3 customers by account balance.
+# row_number over partitionBy keeps the shuffle keyed on the partition column.
+# --------------------------------------------------------------------------
+@register(
+    "q04_top_customers_per_nation",
+    """
+    SELECT n_name, c_name, c_acctbal, rnk FROM (
+      SELECT n_name, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rnk <= 3
+    """,
+    "window ranking: row_number per group, per-group top-k",
+)
+def q04_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_name", "c_acctbal", "c_custkey")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_name", "c_acctbal", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q05/q06 — semi/anti joins (EXISTS / NOT EXISTS). left_semi/left_anti never
+# materialize the right side's columns and stop at first match.
+# --------------------------------------------------------------------------
+@register(
+    "q05_customers_with_open_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    "left-semi join (EXISTS)",
+)
+def q05_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "q06_customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "left-anti join (NOT EXISTS)",
+)
+def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# q07 — selective scan aggregate (TPC-H Q6 shape). Every predicate is
+# pushdown-able; the scan reads 3 columns of 11.
+# --------------------------------------------------------------------------
+@register(
+    "q07_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS promo_revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2024-03-01'
+      AND l_shipdate <  TIMESTAMP '2024-09-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    "predicate-pushdown scan aggregate (TPC-H Q6 shape)",
+)
+def q07_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2024-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2024-09-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "promo_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — rollup (hierarchical subtotals). Keys coalesced to 'ALL' on both
+# sides so the NULL markers hash identically.
+# --------------------------------------------------------------------------
+@register(
+    "q08_rollup_region_nation",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "rollup aggregation with subtotals",
+)
+def q08_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — set operations: nations that have customers vs suppliers.
+# --------------------------------------------------------------------------
+@register(
+    "q09_set_ops",
+    """
+    WITH cust_nations AS (SELECT DISTINCT n_name FROM customer
+                          JOIN nation ON c_nationkey = n_nationkey),
+         supp_nations AS (SELECT DISTINCT n_name FROM supplier
+                          JOIN nation ON s_nationkey = n_nationkey)
+    SELECT n_name, 'both'          AS membership FROM (SELECT n_name FROM cust_nations INTERSECT SELECT n_name FROM supp_nations)
+    UNION ALL
+    SELECT n_name, 'customer_only' AS membership FROM (SELECT n_name FROM cust_nations EXCEPT    SELECT n_name FROM supp_nations)
+    UNION ALL
+    SELECT n_name, 'supplier_only' AS membership FROM (SELECT n_name FROM supp_nations EXCEPT    SELECT n_name FROM cust_nations)
+    """,
+    "set ops: intersect / except / union",
+)
+def q09_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cust_n = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name")
+        .distinct()
+    )
+    supp_n = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("n_name")
+        .distinct()
+    )
+    both = cust_n.intersect(supp_n).withColumn("membership", F.lit("both"))
+    c_only = cust_n.exceptAll(supp_n).withColumn("membership", F.lit("customer_only"))
+    s_only = supp_n.exceptAll(cust_n).withColumn("membership", F.lit("supplier_only"))
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+# --------------------------------------------------------------------------
+# q10 — distinct aggregation. (approx_count_distinct exists as the scale path
+# but can't hash-match an oracle; the exact form is verified here.)
+# --------------------------------------------------------------------------
+@register(
+    "q10_distinct_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    "count-distinct aggregation",
+)
+def q10_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — scalar function coverage: string + date functions, all JVM-side.
+# --------------------------------------------------------------------------
+@register(
+    "q11_scalar_functions",
+    """
+    SELECT o_orderkey,
+           UPPER(o_orderstatus)                       AS status_uc,
+           strftime(o_orderdate, '%Y-%m')             AS order_month,
+           CAST(year(o_orderdate) AS INT)             AS order_year,
+           SUBSTR(o_orderpriority, 1, 1)              AS priority_code,
+           CONCAT(o_orderstatus, '-', o_orderpriority) AS status_priority,
+           LENGTH(o_orderpriority)                    AS priority_len,
+           ROUND(o_totalprice * 1.1, 3)               AS price_with_tax
+    FROM orders
+    WHERE o_totalprice > 1000
+    """,
+    "scalar functions: string/date/math, filter pushdown",
+)
+def q11_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_totalprice") > 1000).select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.length("o_orderpriority").alias("priority_len"),
+        # round at the product's exact decimal width (2 dec × 1.1 → 3 dec):
+        # rounding BELOW the true width can land on a .5 boundary where the
+        # engines' rounding modes disagree
+        F.round(F.col("o_totalprice") * 1.1, 3).alias("price_with_tax"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — conditional aggregation (CASE WHEN pivot, TPC-H Q12 shape).
+# --------------------------------------------------------------------------
+@register(
+    "q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_linestatus
+    """,
+    "conditional aggregation (CASE WHEN)",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — cube (all grouping-set combinations).
+# --------------------------------------------------------------------------
+@register(
+    "q13_cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "cube aggregation (all grouping sets)",
+)
+def q13_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — having-clause aggregate: big-ticket part/supplier combos.
+# --------------------------------------------------------------------------
+@register(
+    "q14_parts_by_volume",
+    """
+    SELECT l_partkey, l_suppkey,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+    HAVING ROUND(SUM(l_quantity), 2) > 100
+    """,
+    "aggregation + HAVING filter",
+)
+def q14_parts_by_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        # filter on the rounded value so both engines cut at the same rows
+        .filter(F.col("total_qty") > 100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — scalar subquery comparison: customers above their nation's average
+# balance. The per-nation average is a tiny aggregate → broadcast back.
+# --------------------------------------------------------------------------
+@register(
+    "q15_above_avg_customers",
+    """
+    SELECT c_custkey, c_name, n_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = customer.c_nationkey)
+    """,
+    "correlated scalar subquery via broadcast re-join",
+)
+def q15_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    nation_avg = customer.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )

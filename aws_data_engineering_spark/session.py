@@ -1,0 +1,90 @@
+"""SparkSession factory.
+
+Generalizes the reference's ``start_spark()`` builders
+(``generic_load_script.py:39-48``, ``FInal/load_script.py:58-69``): the
+reference configured the Delta extension + catalog, an s3a endpoint, and a
+hardcoded ``spark.sql.shuffle.partitions=200``. Our factory keeps the same
+knobs but turns on AQE (runtime shuffle-partition coalescing, skew-join
+splitting, dynamic broadcast) so the 200-partition hardcode is obsolete at any
+scale, and gates Delta behind availability (the engine runs pure-Spark when
+delta-spark isn't installed — see writers.merge_upsert for the fallback).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Delta Lake is optional: the reference used it for MERGE upserts
+# (generic_load_script.py:131-148); we fall back to a pure-Spark merge.
+try:
+    import importlib.util
+
+    HAS_DELTA = importlib.util.find_spec("delta") is not None
+except Exception:  # pragma: no cover
+    HAS_DELTA = False
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "aws-data-engineering-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    s3_endpoint: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for lake-table analytics.
+
+    Scale posture: AQE owns shuffle sizing at runtime (coalesce small
+    partitions, split skewed ones, demote/promote broadcast joins), so the
+    same code runs on local[32] for tests and a 1000-executor cluster — only
+    ``shuffle_partitions`` (the pre-AQE upper bound) should grow with the
+    cluster.
+    """
+    cpus = _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow makes pandas UDFs / applyInPandas batch-vectorized.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Read ~128MB per input split: good default for wide parquet scans.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+
+    if HAS_DELTA:
+        builder = builder.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    if s3_endpoint:
+        # Mirrors FInal/load_script.py:64-66 (s3a endpoint for EMR/S3).
+        builder = (
+            builder.config("spark.hadoop.fs.s3a.endpoint", s3_endpoint)
+            .config("spark.hadoop.fs.s3a.path.style.access", "true")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
