@@ -157,10 +157,17 @@ def minhash_candidate_pairs(
     100 TB (docs never compare all-pairs).
     """
     rows_per_band = num_hashes // num_bands
-    sigs = df.select(
+    spark = df.sparkSession
+    # Signature computation is CPU-bound per row; a small parquet file scans
+    # as one task, so fan out to all cores first. The signature table is
+    # consumed twice (both sides of the self-join) — persist it so the
+    # shingle pipeline runs once. At 100 TB the equivalent is writing the
+    # signature table out (checkpoint) before the banded join.
+    fanout = df.repartition(spark.sparkContext.defaultParallelism)
+    sigs = fanout.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes).alias("sig"),
-    )
+    ).persist()
     banded = sigs.select(
         "id", "sig", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
     ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
@@ -243,11 +250,17 @@ def jaccard_pairs(
     shingles are the skew risk, so callers should pre-filter stop-shingles
     (AQE skew-join splits the rest).
     """
-    sized = df.select(
+    spark = df.sparkSession
+    # fan out (single-file scans are one task) + persist: the inverted index
+    # feeds both sides of the self-join
+    fanout = df.repartition(spark.sparkContext.defaultParallelism)
+    sized = fanout.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
     ).withColumn("sh_size", F.size("sh"))
-    exploded = sized.select("id", "sh_size", F.explode("sh").alias("shingle"))
+    exploded = sized.select(
+        "id", "sh_size", F.explode("sh").alias("shingle")
+    ).persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
