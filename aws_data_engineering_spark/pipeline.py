@@ -1,0 +1,123 @@
+"""Config-driven load pipeline — the reference lifecycle (SURVEY.md §3),
+collapsed into one composable function and purged of its bugs.
+
+Reference shape (``FInal/load_script.py:115-221``): parse key → fetch config →
+build schema → CSV scan → project → sort → landing write → derive dt →
+stamp metadata → curated strategy write. We keep the same JSON config
+contract (schema / select_columns / sort_columns / delimiter /
+landing_load_strategy / curated_load_strategy / primary_key) and the same
+zone layout, with these deliberate fixes:
+
+- landing is written *after* the ``dt`` stamp and partitioned by it (v2
+  wrote landing pre-``dt``, ``FInal/load_script.py:197-204`` vs ``:212``).
+- the date comes from the filename per-row (``input_file_name()``), so one
+  run can ingest a whole directory of daily files — the reference was
+  one-file-per-job (``Script.sh:10-16``).
+- no driver-side gunzip (v1's ``generic_load_script.py:14-24``): Spark reads
+  ``.gz`` CSV natively on executors.
+- unknown landing strategy is a hard error (v1 silently treated anything
+  ≠ 'append' as overwrite, ``generic_load_script.py:130``).
+
+Scale posture: every step is a narrow transform fused into the scan until
+the optional global sort; the writes are the only shuffles-by-necessity.
+Gzip files are non-splittable — one task per file — so 100 TB ingest
+parallelism comes from file count, which the daily-file layout provides.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_data_engineering_spark.operators import transforms as T
+from aws_data_engineering_spark.schema import build_schema_from_dict
+from aws_data_engineering_spark.sources.readers import read_csv
+from aws_data_engineering_spark.sources.writers import write_curated
+
+VALID_LANDING_STRATEGIES = ("append", "overwrite")
+
+
+@dataclass
+class TableConfig:
+    """The per-table JSON contract (``<table>_config.json`` in the reference:
+    ``generic_load_script.py:88-100``; ``FInal/load_script.py:150-175``)."""
+
+    table_name: str
+    schema: dict[str, str]
+    primary_key: list[str] = field(default_factory=list)
+    select_columns: list[str] = field(default_factory=list)
+    sort_columns: list[str] = field(default_factory=list)
+    delimiter: str = ","
+    landing_load_strategy: str = "append"
+    curated_load_strategy: str = "append"
+    file_format: str = "parquet"
+
+    @classmethod
+    def from_json(cls, text: str) -> "TableConfig":
+        raw = json.loads(text)
+        known = {f for f in cls.__dataclass_fields__}
+        return cls(**{k: v for k, v in raw.items() if k in known})
+
+    @classmethod
+    def from_file(cls, path: str) -> "TableConfig":
+        return cls.from_json(Path(path).read_text())
+
+
+def parse_inbound_key(key: str) -> tuple[str, str, str]:
+    """S1 — split ``inbound/<source_system>/<table_name>/<file>`` positionally
+    (``Script.sh:13-16``; ``FInal/script.sh:13-16``)."""
+    parts = key.strip("/").split("/")
+    if len(parts) < 4:
+        raise ValueError(
+            f"Inbound key must be inbound/<source>/<table>/<file>, got {key!r}"
+        )
+    return parts[1], parts[2], parts[3]
+
+
+def run_load(
+    spark: SparkSession,
+    config: TableConfig,
+    inbound_path: str,
+    landing_path: str,
+    curated_path: str,
+) -> DataFrame:
+    """Execute one config-driven load: inbound CSV → landing → curated.
+
+    Returns the curated-ready DataFrame (post-transform) for inspection.
+    """
+    schema = build_schema_from_dict(config.schema)
+
+    df = read_csv(spark, inbound_path, schema=schema, delimiter=config.delimiter)
+    df = T.project(df, config.select_columns)
+    # dt BEFORE the sort: input_file_name() is only defined inside the scan
+    # stage — after the sort's range-exchange it evaluates to "" (→ 'unknown')
+    df = T.stamp_dt_from_filename(df)
+    df = T.global_sort(df, config.sort_columns)
+
+    if config.landing_load_strategy not in VALID_LANDING_STRATEGIES:
+        raise ValueError(
+            f"Unknown landing strategy: {config.landing_load_strategy!r}"
+        )
+    write_curated(
+        spark,
+        df,
+        landing_path,
+        config.landing_load_strategy,
+        partition_col="dt",
+        fmt=config.file_format,
+    )
+
+    curated = T.stamp_audit_columns(df)
+    write_curated(
+        spark,
+        curated,
+        curated_path,
+        config.curated_load_strategy,
+        primary_key=config.primary_key,
+        partition_col="dt",
+        fmt=config.file_format,
+    )
+    return curated

@@ -58,6 +58,10 @@ def get_spark(
         # Read ~128MB per input split: good default for wide parquet scans.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # dt partition values stay StringType on read-back (reference parity:
+        # dt is a string date everywhere, e.g. FInal/load_script.py:212);
+        # inference would silently retype them to DateType.
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

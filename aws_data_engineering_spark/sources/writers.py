@@ -1,0 +1,194 @@
+"""Writer strategies — reference operators W1-W6, Spark-first.
+
+The reference's load strategies (``generic_load_script.py:128-173``;
+``FInal/load_script.py:73-112,197-204``):
+
+- W1/W2 landing write: append/overwrite, partitioned by ``dt`` (v1 Delta) or
+  unpartitioned parquet (v2 — which writes landing *before* stamping ``dt``,
+  a bug we don't copy; our landing is always dt-partitioned).
+- W3 curated append, W4 curated truncate/overwrite: blind insert / full
+  replace, partitioned by ``dt``.
+- W5 curated MERGE upsert: Delta ``whenMatchedUpdateAll / whenNotMatchedInsertAll``
+  keyed on **primary_key + dt** (``generic_load_script.py:158``;
+  ``FInal/load_script.py:94-96``) — the same business key on a new day
+  inserts rather than updates. First load creates the table; missing PK is a
+  hard error (``generic_load_script.py:155-156``).
+- W6 strategy dispatch: unknown strategy → ``ValueError``
+  (``generic_load_script.py:172-173``; ``FInal/load_script.py:111-112``).
+
+Delta Lake is used when installed; otherwise ``merge_upsert`` runs a
+pure-Spark merge with the identical row semantics. Because the merge key
+includes the partition column, a source row can only ever touch its own
+``dt`` partition — so the fallback rewrites *only the partitions present in
+the incoming batch* (dynamic partition overwrite), never the whole table.
+At 100 TB with daily ingest that is the difference between rewriting ~1/1000
+of the table and rewriting all of it.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.session import HAS_DELTA
+
+VALID_STRATEGIES = ("append", "overwrite", "truncate", "upsert")
+
+
+def write_append(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("dt",),
+    fmt: str = "parquet",
+) -> None:
+    """W1/W3 — blind insert. Not idempotent on re-run (reference behavior:
+    re-delivered files duplicate rows under append; use upsert for
+    exactly-once)."""
+    w = df.write.mode("append").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def write_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("dt",),
+    fmt: str = "parquet",
+    dynamic: bool = False,
+) -> None:
+    """W4 — full replace ('truncate' in v1, 'overwrite' in v2). With
+    ``dynamic=True`` only partitions present in ``df`` are replaced."""
+    w = df.write.mode("overwrite").format(fmt)
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def _table_exists(spark: SparkSession, path: str, fmt: str) -> bool:
+    try:
+        spark.read.format(fmt).load(path).schema
+        return True
+    except Exception:
+        return False
+
+
+def merge_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    primary_key: list[str],
+    partition_col: str | None = "dt",
+    fmt: str = "parquet",
+) -> None:
+    """W5 — MERGE upsert keyed on ``primary_key + partition_col``.
+
+    Matched target rows are replaced column-for-column by the source row
+    (update-all); unmatched source rows are inserted (insert-all) — i.e. the
+    post-merge table is: (target rows with no source match) ∪ (source rows).
+    Idempotent: re-running the same batch yields the same table.
+    """
+    if not primary_key:
+        # reference contract: upsert without a PK is a hard error
+        # (generic_load_script.py:155-156; FInal/load_script.py:89-90)
+        raise ValueError("primary_key is required for upsert strategy")
+
+    if not _table_exists(spark, path, fmt):
+        # first load creates the table (generic_load_script.py:152-154)
+        write_overwrite(
+            df, path, (partition_col,) if partition_col else (), fmt
+        )
+        return
+
+    if HAS_DELTA and fmt == "delta":
+        from delta.tables import DeltaTable
+
+        keys = list(primary_key) + ([partition_col] if partition_col else [])
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(df.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+
+    _merge_upsert_pure_spark(spark, df, path, primary_key, partition_col, fmt)
+
+
+def _merge_upsert_pure_spark(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    primary_key: list[str],
+    partition_col: str | None,
+    fmt: str,
+) -> None:
+    """Pure-Spark MERGE: survivors(target) ∪ source, rewritten per-partition.
+
+    Join strategy note: the anti-join's build side is the incoming batch's
+    key set — one day of keys, typically MBs even when the table is TBs —
+    so Catalyst/AQE broadcasts it and the merge costs one scan of the
+    affected partitions, no target-side shuffle.
+    """
+    target = spark.read.format(fmt).load(path)
+    keys = list(primary_key) + ([partition_col] if partition_col else [])
+    source = df.select(*target.columns)  # align column order for the union
+
+    survivors = target
+    if partition_col:
+        # static partition pruning: only scan partitions the batch touches
+        batch_parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+        survivors = survivors.filter(F.col(partition_col).isin(batch_parts))
+    survivors = survivors.join(
+        F.broadcast(df.select(*keys).distinct()), on=keys, how="left_anti"
+    )
+    merged = survivors.unionByName(source)
+
+    # Spark refuses to overwrite a path it is reading from; stage the merged
+    # partitions, then dynamic-overwrite only those partitions back. (With
+    # Delta installed this whole dance is a single transactional MERGE.)
+    staging = str(Path(path).parent / f"_merge_staging_{uuid.uuid4().hex[:8]}")
+    try:
+        merged.write.mode("overwrite").format(fmt).save(staging)
+        staged = spark.read.format(fmt).load(staging)
+        write_overwrite(
+            staged,
+            path,
+            (partition_col,) if partition_col else (),
+            fmt,
+            dynamic=bool(partition_col),
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def write_curated(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    strategy: str,
+    primary_key: list[str] | None = None,
+    partition_col: str | None = "dt",
+    fmt: str = "parquet",
+) -> None:
+    """W6 — strategy dispatch ('truncate' is the v1 spelling of overwrite)."""
+    parts = (partition_col,) if partition_col else ()
+    if strategy == "append":
+        write_append(df, path, parts, fmt)
+    elif strategy in ("overwrite", "truncate"):
+        write_overwrite(df, path, parts, fmt)
+    elif strategy == "upsert":
+        merge_upsert(spark, df, path, primary_key or [], partition_col, fmt)
+    else:
+        raise ValueError(
+            f"Unknown load strategy: {strategy!r} (expected one of {VALID_STRATEGIES})"
+        )

@@ -1,0 +1,221 @@
+"""Unit + end-to-end tests for the reference-parity ETL core
+(SURVEY.md §2a: S1/S6, P1-P5, W1-W6) — the test strategy of SURVEY.md §5:
+schema builder error paths, dt derivation incl. the 'unknown' fallback,
+strategy dispatch errors, MERGE semantics (update vs insert vs
+new-partition-insert because dt is part of the merge key), and pipeline
+idempotence (upsert re-runs are idempotent; append re-runs duplicate).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, IntegerType, StringType
+
+from aws_data_engineering_spark import pipeline as P
+from aws_data_engineering_spark import schema as S
+from aws_data_engineering_spark.operators import transforms as T
+from aws_data_engineering_spark.sources import writers as W
+
+
+# ---------------------------------------------------------------------------
+# schema.py (S6)
+# ---------------------------------------------------------------------------
+def test_schema_reference_spellings():
+    st = S.build_schema_from_dict({"id": "IntegerType", "name": "StringType"})
+    assert [f.dataType for f in st.fields] == [IntegerType(), StringType()]
+    assert all(f.nullable for f in st.fields)
+
+
+def test_schema_full_lattice(spark):  # DDL types parse via the session's JVM
+    st = S.build_schema_from_dict(
+        {
+            "a": "bigint",
+            "b": "double",
+            "c": "timestamp",
+            "d": "decimal(12,2)",
+            "e": "array<float>",
+            "f": "struct<x:int,y:string>",
+        }
+    )
+    assert st["e"].dataType == ArrayType(FloatType())
+    assert st["d"].dataType.simpleString() == "decimal(12,2)"
+
+
+def test_schema_unknown_type_raises():
+    with pytest.raises(ValueError, match="Unsupported type"):
+        S.build_schema_from_dict({"x": "NotAType!!"})
+
+
+def test_schema_empty_raises():
+    with pytest.raises(ValueError, match="required"):
+        S.build_schema_from_dict({})
+
+
+# ---------------------------------------------------------------------------
+# transforms.py (P1-P5)
+# ---------------------------------------------------------------------------
+def test_dt_from_filename(spark):
+    df = spark.createDataFrame(
+        [("s3://b/inbound/src/t/t_20240131.gz",), ("no-date-here.csv",)],
+        ["path"],
+    )
+    out = df.select(T.dt_from_filename(F.col("path")).alias("dt")).collect()
+    assert [r["dt"] for r in out] == ["2024-01-31", "unknown"]
+
+
+def test_project_and_sort(spark):
+    df = spark.createDataFrame([Row(a=2, b="y"), Row(a=1, b="x")])
+    assert T.project(df, ["a"]).columns == ["a"]
+    assert T.project(df, None).columns == ["a", "b"]
+    assert [r["a"] for r in T.global_sort(df, ["a"]).collect()] == [1, 2]
+
+
+def test_stamp_audit_columns(spark):
+    df = spark.createDataFrame([Row(a=1)])
+    out = T.stamp_audit_columns(df)
+    assert set(out.columns) == {"a", "updt_nm", "cret_nm", "cret_ts", "updt_ts"}
+    row = out.collect()[0]
+    assert row["updt_nm"] == row["cret_nm"] == T.DEFAULT_ACTOR
+    assert row["cret_ts"] is not None
+
+
+def test_rename_and_cast(spark):
+    df = spark.createDataFrame([Row(a=1, b="2")])
+    out = T.cast_columns(T.rename_columns(df, {"a": "x"}), {"b": "int"})
+    assert out.columns == ["x", "b"]
+    assert dict(out.dtypes)["b"] == "int"
+
+
+# ---------------------------------------------------------------------------
+# writers.py (W1-W6)
+# ---------------------------------------------------------------------------
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, "id int, val string, dt string")
+
+
+def test_append_then_overwrite(spark, tmp_path):
+    p = str(tmp_path / "t")
+    W.write_curated(spark, _mkdf(spark, [(1, "a", "d1")]), p, "append")
+    W.write_curated(spark, _mkdf(spark, [(1, "a", "d1")]), p, "append")
+    assert spark.read.parquet(p).count() == 2  # append duplicates (reference)
+    W.write_curated(spark, _mkdf(spark, [(2, "b", "d1")]), p, "truncate")
+    out = spark.read.parquet(p).collect()
+    assert len(out) == 1 and out[0]["id"] == 2
+
+
+def test_unknown_strategy_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="Unknown load strategy"):
+        W.write_curated(spark, _mkdf(spark, [(1, "a", "d1")]), str(tmp_path / "t"), "bogus")
+
+
+def test_upsert_requires_pk(spark, tmp_path):
+    with pytest.raises(ValueError, match="primary_key"):
+        W.merge_upsert(spark, _mkdf(spark, [(1, "a", "d1")]), str(tmp_path / "t"), [])
+
+
+def test_merge_semantics(spark, tmp_path):
+    """update-all on (PK, dt) match; insert on new PK; insert (not update)
+    when the same PK arrives under a new dt — the reference's key includes
+    dt (generic_load_script.py:158)."""
+    p = str(tmp_path / "t")
+    W.merge_upsert(spark, _mkdf(spark, [(1, "v1", "d1"), (2, "v1", "d1")]), p, ["id"])
+    # batch 2: update id=1@d1, insert id=3@d1, same-PK-new-day id=2@d2
+    W.merge_upsert(
+        spark,
+        _mkdf(spark, [(1, "v2", "d1"), (3, "v2", "d1"), (2, "v2", "d2")]),
+        p,
+        ["id"],
+    )
+    rows = {(r["id"], r["dt"]): r["val"] for r in spark.read.parquet(p).collect()}
+    assert rows == {
+        (1, "d1"): "v2",  # updated in place
+        (2, "d1"): "v1",  # untouched (match requires same dt)
+        (3, "d1"): "v2",  # inserted
+        (2, "d2"): "v2",  # same business key, new day → new row
+    }
+
+
+def test_merge_leaves_untouched_partitions(spark, tmp_path):
+    """The pure-Spark merge must rewrite only partitions present in the
+    batch — rows in other dt partitions survive byte-for-byte."""
+    p = str(tmp_path / "t")
+    W.merge_upsert(spark, _mkdf(spark, [(1, "old", "d1"), (9, "keep", "d9")]), p, ["id"])
+    W.merge_upsert(spark, _mkdf(spark, [(1, "new", "d1")]), p, ["id"])
+    rows = {(r["id"], r["dt"]): r["val"] for r in spark.read.parquet(p).collect()}
+    assert rows == {(1, "d1"): "new", (9, "d9"): "keep"}
+
+
+def test_merge_idempotent(spark, tmp_path):
+    p = str(tmp_path / "t")
+    batch = _mkdf(spark, [(1, "a", "d1"), (2, "b", "d1")])
+    W.merge_upsert(spark, batch, p, ["id"])
+    W.merge_upsert(spark, batch, p, ["id"])
+    assert spark.read.parquet(p).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# pipeline.py (S1 + end-to-end lifecycle)
+# ---------------------------------------------------------------------------
+def test_parse_inbound_key():
+    assert P.parse_inbound_key("inbound/erp/customers/customers_20240131.gz") == (
+        "erp",
+        "customers",
+        "customers_20240131.gz",
+    )
+    with pytest.raises(ValueError):
+        P.parse_inbound_key("not/a/key")
+
+
+def test_table_config_roundtrip():
+    cfg = P.TableConfig.from_json(
+        '{"table_name": "c", "schema": {"id": "int"}, "primary_key": ["id"],'
+        ' "curated_load_strategy": "upsert", "ignored_extra_key": 1}'
+    )
+    assert cfg.primary_key == ["id"] and cfg.delimiter == ","
+
+
+def _write_gz_csv(path, text):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with gzip.open(path, "wt") as f:
+        f.write(text)
+
+
+def test_pipeline_end_to_end_upsert_idempotent(spark, tmp_path):
+    """gz-CSV → landing → curated upsert; re-running the same file must be
+    idempotent (MERGE), and landing must be dt-partitioned (v2 bug fixed)."""
+    inbound = tmp_path / "inbound" / "erp" / "cust"
+    _write_gz_csv(inbound / "cust_20240131.gz", "id,name\n1,ann\n2,bob\n")
+    cfg = P.TableConfig(
+        table_name="cust",
+        schema={"id": "IntegerType", "name": "StringType"},
+        primary_key=["id"],
+        sort_columns=["id"],
+        landing_load_strategy="overwrite",
+        curated_load_strategy="upsert",
+    )
+    landing, curated = str(tmp_path / "landing"), str(tmp_path / "curated")
+    for _ in range(2):  # second run = re-delivered file
+        P.run_load(spark, cfg, str(inbound), landing, curated)
+
+    cur = spark.read.parquet(curated)
+    assert cur.count() == 2  # idempotent
+    assert {r["dt"] for r in cur.select("dt").collect()} == {"2024-01-31"}
+    assert {"updt_nm", "cret_ts"} <= set(cur.columns)
+    land = spark.read.parquet(landing)
+    assert "dt" in land.columns and land.count() == 2
+
+
+def test_pipeline_unknown_landing_strategy(spark, tmp_path):
+    inbound = tmp_path / "inbound" / "erp" / "c2"
+    _write_gz_csv(inbound / "c2_20240101.gz", "id,name\n1,x\n")
+    cfg = P.TableConfig(
+        table_name="c2",
+        schema={"id": "int", "name": "string"},
+        landing_load_strategy="sideways",
+    )
+    with pytest.raises(ValueError, match="Unknown landing strategy"):
+        P.run_load(spark, cfg, str(inbound), str(tmp_path / "l"), str(tmp_path / "c"))
