@@ -1,0 +1,190 @@
+"""Structured Streaming surface over the events stream.
+
+The reference is batch-only (no streaming anywhere in its 9 files —
+SURVEY.md §2a); this module is part of the engine's §2b surface: the same
+window logic the batch queries use (``plans/events_queries.py``), lifted onto
+``readStream`` with watermarks, plus a custom stateful sessionization
+operator via ``applyInPandasWithState`` (the Spark-native escape hatch for
+operators the built-in window aggregates can't express — per-key inactivity
+gaps with incremental state).
+
+Scale posture:
+- state is keyed by (window, event_type) or user_id — the same keys a
+  1000-executor cluster shards its state store by; no global state.
+- watermarks bound state size: late rows beyond the watermark are dropped,
+  so state never grows with stream length, only with key cardinality.
+- file sources at 100 TB: ``maxFilesPerTrigger`` bounds per-microbatch input,
+  giving backpressure without any external system.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events.ts is parquet TIMESTAMP(NANOS); streaming sources require an explicit
+# schema, and with nanosAsLong the field arrives as bigint (see
+# sources/tables.load_table for the batch-side twin of this handling).
+EVENTS_DDL = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over a directory (or file) of events parquet.
+
+    Emits the batch-identical schema: ts converted nanos→TimestampType via
+    integer division (ns epoch exceeds double's 2^53 mantissa — never go
+    through a double here)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory or glob; a trailing '*'
+        # turns a single-file path into a glob matching exactly that file
+        path = path + "*"
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) window counts + value
+    sums — the streaming twin of q20/q21. Works on batch DataFrames too
+    (watermark is a no-op there), so stream/batch parity is testable."""
+    df = events
+    if df.isStreaming:
+        # bound state: windows older than (max event time - watermark) close
+        # and can be evicted from the state store
+        df = df.withWatermark("ts", watermark)
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        df.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: inactivity-gap sessionization
+# ---------------------------------------------------------------------------
+
+_SESSION_OUT_DDL = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, session_value double"
+)
+_SESSION_STATE_DDL = "start bigint, last bigint, n bigint, total double"
+
+
+def sessionize_with_state(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization via ``applyInPandasWithState``.
+
+    Semantics match the batch q25 operator: a session is a maximal run of
+    per-user events with < ``gap_minutes`` between consecutive events. A
+    session is EMITTED when it closes — either a later event arrives past the
+    gap, or the event-time timeout fires once the watermark passes
+    session_end + gap (so the last session of a finite stream only flushes
+    when the watermark advances past it).
+
+    State per user is four scalars (start/last/n/total) — O(active users),
+    not O(events); exactly how a production cluster holds millions of
+    concurrent sessions.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd_w
+
+        (user_id,) = key
+        closed: list[tuple] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                closed.append((user_id, start, last, n, total))
+                state.remove()
+        else:
+            if state.exists:
+                start, last, n, total = state.get
+            else:
+                start, last, n, total = None, None, 0, 0.0
+            rows = pd_w.concat(list(pdfs))
+            rows = rows.sort_values(["ts", "event_id"])
+            for ts, value in zip(rows["ts"], rows["value"]):
+                ts_us = int(ts.value // 1000)  # pandas ns → µs
+                if start is None:
+                    start, last, n, total = ts_us, ts_us, 1, float(value)
+                elif ts_us - last > gap_us:
+                    closed.append((user_id, start, last, n, total))
+                    start, last, n, total = ts_us, ts_us, 1, float(value)
+                else:
+                    last, n, total = ts_us, n + 1, total + float(value)
+            state.update((start, last, n, total))
+            # close the open session once the watermark passes last + gap
+            state.setTimeoutTimestamp((last // 1000) + gap_minutes * 60 * 1000)
+
+        if closed:
+            yield pd_w.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd_w.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd_w.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "session_value": [round(c[4], 2) for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUT_DDL,
+            stateStructType=_SESSION_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming DataFrame into an in-memory table with the
+    ``availableNow`` trigger (process-everything-then-stop — the batch-like
+    mode used for backfills) and return the result as a batch DataFrame."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

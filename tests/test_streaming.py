@@ -1,0 +1,120 @@
+"""Streaming tests: stream/batch parity for windowed aggregation, and the
+applyInPandasWithState sessionization operator.
+
+Parity is the strongest available oracle for streaming: the exact batch
+aggregate over the same rows. Sessionization uses a two-file source with
+``maxFilesPerTrigger=1`` so the watermark advances between micro-batches and
+event-time timeouts actually fire (a single micro-batch never times out)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark import streaming as ST
+from aws_data_engineering_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """events parquet split into two files (ordered halves by ts) in a tmp
+    dir — a multi-file streaming source."""
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(src, d / "part1.parquet")
+    return str(d)
+
+
+def test_stream_batch_parity_tumbling(spark, sf_dir, events_dir):
+    stream = ST.read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    result = ST.run_to_memory_sink(
+        ST.windowed_counts(stream, "1 hour"), "tumbling_parity", "complete"
+    )
+    batch = ST.windowed_counts(load_table(spark, sf_dir, "events"), "1 hour")
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_batch_parity_sliding(spark, sf_dir, events_dir):
+    stream = ST.read_events_stream(spark, events_dir)
+    result = ST.run_to_memory_sink(
+        ST.windowed_counts(stream, "2 hours", slide="1 hour"), "sliding_parity", "complete"
+    )
+    batch = ST.windowed_counts(
+        load_table(spark, sf_dir, "events"), "2 hours", slide="1 hour"
+    )
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+@pytest.fixture()
+def split_events_dir(spark, sf_dir, tmp_path):
+    """Split events into two time-ordered parquet files so the second
+    micro-batch advances the watermark past the first batch's sessions."""
+    # write ts back as nanos-bigint to mirror the driver's TIMESTAMP(NANOS)
+    # files (read_events_stream's schema expects ts bigint)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.unix_micros("ts") * 1000)
+        .orderBy("ts")
+    )
+    rows = ev.count()
+    first = ev.limit(rows // 2)
+    second = ev.subtract(first)
+    d = tmp_path / "split"
+    first.coalesce(1).write.parquet(str(d / "_staging1"))
+    second.coalesce(1).write.parquet(str(d / "_staging2"))
+    # move the part files into the watched dir in arrival order
+    d.mkdir(exist_ok=True)
+    for i, staging in enumerate((d / "_staging1", d / "_staging2"), 1):
+        part = next(staging.glob("part-*.parquet"))
+        part.rename(d / f"batch{i}.parquet")
+        shutil.rmtree(staging)
+    return str(d)
+
+
+def test_sessionize_with_state(spark, sf_dir, split_events_dir):
+    """Emitted sessions must match the batch sessionization (q25 semantics)
+    for every session the watermark was able to close."""
+    stream = ST.read_events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    out = ST.run_to_memory_sink(
+        ST.sessionize_with_state(stream, gap_minutes=30, watermark="0 seconds"),
+        "sessions_state",
+        "append",
+    )
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["session_value"])
+        for r in out.collect()
+    }
+    assert len(got) > 0, "no sessions closed — watermark never advanced"
+
+    # batch oracle: same gap logic via analytic windows
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sessions = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap_us > 1800 * 1_000_000, 1)
+            .when(F.lag("ts").over(w).isNull(), 1)
+            .otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+    expected = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["session_value"])
+        for r in sessions.collect()
+    }
+    for key, vals in got.items():
+        assert key in expected, f"streamed session {key} not in batch sessions"
+        assert vals == expected[key], f"session {key}: stream {vals} != batch {expected[key]}"
