@@ -1,0 +1,91 @@
+"""Multimodal-column queries: binary blobs with typed metadata, decode /
+feature-extract / frame-sample via Arrow-batched mapInPandas.
+
+m01 runs pure-JVM metadata over real bytes (utf-8 of documents.text — the
+oracle builds the identical blob with ``encode()``). m02/m03 exercise the
+full Python decode path over the deterministic FIMG fake format
+(operators/multimodal.py): because the fake pixels are a closed-form
+function of the id, DuckDB can replicate the decode *outputs* exactly —
+so even the mapInPandas decode pipeline is oracle-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.operators import multimodal as M
+from aws_data_engineering_spark.plans.registry import register
+from aws_data_engineering_spark.sources.tables import load_table
+
+
+@register(
+    "m01_media_metadata",
+    """
+    SELECT doc_id AS id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256_hex
+    FROM documents
+    """,
+    "binary-column metadata pass: size + sha256 digest, no decode (JVM-only)",
+)
+def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("data"))
+    return M.media_metadata(blobs, "data", "doc_id")
+
+
+@register(
+    "m02_image_decode_features",
+    """
+    WITH dims AS (
+      SELECT doc_id AS id,
+             CAST(4 + doc_id % 16 AS INT) AS width,
+             CAST(4 + doc_id % 12 AS INT) AS height
+      FROM documents
+    )
+    SELECT id, width, height,
+           CAST(width AS BIGINT) * height AS n_pixels,
+           CAST(list_aggregate([CAST((id + k) * 31 % 256 AS DOUBLE)
+                                FOR k IN generate_series(0, width * height - 1)],
+                               'sum') AS DOUBLE)
+             / (width * height) AS mean_pixel,
+           'image/x-fimg' AS mime
+    FROM dims
+    """,
+    "image decode + feature extraction via mapInPandas (FIMG fake format; "
+    "real JPEG/PNG decode stubbed — needs PIL, absent here)",
+)
+def m02_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    images = M.synthesize_fake_images(docs, "doc_id")
+    return M.decode_images(images, "id", "data", "mime")
+
+
+@register(
+    "m03_video_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id AS id,
+             CAST(2 + doc_id % 8 AS INT) AS n_frames,
+             12 + (4 + doc_id % 4) * 4 AS frame_size
+      FROM documents
+    )
+    SELECT id, n_frames,
+           CAST((n_frames + 1) // 2 AS INT) AS n_sampled,
+           CAST(((n_frames + 1) // 2) * frame_size AS BIGINT) AS frame_bytes
+    FROM v
+    """,
+    "video frame sampling via mapInPandas (every 2nd FIMG frame; mp4/pyav "
+    "path stubbed — library absent here)",
+)
+def m03_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    videos = M.synthesize_fake_videos(docs, "doc_id")
+    sampled = M.sample_frames(videos, "id", "data", every_k=2)
+    return sampled.select(
+        "id",
+        "n_frames",
+        F.size("sampled_frames").alias("n_sampled"),
+        "frame_bytes",
+    )

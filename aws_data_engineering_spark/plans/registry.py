@@ -47,6 +47,7 @@ def _load_all() -> None:
     from aws_data_engineering_spark.plans import (  # noqa: F401
         events_queries,
         llm_queries,
+        multimodal_queries,
         relational_queries,
         streaming_queries,
     )

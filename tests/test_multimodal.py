@@ -1,0 +1,67 @@
+"""Multimodal operator tests: FIMG round-trip through decode/resize/
+frame-sample mapInPandas stages, the real-format NotImplementedError stub,
+and the media struct carrier. (m01-m03 oracle checks live in
+test_queries_oracle.py via the registry.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 20).select(F.col("id").alias("doc_id"))
+
+
+def test_fake_image_roundtrip(spark, ids_df):
+    images = M.synthesize_fake_images(ids_df, "doc_id")
+    feats = {r["id"]: r for r in M.decode_images(images, "id", "data", "mime").collect()}
+    assert len(feats) == 20
+    for i in range(20):
+        assert feats[i]["width"] == 4 + i % 16
+        assert feats[i]["height"] == 4 + i % 12
+        assert feats[i]["n_pixels"] == feats[i]["width"] * feats[i]["height"]
+        assert 0.0 <= feats[i]["mean_pixel"] <= 255.0
+
+
+def test_decode_unknown_format_raises(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n"), "image/png")], "id long, data binary, mime string"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        M.decode_images(df, "id", "data", "mime").collect()
+
+
+def test_resize(spark, ids_df):
+    images = M.synthesize_fake_images(ids_df, "doc_id")
+    resized = M.resize_images(images, "id", "data", out_w=4, out_h=4)
+    rows = resized.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["width"] == 4 and r["height"] == 4
+        assert len(bytes(r["data"])) == 12 + 16  # header + 4x4 pixels
+    # resized blobs decode again (bytes-in/bytes-out stage composes)
+    feats = M.decode_images(
+        resized.withColumn("mime", F.lit("image/x-fimg")), "id", "data", "mime"
+    ).collect()
+    assert all(f["n_pixels"] == 16 for f in feats)
+
+
+def test_frame_sampling(spark, ids_df):
+    videos = M.synthesize_fake_videos(ids_df, "doc_id")
+    out = {r["id"]: r for r in M.sample_frames(videos, "id", "data", every_k=2).collect()}
+    for i in range(20):
+        n = 2 + i % 8
+        assert out[i]["n_frames"] == n
+        assert out[i]["sampled_frames"] == list(range(0, n, 2))
+
+
+def test_pack_media_struct(spark):
+    df = spark.createDataFrame([(1, bytearray(b"abc"))], "id long, data binary")
+    packed = df.select(M.pack_media(F.col("data"), "application/octet-stream").alias("m"))
+    row = packed.collect()[0]["m"]
+    assert row["mime"] == "application/octet-stream"
+    assert row["n_bytes"] == 3
