@@ -301,3 +301,64 @@ def s03_embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum(S.cosine(v, v)), 6) / F.count(F.lit(1))).alias("avg_self_sim"),
         (F.round(F.sum(S.norm(v)), 6) / F.count(F.lit(1))).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-based near-duplicate detection (dedup family, embedding flavor)
+# ---------------------------------------------------------------------------
+@register(
+    "e01_embedding_neardup_exact",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 4) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+    """,
+    "embedding-cosine near-dup pairs, exact all-pairs (correctness baseline; "
+    "e02 is the LSH-bucketed scale path)",
+)
+def e01_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    # broadcast one side: the O(N²/2) pair generation happens map-side with
+    # no shuffle; only the (tiny) surviving pairs move. Fine to sf~1; past
+    # that use e02 (bucketed) — kept exact here as the oracle-checkable
+    # baseline.
+    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+    sim = S.cosine(F.col("a.e"), F.col("b.e"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("sim_raw"),
+        )
+        .filter(F.col("sim_raw") >= 0.45)
+        .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
+    )
+
+
+@register(
+    "e02_embedding_neardup_lsh",
+    None,  # approximate (bucket recall) → rows-only check
+    "embedding-cosine near-dup via hyperplane-LSH buckets (100 TB path: "
+    "equi-join on bucket id replaces the all-pairs cross join)",
+)
+def e02_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    planes = S._hyperplanes(64, 4)
+    bucketed = v.withColumn("bucket", S.lsh_bucket(F.col("e"), planes))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+    sim = S.cosine(F.col("a.e"), F.col("b.e"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("sim_raw"),
+        )
+        .filter(F.col("sim_raw") >= 0.45)
+        .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
+    )

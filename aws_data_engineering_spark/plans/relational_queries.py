@@ -510,3 +510,178 @@ def q15_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c_acctbal", 2).alias("acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q16 — as-of join: each purchase matched to the user's most recent prior
+# click. Spark has no ASOF JOIN operator; the Spark-native form is a tagged
+# union + running last_value over a (user, time) window — ONE shuffle keyed
+# by user_id, versus the naive per-row subquery's O(N²). This is the
+# standard scale-out shape for time-series point-in-time joins.
+# --------------------------------------------------------------------------
+@register(
+    "q16_asof_join",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "as-of join (point-in-time): purchase → latest prior click per user",
+)
+def q16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind")
+    )
+    # clicks sort before a same-timestamp purchase (kind 0 < 1), matching
+    # ASOF's p.ts >= c.ts inclusivity
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.last(
+        F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        unioned.withColumn("click_ts_raw", click_ts)
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            F.date_format("click_ts_raw", fmt).alias("click_ts"),
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros("click_ts_raw")) / 1_000_000
+            )
+            .cast("bigint")
+            .alias("gap_sec"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — exact percentiles (quartiles + median) per group. Spark's
+# percentile() is a full-sort aggregate per group; at 100 TB prefer
+# approx_percentile (t-digest, mergeable map-side) — kept exact here so the
+# oracle can replicate bit-for-bit (see d-queries for sketch-based ops).
+# --------------------------------------------------------------------------
+@register(
+    "q17_price_percentiles",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "exact percentile/median aggregation per group",
+)
+def q17_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # round(…,6) sits far above the value granularity (cents interpolated
+    # at quarter-points → 4 decimals), so binary noise can't straddle a
+    # rounding boundary on either engine
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — GROUPING SETS with grouping() disambiguation (generalizes the
+# rollup/cube pair q08/q13): three explicit grouping sets in one pass —
+# Spark expands to a single shuffle with a grouping-id column, not three
+# separate aggregations over the fact table.
+# --------------------------------------------------------------------------
+@register(
+    "q18_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) AS g_priority,
+           GROUPING(o_orderstatus)  AS g_status,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    """,
+    "GROUPING SETS aggregation with grouping() flags",
+)
+def q18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(GROUPING(o_orderstatus)  AS INT) AS g_status,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — range (band) join: orders bucketed into price bands. The dim is a
+# handful of rows → broadcast nested-loop join, the right plan for a
+# non-equi condition against a tiny build side; the fact table streams
+# through map-side with zero shuffle.
+# --------------------------------------------------------------------------
+_PRICE_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("high", 150_000.0, 300_000.0),
+    ("lux", 300_000.0, 1e18),
+]
+
+
+@register(
+    "q19_range_join",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 50000.0),
+             ('mid', 50000.0, 150000.0),
+             ('high', 150000.0, 300000.0),
+             ('lux', 300000.0, 1e18)
+    )
+    SELECT band,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    "range/band join (non-equi) via broadcast nested-loop",
+)
+def q19_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
