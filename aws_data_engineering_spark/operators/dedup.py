@@ -224,10 +224,15 @@ def minhash_candidate_pairs(
                 sigs_out.append(sig.tolist())
             yield pd_w.DataFrame({"id": ids, "sig": sigs_out})
 
+    # No persist(): the signature table feeds both sides of the self-join,
+    # but the Arrow recompute is cheap and an unreleased cache starves the
+    # execution pool for every later query in the session (measured 2-4×
+    # slowdowns). At 100 TB, write the signature table out (checkpoint to
+    # storage) instead of caching in executor memory.
     fanout = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).repartition(spark.sparkContext.defaultParallelism)
-    sigs = fanout.mapInPandas(compute_sigs, "id bigint, sig array<bigint>").persist()
+    sigs = fanout.mapInPandas(compute_sigs, "id bigint, sig array<bigint>")
     banded = sigs.select(
         "id", "sig", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
     ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
@@ -333,14 +338,14 @@ def jaccard_pairs(
                 grams.extend(sh)
             yield pd_w.DataFrame({"id": ids, "sh_size": sizes, "shingle": grams})
 
-    # fan out (single-file scans are one task) + persist: the inverted index
-    # feeds both sides of the self-join
+    # fan out (single-file scans are one task); no persist — see
+    # minhash_candidate_pairs for why recompute beats a leaked cache here
     fanout = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).repartition(spark.sparkContext.defaultParallelism)
     exploded = fanout.mapInPandas(
         explode_shingles, "id bigint, sh_size int, shingle string"
-    ).persist()
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (

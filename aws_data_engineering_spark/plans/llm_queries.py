@@ -347,18 +347,4 @@ def e01_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e02_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    planes = S._hyperplanes(64, 4)
-    bucketed = v.withColumn("bucket", S.lsh_bucket(F.col("e"), planes))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-    sim = S.cosine(F.col("a.e"), F.col("b.e"))
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            sim.alias("sim_raw"),
-        )
-        .filter(F.col("sim_raw") >= 0.45)
-        .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
-    )
+    return S.bucketed_neardup_pairs(emb, threshold=0.45, n_planes=4, dim=64)

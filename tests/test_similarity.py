@@ -1,0 +1,36 @@
+"""Similarity-operator tests beyond the oracle harness: the LSH-bucketed
+near-dup pairs must be a strict subset of the exact all-pairs result, with
+identical similarity values for every pair found."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.operators import similarity as S
+from aws_data_engineering_spark.sources.tables import load_table
+
+
+def test_bucketed_neardup_subset_of_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    sim = S.cosine(F.col("a.e"), F.col("b.e"))
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in (
+            a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.round(sim, 4).alias("sim"),
+            )
+            .filter(F.col("sim") >= 0.4)
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.bucketed_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    assert set(approx) <= set(exact), "LSH found pairs the exact scan did not"
+    for pair, s in approx.items():
+        assert abs(s - exact[pair]) <= 1e-9, f"sim mismatch for {pair}"
