@@ -184,3 +184,141 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + probed bucket search
+# ---------------------------------------------------------------------------
+
+
+def _train_centroids_np(sample, n_centroids: int, iters: int = 5):
+    """Deterministic mini k-means on a driver-side sample (numpy).
+
+    IVF trains its coarse quantizer on a bounded sample in every real system
+    (faiss trains on ~100k vectors regardless of corpus size) — the collect
+    here is capped by the caller, not proportional to data size. Fixed
+    init (first k sample rows) + fixed iteration count keeps centroids
+    reproducible across runs and cluster sizes."""
+    import numpy as np
+
+    m = np.asarray(sample, dtype=np.float64)
+    cents = m[:n_centroids].copy()
+    for _ in range(iters):
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_cap: int = 4096,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an inverted-file index.
+
+    Structure: (1) train centroids on a deterministic bounded sample;
+    (2) assign every candidate to its nearest centroid — one Arrow pass,
+    list partitioned by centroid id; (3) each query probes its ``n_probe``
+    nearest centroids; (4) per-(centroid) numpy kernel scores query×member
+    pairs; (5) global window top-k per query. The expensive compare is
+    bucket-local — the same equi-join-on-list-id shape faiss shards across
+    machines — so cost scales with corpus/n_centroids × n_probe, not the
+    full cross product.
+    """
+    stride_sample = (
+        candidates.select(_as_double(F.col(vec_col)).alias("v"))
+        .limit(train_cap)
+        .collect()
+    )
+    cents = _train_centroids_np([r["v"] for r in stride_sample], n_centroids)
+    cents_list = [[float(x) for x in row] for row in cents]
+    np_k, np_probe = k, n_probe
+
+    def assign_batches(batches):
+        import numpy as np_w
+        import pandas as pd_w
+
+        c = np_w.asarray(cents_list)
+        for pdf in batches:
+            m = np_w.array(list(pdf["v"]), dtype=np_w.float64)
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            yield pd_w.DataFrame(
+                {"id": pdf["id"], "v": pdf["v"], "list_id": d.argmin(axis=1).astype(int)}
+            )
+
+    def probe_batches(batches):
+        import numpy as np_w
+        import pandas as pd_w
+
+        c = np_w.asarray(cents_list)
+        for pdf in batches:
+            m = np_w.array(list(pdf["v"]), dtype=np_w.float64)
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            near = np_w.argsort(d, axis=1)[:, :np_probe]
+            ids, vs, lids = [], [], []
+            for i in range(len(pdf)):
+                for lid in near[i]:
+                    ids.append(pdf["id"].iloc[i])
+                    vs.append(pdf["v"].iloc[i])
+                    lids.append(int(lid))
+            yield pd_w.DataFrame({"id": ids, "v": vs, "list_id": lids})
+
+    def score_group(pdf):
+        import numpy as np_w
+        import pandas as pd_w
+
+        qs = pdf[pdf["side"] == "q"]
+        cs = pdf[pdf["side"] == "c"]
+        if qs.empty or cs.empty:
+            return pd_w.DataFrame(
+                {"query_id": [], "neighbor_id": [], "sim": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "sim": "float64"})
+        qm = np_w.array(list(qs["v"]), dtype=np_w.float64)
+        cm = np_w.array(list(cs["v"]), dtype=np_w.float64)
+        qn = qm / np_w.maximum(np_w.sqrt((qm * qm).sum(1))[:, None], 1e-300)
+        cn = cm / np_w.maximum(np_w.sqrt((cm * cm).sum(1))[:, None], 1e-300)
+        sims = qn @ cn.T
+        out_q, out_c, out_s = [], [], []
+        qids = qs["id"].to_numpy()
+        cids = cs["id"].to_numpy()
+        # per-query local top-k inside this list (global k resolved later)
+        for i in range(len(qids)):
+            order = np_w.argsort(-sims[i])[: np_k + 1]
+            for j in order:
+                if cids[j] != qids[i]:
+                    out_q.append(qids[i])
+                    out_c.append(cids[j])
+                    out_s.append(round(float(sims[i, j]), 4))
+        return pd_w.DataFrame({"query_id": out_q, "neighbor_id": out_c, "sim": out_s})
+
+    q = queries.select(
+        F.col(query_id).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).mapInPandas(probe_batches, "id bigint, v array<double>, list_id int")
+    c = candidates.select(
+        F.col(cand_id).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).mapInPandas(assign_batches, "id bigint, v array<double>, list_id int")
+
+    tagged = q.withColumn("side", F.lit("q")).unionByName(
+        c.withColumn("side", F.lit("c"))
+    )
+    scored = tagged.groupBy("list_id").applyInPandas(
+        score_group, "query_id bigint, neighbor_id bigint, sim double"
+    )
+    # a (query, neighbor) pair can appear via several probed lists
+    dedup = scored.dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        dedup.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )

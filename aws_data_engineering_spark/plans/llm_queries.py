@@ -348,3 +348,16 @@ def e01_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e02_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.bucketed_neardup_pairs(emb, threshold=0.45, n_planes=4, dim=64)
+
+
+@register(
+    "s04_ann_ivf_topk",
+    None,  # approximate (probe recall) → rows-only check; recall guarded by
+    # the subset/overlap test in tests/test_similarity.py
+    "IVF approximate top-k: k-means coarse quantizer + probed inverted "
+    "lists (the faiss-style scale path, complementing the LSH variant s02)",
+)
+def s04_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)

@@ -685,3 +685,24 @@ def q19_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q26 — approximate count-distinct (HyperLogLog++). THE sketch aggregate
+# for 100 TB: mergeable map-side partial sketches mean the shuffle carries
+# one ~KB sketch per group instead of every distinct value (the exact
+# count-distinct q10 shuffles all distinct keys). HLL estimates differ by
+# engine → rows-only driver check; the relative-error bound is asserted in
+# tests/test_etl_core.py against the exact counts.
+# --------------------------------------------------------------------------
+@register(
+    "q26_approx_distinct",
+    None,
+    "approx_count_distinct (HLL++ sketch, rsd=0.02) per order priority",
+)
+def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

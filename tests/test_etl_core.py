@@ -219,3 +219,27 @@ def test_pipeline_unknown_landing_strategy(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="Unknown landing strategy"):
         P.run_load(spark, cfg, str(inbound), str(tmp_path / "l"), str(tmp_path / "c"))
+
+
+# ---------------------------------------------------------------------------
+# q26 sketch accuracy (its driver check is rows-only; the bound lives here)
+# ---------------------------------------------------------------------------
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from aws_data_engineering_spark.plans.registry import queries
+
+    approx = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in queries()["q26_approx_distinct"](spark, sf_dir).collect()
+    }
+    from aws_data_engineering_spark.sources.tables import load_table
+    from pyspark.sql import functions as F2
+
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F2.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(3, 0.1 * e), (k, approx[k], e)

@@ -34,3 +34,28 @@ def test_bucketed_neardup_subset_of_exact(spark, sf_dir):
     assert set(approx) <= set(exact), "LSH found pairs the exact scan did not"
     for pair, s in approx.items():
         assert abs(s - exact[pair]) <= 1e-9, f"sim mismatch for {pair}"
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF with generous probing must recover most exact neighbors, and
+    every (query, neighbor) it returns must carry the exact-cosine sim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in S.brute_force_topk(queries, emb, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in S.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    # n_probe == n_centroids → exhaustive probing → identical to exact
+    assert set(ivf) == set(exact)
+    for pair, s in ivf.items():
+        assert abs(s - exact[pair]) <= 1e-4
+    # partial probing: a true approximation — overlap must stay high
+    ivf_part = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=4).collect()
+    }
+    assert len(ivf_part & set(exact)) >= len(exact) * 0.5
