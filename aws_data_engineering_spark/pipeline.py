@@ -27,6 +27,8 @@ parallelism comes from file count, which the daily-file layout provides.
 from __future__ import annotations
 
 import json
+import logging
+import sys
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -38,6 +40,26 @@ from aws_data_engineering_spark.sources.readers import read_csv
 from aws_data_engineering_spark.sources.writers import write_curated
 
 VALID_LANDING_STRATEGIES = ("append", "overwrite")
+
+
+def setup_logger(name: str = "aws_data_engineering_spark", log_file: str | None = None) -> logging.Logger:
+    """E4 — stdout (+ optional file) logger, generalizing the reference's
+    ``setup_logger`` contract (``FInal/load_script.py:16-29``)."""
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        fmt = logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        if log_file:
+            fh = logging.FileHandler(log_file)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+        logger.setLevel(logging.INFO)
+    return logger
+
+
+_log = setup_logger()
 
 
 @dataclass
@@ -89,6 +111,15 @@ def run_load(
     Returns the curated-ready DataFrame (post-transform) for inspection.
     """
     schema = build_schema_from_dict(config.schema)
+    _log.info(
+        "load start: table=%s inbound=%s landing=%s curated=%s strategies=%s/%s",
+        config.table_name,
+        inbound_path,
+        landing_path,
+        curated_path,
+        config.landing_load_strategy,
+        config.curated_load_strategy,
+    )
 
     df = read_csv(spark, inbound_path, schema=schema, delimiter=config.delimiter)
     df = T.project(df, config.select_columns)
@@ -120,4 +151,5 @@ def run_load(
         partition_col="dt",
         fmt=config.file_format,
     )
+    _log.info("load done: table=%s", config.table_name)
     return curated

@@ -35,6 +35,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     s3_endpoint: str | None = None,
+    glue_warehouse: str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for lake-table analytics.
@@ -82,6 +83,17 @@ def get_spark(
         builder = (
             builder.config("spark.hadoop.fs.s3a.endpoint", s3_endpoint)
             .config("spark.hadoop.fs.s3a.path.style.access", "true")
+        )
+    if glue_warehouse:
+        # Iceberg-on-Glue catalog, the open-source analog of the reference's
+        # hadoop_prod Iceberg catalog (bootstrap.sh:60-64); requires the
+        # iceberg-spark-runtime + AWS bundle jars on the cluster (EMR ships
+        # them) — config-only here, exercised on a real cluster.
+        builder = (
+            builder.config("spark.sql.catalog.glue", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.glue.catalog-impl", "org.apache.iceberg.aws.glue.GlueCatalog")
+            .config("spark.sql.catalog.glue.warehouse", glue_warehouse)
+            .config("spark.sql.catalog.glue.io-impl", "org.apache.iceberg.aws.s3.S3FileIO")
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis).
+
+The critical invariant: the Arrow-path Python shingle mirror must produce
+EXACTLY what the JVM ``shingles()`` column (and therefore the DuckDB oracle
+SQL) produces, for arbitrary text — any divergence silently corrupts the
+d05 oracle match and every MinHash signature. Hypothesis hunts the corners
+(unicode whitespace, leading tabs, empty strings, repeated separators).
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.operators import dedup as D
+
+# Text alphabet mirrors the fixture corpus: ASCII words, digits, punctuation,
+# ASCII whitespace variants (the engine documents ASCII-whitespace semantics;
+# unicode spaces are out of contract — Java \s is ASCII-only by default).
+_ALPHABET = string.ascii_letters + string.digits + ".,;!? \t\n\r\x0b\x0c"
+
+texts = st.lists(
+    st.text(alphabet=_ALPHABET, min_size=0, max_size=80), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(texts)
+def test_python_shingles_match_jvm(spark, samples):
+    shingle_set, _ = D._shingle_worker_fns(3)
+    py = [shingle_set(t) for t in samples]
+    df = spark.createDataFrame([(t,) for t in samples], ["text"])
+    jvm = [r["sh"] for r in df.select(D.shingles("text", 3).alias("sh")).collect()]
+    # compare as sets: array_distinct order and dict.fromkeys order both
+    # preserve first occurrence, but set equality is the semantic contract
+    for t, a, b in zip(samples, py, jvm):
+        assert sorted(a) == sorted(b), f"shingle divergence for {t!r}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["d1", "d2"]), st.integers(0, 99)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_merge_upsert_equals_model(spark, tmp_path_factory, batch_rows):
+    """Pure-Spark MERGE == dict-model semantics for arbitrary batches:
+    applying a batch to an existing table must equal 'last write wins per
+    (id, dt), everything else survives'."""
+    from aws_data_engineering_spark.sources import writers as W
+
+    base = [(i, f"b{i}", d) for i in range(3) for d in ("d1", "d2")]
+    # batch may contain duplicate (id, dt) keys — dedupe like the engine
+    # (arbitrary survivor within batch; use last for the model, and make
+    # the batch unique per key to keep the model deterministic)
+    seen = {}
+    for i, d, v in batch_rows:
+        seen[(i, d)] = f"v{v}"
+    batch = [(i, v, d) for (i, d), v in seen.items()]
+
+    p = str(tmp_path_factory.mktemp("merge") / "t")
+    W.merge_upsert(
+        spark,
+        spark.createDataFrame(base, "id int, val string, dt string"),
+        p,
+        ["id"],
+    )
+    W.merge_upsert(
+        spark,
+        spark.createDataFrame(batch, "id int, val string, dt string"),
+        p,
+        ["id"],
+    )
+    model = {(i, d): v for i, v, d in base}
+    model.update({(i, d): v for i, v, d in batch})
+    got = {
+        (r["id"], r["dt"]): r["val"]
+        for r in spark.read.parquet(p).collect()
+    }
+    assert got == model
