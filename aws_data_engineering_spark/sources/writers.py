@@ -98,6 +98,11 @@ def merge_upsert(
         # reference contract: upsert without a PK is a hard error
         # (generic_load_script.py:155-156; FInal/load_script.py:89-90)
         raise ValueError("primary_key is required for upsert strategy")
+    if fmt == "delta" and not HAS_DELTA:
+        raise ValueError(
+            "fmt='delta' requires delta-spark, which is not installed; "
+            "use fmt='parquet' (the pure-Spark merge has identical row semantics)"
+        )
 
     if not _table_exists(spark, path, fmt):
         # first load creates the table (generic_load_script.py:152-154)
@@ -166,6 +171,42 @@ def _merge_upsert_pure_spark(
             (partition_col,) if partition_col else (),
             fmt,
             dynamic=bool(partition_col),
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = "dt",
+    target_files_per_partition: int = 1,
+    fmt: str = "parquet",
+) -> None:
+    """Small-file compaction — the gap the reference leaves open (SURVEY.md
+    §4: per-day appends accumulate small files; no OPTIMIZE anywhere).
+
+    Rewrites each partition into ``target_files_per_partition`` files via a
+    partition-keyed repartition + dynamic overwrite. At 100 TB run this
+    per-partition (recent ``dt`` values only) on a schedule; with Delta
+    installed prefer ``OPTIMIZE`` (transactional, concurrent-reader-safe).
+    The staging hop exists because Spark cannot overwrite a path it is
+    reading — Delta's txn log is the real fix for that, too."""
+    df = spark.read.format(fmt).load(path)
+    if partition_col:
+        compacted = df.repartition(target_files_per_partition, F.col(partition_col))
+    else:
+        compacted = df.repartition(target_files_per_partition)
+
+    staging = str(Path(path).parent / f"_compact_staging_{uuid.uuid4().hex[:8]}")
+    try:
+        w = compacted.write.mode("overwrite").format(fmt)
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.save(staging)
+        staged = spark.read.format(fmt).load(staging)
+        write_overwrite(
+            staged, path, (partition_col,) if partition_col else (), fmt
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)

@@ -2,5 +2,6 @@ from aws_data_engineering_spark.streaming.streams import (  # noqa: F401
     read_events_stream,
     run_to_memory_sink,
     sessionize_with_state,
+    stream_upsert_sink,
     windowed_counts,
 )

@@ -188,3 +188,46 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming upsert sink (CDC pattern: stream → collapse → MERGE per batch)
+# ---------------------------------------------------------------------------
+
+
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    primary_key: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    partition_col: str | None = None,
+    fmt: str = "parquet",
+    checkpoint_dir: str | None = None,
+):
+    """Continuously upsert a stream into a lake table — the streaming twin
+    of the reference's curated-upsert strategy (W5), via ``foreachBatch``:
+    each micro-batch is collapsed to its newest row per key
+    (``latest_by_key``) and MERGEd into the target, so re-delivered or
+    out-of-order rows within a batch can't fan out duplicate keys.
+
+    Exactly-once posture: foreachBatch is at-least-once, but MERGE is
+    idempotent per (key, values) — replaying a batch converges to the same
+    table. checkpoint_dir enables restart-from-offset.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from aws_data_engineering_spark.operators.dedup import latest_by_key
+    from aws_data_engineering_spark.sources.writers import merge_upsert
+
+    def do_merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        collapsed = latest_by_key(batch_df, primary_key, order_col, tiebreak_col)
+        merge_upsert(
+            batch_df.sparkSession, collapsed, path, primary_key, partition_col, fmt
+        )
+
+    writer = stream_df.writeStream.foreachBatch(do_merge).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -243,3 +243,33 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     }
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(3, 0.1 * e), (k, approx[k], e)
+
+
+def test_delta_format_unavailable_raises(spark, tmp_path):
+    from aws_data_engineering_spark.session import HAS_DELTA
+
+    if HAS_DELTA:
+        pytest.skip("delta installed — guard not applicable")
+    with pytest.raises(ValueError, match="delta-spark"):
+        W.merge_upsert(
+            spark, _mkdf(spark, [(1, "a", "d1")]), str(tmp_path / "t"), ["id"], fmt="delta"
+        )
+
+
+def test_compact_table(spark, tmp_path):
+    """Many small appended files per partition must collapse to one file
+    per partition with identical rows."""
+    import glob
+
+    p = str(tmp_path / "t")
+    for i in range(5):  # 5 small appends → ≥5 files per partition
+        W.write_append(_mkdf(spark, [(i, f"v{i}", "d1"), (100 + i, f"w{i}", "d2")]), p)
+    before = spark.read.parquet(p).collect()
+    n_files_before = len(glob.glob(f"{p}/dt=*/part-*.parquet"))
+    assert n_files_before >= 10
+
+    W.compact_table(spark, p, "dt", target_files_per_partition=1)
+    after = spark.read.parquet(p).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    n_files_after = len(glob.glob(f"{p}/dt=*/part-*.parquet"))
+    assert n_files_after <= 4  # hash-partitioned by dt: ~1-2 files per dt

@@ -118,3 +118,33 @@ def test_sessionize_with_state(spark, sf_dir, split_events_dir):
     for key, vals in got.items():
         assert key in expected, f"streamed session {key} not in batch sessions"
         assert vals == expected[key], f"session {key}: stream {vals} != batch {expected[key]}"
+
+
+def test_stream_upsert_sink(spark, sf_dir, split_events_dir, tmp_path):
+    """Two micro-batches MERGEd into a lake table must converge to exactly
+    the batch 'latest event per user' result (W5 semantics, streaming)."""
+    stream = ST.read_events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    target = str(tmp_path / "user_latest")
+    q = ST.stream_upsert_sink(
+        stream,
+        target,
+        primary_key=["user_id"],
+        order_col="ts",
+        tiebreak_col="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    from aws_data_engineering_spark.operators.dedup import latest_by_key
+
+    expected = {
+        (r["user_id"], r["event_id"])
+        for r in latest_by_key(
+            load_table(spark, sf_dir, "events"), ["user_id"], "ts", "event_id"
+        ).collect()
+    }
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == expected
