@@ -706,3 +706,65 @@ def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# q27 — pivot (orders count by priority × status). DataFrame pivot with an
+# explicit value list: Catalyst plans ONE aggregation pass with a CASE per
+# pivot value — never enumerate values at runtime on big data (that's a
+# second full scan); declare them like this.
+# --------------------------------------------------------------------------
+@register(
+    "q27_pivot_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "pivot aggregation (priority × status counts, one pass)",
+)
+def q27_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    out = pivoted
+    for s in ("F", "O", "P"):
+        out = out.withColumnRenamed(s, f"status_{s}")
+        # pivot leaves NULL where a combination is absent; the oracle's
+        # FILTER form yields 0 — align
+        out = out.withColumn(f"status_{s}", F.coalesce(F.col(f"status_{s}"), F.lit(0)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# q28 — ntile + percent_rank analytic windows (quartile assignment of
+# customers by balance within nation). Unique tiebreak (custkey) makes the
+# tile assignment deterministic → oracle-exact.
+# --------------------------------------------------------------------------
+@register(
+    "q28_balance_quartiles",
+    """
+    SELECT c_custkey, c_nationkey,
+           NTILE(4) OVER w AS bal_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    "ntile/percent_rank analytic windows per nation",
+)
+def q28_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+    )
