@@ -299,6 +299,60 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding + exact hamming filter.
+
+    Pigeonhole blocking: split the 64-bit signature into ``n_bands``
+    equal-width bands — any pair within ``max_hamming`` ≤ n_bands-1 bit
+    flips must agree exactly on at least one band, so candidates are found
+    with an equi-join on (band_idx, band_bits) and only candidates pay the
+    XOR/bit_count. Entirely JVM-side; the one shuffle is keyed by band
+    value, the standard simhash-dedup sharding at corpus scale.
+    """
+    band_width = 64 // n_bands
+    sigs = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        # logical right shift: the sign bit must not smear
+                        F.shiftrightunsigned("sig", i * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("bits"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bits").alias("bits"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming_distance(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.filter(F.col("hamming") <= max_hamming)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------

@@ -361,3 +361,41 @@ def s04_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+
+
+@register(
+    "t05_token_length_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split_regex(TRIM(text), '\\s+') AS t
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(list_aggregate([LENGTH(x) FOR x IN t], 'sum')) AS DOUBLE)
+             / SUM(len(t)) AS avg_token_len
+    FROM toks GROUP BY lang
+    """,
+    "average token length per language (array fold, JVM-side)",
+)
+def t05_token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    char_sum = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(char_sum).cast("double") / F.sum(F.size(toks))).alias("avg_token_len"),
+    )
+
+
+@register(
+    "d07_simhash_neardup_pairs",
+    None,  # banded-simhash candidate generation is not SQL-expressible
+    "SimHash near-dup pairs: 4×16-bit band blocking (pigeonhole: hamming<=3 "
+    "pairs share a band) then exact hamming filter — completes the d06 "
+    "signature pipeline into pairwise dedup",
+)
+def d07_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)

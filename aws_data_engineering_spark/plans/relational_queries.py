@@ -768,3 +768,35 @@ def q28_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("bal_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# q29 — time-series rollup (monthly revenue). date_trunc on the fact
+# table's own timestamp: the group key is derived in the scan stage, so
+# this stays one partial-agg shuffle; at 100 TB the same query prunes to
+# the requested months when the table is dt-partitioned.
+# --------------------------------------------------------------------------
+@register(
+    "q29_monthly_revenue",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY 1
+    """,
+    "time-series rollup: monthly order revenue + active customers",
+)
+def q29_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )

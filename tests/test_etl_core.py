@@ -273,3 +273,44 @@ def test_compact_table(spark, tmp_path):
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
     n_files_after = len(glob.glob(f"{p}/dt=*/part-*.parquet"))
     assert n_files_after <= 4  # hash-partitioned by dt: ~1-2 files per dt
+
+
+def test_simhash_banding_complete(spark, sf_dir):
+    """Pigeonhole guarantee: banded candidate generation must find EVERY
+    pair within max_hamming (compare against the exhaustive cross join)."""
+    from aws_data_engineering_spark.operators import dedup as D
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    sigs = docs.select(F.col("doc_id").alias("id"), D.simhash("text").alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    exhaustive = {
+        (r["id_a"], r["id_b"]): r["h"]
+        for r in a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            D.hamming_distance(F.col("a.sig"), F.col("b.sig")).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert banded == exhaustive
+
+
+def test_partition_pruning_on_dt(spark, tmp_path):
+    """A dt filter must reach the scan as a partition filter — the physical
+    plan reads one partition, not the table (the layout contract that makes
+    the daily-ingest design work at 100 TB)."""
+    p = str(tmp_path / "t")
+    W.write_append(
+        _mkdf(spark, [(i, f"v{i}", f"d{i % 4}") for i in range(40)]), p
+    )
+    df = spark.read.parquet(p).filter(F.col("dt") == "d1").select("id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "d1" in plan
+    assert df.count() == 10
