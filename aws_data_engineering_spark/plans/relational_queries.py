@@ -800,3 +800,38 @@ def q29_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q30 — TPC-H Q17 shape: lineitems below 20% of their part's average
+# quantity. The correlated scalar subquery decorrelates into one per-part
+# aggregate (tiny: one row per part) broadcast back onto the fact table —
+# the fact side never shuffles. Guard: per-part avg joins on the agg's own
+# key, so skew is bounded by rows-per-part.
+# --------------------------------------------------------------------------
+@register(
+    "q30_small_quantity_revenue",
+    """
+    WITH part_avg AS (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           ROUND(SUM(l_extendedprice), 2) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part_avg USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "TPC-H Q17 shape: below-avg-quantity revenue via decorrelated agg + broadcast",
+)
+def q30_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    filtered = li.join(F.broadcast(part_avg), "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return filtered.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        (F.round(F.sum("l_extendedprice"), 2) / 7.0).alias("avg_yearly"),
+    )

@@ -41,3 +41,30 @@ def st01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     name = f"st01_{uuid.uuid4().hex[:8]}"
     return run_to_memory_sink(windowed_counts(stream, "1 hour"), name, "complete")
+
+
+@register(
+    "st02_stream_attribution_join",
+    f"""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTES
+    """,
+    "stream-stream interval join (purchase←click attribution window), run "
+    "as a real streaming execution and oracle-checked against batch SQL",
+)
+def st02_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.streaming import purchase_click_attribution
+
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    name = f"st02_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(
+        purchase_click_attribution(stream, attribution_minutes=30), name, "append"
+    )

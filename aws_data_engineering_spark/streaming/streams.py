@@ -231,3 +231,50 @@ def stream_upsert_sink(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (attribution)
+# ---------------------------------------------------------------------------
+
+
+def purchase_click_attribution(
+    events: DataFrame, attribution_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: every (purchase, click) pair for the
+    same user where the click landed within ``attribution_minutes`` before
+    the purchase.
+
+    Both sides are watermarked branches of the same stream; the interval
+    condition lets Spark bound the join state — each side retains only
+    watermark + interval of history per user, so state is O(recent events),
+    not O(stream). Works identically on a batch DataFrame (condition-only
+    join), which is how the parity test oracles it."""
+    half = events
+    is_stream = events.isStreaming
+    purchases = half.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = half.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    if is_stream:
+        purchases = purchases.withWatermark("p_ts", watermark)
+        clicks = clicks.withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_minutes} MINUTES"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.date_format("p_ts", fmt).alias("purchase_ts"),
+        "click_id",
+        F.date_format("c_ts", fmt).alias("click_ts"),
+    )

@@ -82,3 +82,32 @@ def test_read_csv_delimiter_and_inference(spark, tmp_path):
     df = read_csv(spark, str(p), delimiter="|", infer_schema=True)
     assert dict(df.dtypes)["a"] == "int"
     assert [r["b"] for r in df.orderBy("a").collect()] == ["x", "y"]
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with zero
+    Exchange operators — the write-once/join-free-forever contract."""
+    from aws_data_engineering_spark.sources.writers import write_bucketed_table
+
+    # warehouse.dir is a static conf — tables land in ./spark-warehouse and
+    # are dropped (managed) at the end
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed_table(li, "li_b", ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"])
+    write_bucketed_table(orders, "ord_b", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+
+    joined = (
+        spark.table("li_b")
+        .hint("merge")  # force SMJ so the broadcast path can't hide exchanges
+        .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    # and it returns the same rows as the plain join
+    plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    assert joined.count() == plain
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")

@@ -148,3 +148,20 @@ def test_stream_upsert_sink(spark, sf_dir, split_events_dir, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert got == expected
+
+
+def test_stream_stream_join_parity(spark, sf_dir, events_dir):
+    """Stream-stream interval join must equal the identical batch join."""
+    stream = ST.read_events_stream(spark, events_dir)
+    got = ST.run_to_memory_sink(
+        ST.purchase_click_attribution(stream, attribution_minutes=120),
+        "attribution",
+        "append",
+    )
+    batch = ST.purchase_click_attribution(
+        load_table(spark, sf_dir, "events"), attribution_minutes=120
+    )
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert len(b) > 0, "no attributed pairs in fixture — widen the interval"
+    assert g == b
