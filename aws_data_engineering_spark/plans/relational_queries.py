@@ -835,3 +835,146 @@ def q30_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         (F.round(F.sum("l_extendedprice"), 2) / 7.0).alias("avg_yearly"),
     )
+
+
+# --------------------------------------------------------------------------
+# q31 — TPC-H Q20 shape: suppliers who shipped an excess volume of small
+# parts. Two nested IN-subqueries decorrelate into (a) a broadcast semi-join
+# against the part dim filter and (b) a per-supplier HAVING aggregate whose
+# output is one row per qualifying supplier — small enough to broadcast back
+# for the final semi-join, so the supplier dim never shuffles.
+# Ref parity: exercises the nested-subquery shape of the reference's
+# analytic queries (SURVEY.md §2b joins/subqueries row).
+# --------------------------------------------------------------------------
+@register(
+    "q31_excess_volume_suppliers",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 15)
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 3000
+    )
+    """,
+    "TPC-H Q20 shape: nested IN subqueries via broadcast semi-joins",
+)
+def q31_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    small_parts = part.filter(F.col("p_size") <= 15).select("p_partkey")
+    qualifying = (
+        li.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .join(F.broadcast(small_parts), li.l_partkey == small_parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 3000)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(qualifying), supplier.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q32 — TPC-H Q21 shape: suppliers solely responsible for returns on
+# multi-supplier finalized orders (EXISTS + NOT EXISTS correlated
+# subqueries). Both EXISTS conditions decorrelate into ONE per-order
+# aggregate (distinct suppliers / distinct returning suppliers) — a single
+# extra shuffle on l_orderkey that co-partitions with the l1 join, instead
+# of two self-join passes over the fact table.
+# --------------------------------------------------------------------------
+@register(
+    "q32_sole_returning_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+    "TPC-H Q21 shape: EXISTS/NOT EXISTS decorrelated into one per-order agg",
+)
+def q32_sole_returning_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+
+    # EXISTS(l2: other supplier)      <=> n_supp >= 2
+    # NOT EXISTS(l3: other R supplier) <=> n_r_supp == 1 (l1 itself is R,
+    # so its supplier is always counted)
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(f_orders, l1.l_orderkey == f_orders.o_orderkey, "left_semi")
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 — TPC-H Q22 shape: well-funded customers gone inactive. A scalar
+# subquery (global average balance → broadcast 1-row cross join) plus an
+# anti-join against recent orders; the anti-join shuffles both sides on
+# custkey once, which is the minimum possible for fact-vs-fact NOT EXISTS.
+# --------------------------------------------------------------------------
+@register(
+    "q33_inactive_rich_customers",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+    "TPC-H Q22 shape: scalar avg subquery + anti-join on recent orders",
+)
+def q33_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
