@@ -68,3 +68,36 @@ def st02_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(
         purchase_click_attribution(stream, attribution_minutes=30), name, "append"
     )
+
+
+@register(
+    "st03_stream_exactly_once_dedup",
+    f"""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+           value
+    FROM events
+    """,
+    "at-least-once stream (source unioned with itself = every event delivered "
+    "twice) collapsed to exactly-once via dropDuplicatesWithinWatermark; "
+    "oracle: the original batch table, byte-identical",
+)
+def st03_stream_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.streaming import dedup_stream
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # two independent readStream sources over the same files — a real
+    # duplicated-delivery stream, not a batch-side copy
+    doubled = read_events_stream(spark, path).union(read_events_stream(spark, path))
+    deduped = dedup_stream(doubled, keys=["event_id"], watermark="2 hours")
+    import pyspark.sql.functions as F
+
+    out = deduped.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
+        "value",
+    )
+    name = f"st03_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(out, name, "append")

@@ -191,6 +191,33 @@ def run_to_memory_sink(
 
 
 # ---------------------------------------------------------------------------
+# Streaming exactly-once dedup (at-least-once delivery -> exactly-once table)
+# ---------------------------------------------------------------------------
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Collapse an at-least-once event stream to exactly-once semantics:
+    the first arrival per ``keys`` is emitted, re-deliveries are dropped.
+
+    Spark-native mapping: ``dropDuplicatesWithinWatermark`` keys the
+    dedup state store by ``keys`` and — unlike plain ``dropDuplicates`` on
+    a stream, whose state grows forever — evicts entries once the event-time
+    watermark passes them. State is therefore bounded by (key cardinality x
+    watermark horizon), not stream length: the property that lets this run
+    indefinitely on a 1000-executor cluster. Duplicates arriving later than
+    the watermark horizon are NOT caught (the standard streaming-dedup
+    contract; size ``watermark`` to the source's redelivery window).
+    """
+    df = events.withWatermark(ts_col, watermark)
+    return df.dropDuplicatesWithinWatermark(list(keys))
+
+
+# ---------------------------------------------------------------------------
 # Streaming upsert sink (CDC pattern: stream → collapse → MERGE per batch)
 # ---------------------------------------------------------------------------
 

@@ -165,3 +165,20 @@ def test_stream_stream_join_parity(spark, sf_dir, events_dir):
     b = sorted(map(tuple, batch.collect()))
     assert len(b) > 0, "no attributed pairs in fixture — widen the interval"
     assert g == b
+
+
+def test_dedup_stream_exactly_once(spark, sf_dir, events_dir):
+    """Doubled delivery (source unioned with itself) collapses back to
+    exactly the original event set — every id once, nothing lost."""
+    doubled = ST.read_events_stream(spark, events_dir).union(
+        ST.read_events_stream(spark, events_dir)
+    )
+    out = ST.run_to_memory_sink(
+        ST.dedup_stream(doubled, keys=["event_id"], watermark="2 hours"),
+        "dedup_once",
+        "append",
+    )
+    n_orig = load_table(spark, sf_dir, "events").count()
+    ids = [r["event_id"] for r in out.select("event_id").collect()]
+    assert len(ids) == n_orig
+    assert len(set(ids)) == n_orig
