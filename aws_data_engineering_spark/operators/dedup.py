@@ -359,15 +359,29 @@ def simhash_neardup_pairs(
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, min_jaccard: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle index.
 
     explode(shingles) → self-join on shingle (inverted index — only docs
     sharing ≥1 shingle ever meet) → per-pair intersection count →
     |A∪B| = |A|+|B|−|A∩B|. The shuffle is keyed on shingle values; hot
-    shingles are the skew risk, so callers should pre-filter stop-shingles
-    (AQE skew-join splits the rest).
+    shingles are the skew risk: a shingle shared by d documents emits
+    d·(d−1)/2 pairs, so one stop-shingle in 100k docs is 5e9 rows.
+
+    ``max_df`` is the scale valve: shingles whose document frequency
+    exceeds it are dropped BEFORE the self-join, bounding per-shingle
+    fan-out at max_df²/2. Semantics shift from exact Jaccard to Jaccard
+    over the df-filtered shingle universe (sizes are recomputed on the
+    surviving shingles — i.e. stopword-removed Jaccard, the semantic
+    large dedup pipelines actually want); ``max_df=None`` keeps the exact
+    oracle-checked behavior. The df-count adds one aggregation that
+    shuffles on the same shingle key as the join, so AQE co-plans them.
     """
     spark = df.sparkSession
 
@@ -400,6 +414,19 @@ def jaccard_pairs(
     exploded = fanout.mapInPandas(
         explode_shingles, "id bigint, sh_size int, shingle string"
     )
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        rare = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") <= max_df)
+            .select("shingle")
+        )
+        survivors = exploded.select("id", "shingle").join(rare, "shingle", "left_semi")
+        exploded = survivors.withColumn(
+            "sh_size", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (

@@ -59,3 +59,34 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
         for r in S.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=4).collect()
     }
     assert len(ivf_part & set(exact)) >= len(exact) * 0.5
+
+
+def test_jaccard_max_df_cap(spark, sf_dir):
+    """max_df semantics: a cap above every shingle's document frequency is a
+    no-op (identical to exact), and with a tight cap the hot stop-shingle
+    stops generating pairs while rare-shingle pairs survive."""
+    from aws_data_engineering_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = sorted(
+        map(tuple, D.jaccard_pairs(docs, "doc_id", "text", 3, 0.2).collect())
+    )
+    capped_noop = sorted(
+        map(tuple, D.jaccard_pairs(docs, "doc_id", "text", 3, 0.2, max_df=10**9).collect())
+    )
+    assert capped_noop == exact
+
+    # constructed skew: 'aaaa' shingles appear in all 4 docs (df=4 > cap=2);
+    # the x/y/z tail is unique per pair
+    rows = [
+        (1, "aaaa xyz1"),
+        (2, "aaaa xyz1"),
+        (3, "aaaa qqq2"),
+        (4, "aaaa zzz3"),
+    ]
+    tiny = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = D.jaccard_pairs(tiny, "doc_id", "text", 3, 0.99, max_df=2)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # docs 1,2 are identical on surviving shingles → jaccard 1.0;
+    # 3 and 4 share only the dropped hot shingles → no pair at all
+    assert got == {(1, 2): 1.0}
