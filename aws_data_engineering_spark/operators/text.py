@@ -101,3 +101,105 @@ def fingerprint(col: str | Column) -> Column:
     (md5 rather than xxhash so the DuckDB oracle computes the identical
     value.)"""
     return F.md5(normalize_text(col))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing: rolling-hash k-gram fingerprints (Schleimer/Wilkerson/Aiken,
+# SIGMOD'03 — the MOSS algorithm). Local-change-robust fingerprints: any
+# shared substring of length >= window+k-1 is guaranteed to share at least
+# one selected fingerprint, while storage is ~2/(window+1) of all k-grams.
+# ---------------------------------------------------------------------------
+
+_RK_BASE = 1000003          # Rabin-Karp polynomial base
+_RK_OUT_MASK = (1 << 61) - 1  # final fold below int64 for ANSI-safe bigint
+
+
+def _winnow_worker_fns(k: int, window: int):
+    """Factory so cloudpickle ships everything by value (executors may not
+    have the package importable — see operators/dedup._shingle_worker_fns)."""
+
+    def normalize(text: str | None) -> str:
+        import re
+
+        if text is None:
+            return ""
+        return re.sub(r"\s+", " ", text.strip().lower())
+
+    def rolling_hashes(s: str):
+        """uint64-wrap polynomial k-gram hashes, equal to the Rabin-Karp
+        rolling recurrence h[i+1] = (h[i] - c[i]*B^(k-1))*B + c[i+k] (the
+        property test checks value-equality against that recurrence).
+        Computed as k vectorized multiply-adds over shifted slices —
+        h[i] = sum_j c[i+j]*B^(k-1-j) — so the per-char work is C-speed
+        regardless of document length."""
+        import numpy as np_w
+
+        codes = np_w.frombuffer(s.encode("utf-32-le"), dtype=np_w.uint32).astype(
+            np_w.uint64
+        )
+        n = codes.size
+        if n < k:
+            return np_w.empty(0, dtype=np_w.uint64)
+        h = np_w.zeros(n - k + 1, dtype=np_w.uint64)
+        for j in range(k):
+            pw = np_w.uint64(pow(_RK_BASE, k - 1 - j, 1 << 64))
+            h += codes[j : j + n - k + 1] * pw
+        return h
+
+    def winnow(s: str):
+        """Select the rightmost-minimum hash of each sliding window of
+        ``window`` consecutive k-gram hashes; dedupe consecutive picks.
+        Returns list of (position, hash) pairs."""
+        import numpy as np_w
+
+        h = rolling_hashes(s)
+        if h.size == 0:
+            return []
+        if h.size <= window:
+            i = int(h.size - 1 - np_w.argmin(h[::-1]))
+            return [(i, int(h[i] & np_w.uint64(_RK_OUT_MASK)))]
+        sw = np_w.lib.stride_tricks.sliding_window_view(h, window)
+        # rightmost min: argmin on the reversed window
+        rev_arg = np_w.argmin(sw[:, ::-1], axis=1)
+        pos = np_w.arange(sw.shape[0]) + (window - 1 - rev_arg)
+        keep = np_w.ones(pos.size, dtype=bool)
+        keep[1:] = pos[1:] != pos[:-1]
+        sel = pos[keep]
+        return [(int(i), int(h[i] & np_w.uint64(_RK_OUT_MASK))) for i in sel]
+
+    return normalize, rolling_hashes, winnow
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprints: (doc id, k-gram position, hash).
+
+    Runs as one Arrow-batched pass (mapInPandas) — the rolling hash is a
+    sequential recurrence, exactly the per-partition imperative shape Pandas
+    UDFs exist for; everything downstream (joins on fingerprint for overlap
+    detection) stays JVM-side. Partition-parallel by document, no shuffle.
+    """
+    normalize, _, winnow = _winnow_worker_fns(k, window)
+
+    def kernel(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids, positions, fps = [], [], []
+            for doc_id, text in zip(pdf["id"], pdf["text"]):
+                for pos, fp in winnow(normalize(text)):
+                    ids.append(doc_id)
+                    positions.append(pos)
+                    fps.append(fp)
+            yield pd_w.DataFrame({"doc_id": ids, "pos": positions, "fp": fps})
+
+    spark = df.sparkSession
+    fanout = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return fanout.mapInPandas(kernel, "doc_id bigint, pos int, fp bigint")

@@ -399,3 +399,25 @@ def t05_token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d07_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "t06_winnowing_fingerprints",
+    None,  # rolling-hash winnowing is not SQL-expressible; guarded instead
+    #       by property tests (vectorized == rolling recurrence; shared-
+    #       substring guarantee) in tests/test_properties.py
+    "per-doc winnowing fingerprint stats (Rabin-Karp rolling k-gram hashes, "
+    "window-min selection — SIGMOD'03 MOSS)",
+)
+def t06_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = T.winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.countDistinct("fp").alias("n_distinct_fps"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+        )
+    )

@@ -84,3 +84,56 @@ def test_merge_upsert_equals_model(spark, tmp_path_factory, batch_rows):
         for r in spark.read.parquet(p).collect()
     }
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash fingerprints)
+# ---------------------------------------------------------------------------
+
+_K, _W = 5, 4
+
+
+def _ref_rolling(s: str) -> list[int]:
+    """Reference O(n) Rabin-Karp rolling recurrence in Python ints."""
+    from aws_data_engineering_spark.operators.text import _RK_BASE
+
+    M = 1 << 64
+    if len(s) < _K:
+        return []
+    top = pow(_RK_BASE, _K - 1, M)
+    acc = 0
+    for c in s[:_K]:
+        acc = (acc * _RK_BASE + ord(c)) % M
+    out = [acc]
+    for i in range(len(s) - _K):
+        acc = ((acc - ord(s[i]) * top) * _RK_BASE + ord(s[i + _K])) % M
+        out.append(acc)
+    return out
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet=_ALPHABET, min_size=0, max_size=200))
+def test_vectorized_hash_equals_rolling_recurrence(s):
+    from aws_data_engineering_spark.operators.text import _winnow_worker_fns
+
+    _, rolling, _ = _winnow_worker_fns(_K, _W)
+    assert [int(x) for x in rolling(s)] == _ref_rolling(s)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.text(alphabet=string.ascii_lowercase, min_size=_W + _K - 1, max_size=60),
+    st.text(alphabet=string.ascii_lowercase, min_size=0, max_size=30),
+    st.text(alphabet=string.ascii_lowercase, min_size=0, max_size=30),
+)
+def test_winnowing_shared_substring_guarantee(shared, pre, post):
+    """The SIGMOD'03 guarantee: two documents sharing a substring of length
+    >= window+k-1 share at least one selected fingerprint VALUE."""
+    from aws_data_engineering_spark.operators.text import _winnow_worker_fns
+
+    _, _, winnow = _winnow_worker_fns(_K, _W)
+    doc_a = pre + shared
+    doc_b = shared + post
+    fps_a = {fp for _, fp in winnow(doc_a)}
+    fps_b = {fp for _, fp in winnow(doc_b)}
+    assert fps_a & fps_b
