@@ -203,3 +203,49 @@ def winnowing_fingerprints(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).repartition(spark.sparkContext.defaultParallelism)
     return fanout.mapInPandas(kernel, "doc_id bigint, pos int, fp bigint")
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 5,
+    max_df: int | None = 200,
+) -> DataFrame:
+    """Document pairs ranked by shared winnowing fingerprints (MOSS-style
+    overlap detection): any pair sharing a run of >= window+k-1 chars shares
+    at least one fingerprint, so `n_shared` approximates the amount of
+    copied text.
+
+    Plan: fingerprint pass (partition-parallel, no shuffle) → distinct
+    (doc, fp) → self-equi-join on fp → count per pair. The join is an
+    ordinary shuffle hash join on the fingerprint value — the shape that
+    scales linearly on a cluster. ``max_df`` drops fingerprints appearing
+    in more than that many documents (boilerplate n-grams) before the join,
+    the same stop-shingle cap as n-gram Jaccard (operators/dedup.py) —
+    without it one ubiquitous fingerprint creates a quadratic bucket.
+    """
+    fps = (
+        winnowing_fingerprints(df, id_col, text_col, k=k, window=window)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp")
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -421,3 +421,21 @@ def t06_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pos").alias("last_pos"),
         )
     )
+
+
+@register(
+    "d08_winnowing_overlap_pairs",
+    None,  # winnowing is not SQL-expressible; guarded by the shared-
+    #       substring property test + the pair-symmetry test in
+    #       tests/test_text_ops.py
+    "document pairs ranked by shared winnowing fingerprints (MOSS-style "
+    "copy/overlap detection; stop-fingerprint cap before the self-join)",
+)
+def d08_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # min_shared=30: at sf0.01 the n_shared distribution has a clean knee
+    # (78k pairs >=5, 3.6k >=20, 47 >=30) — 30 keeps only genuinely copied
+    # passages, and bounds the candidate-pair count at scale
+    return T.winnowing_overlap_pairs(
+        docs, "doc_id", "text", k=5, window=4, min_shared=30
+    )

@@ -137,3 +137,26 @@ def test_winnowing_shared_substring_guarantee(shared, pre, post):
     fps_a = {fp for _, fp in winnow(doc_a)}
     fps_b = {fp for _, fp in winnow(doc_b)}
     assert fps_a & fps_b
+
+
+def test_winnowing_overlap_pairs_detects_copy(spark):
+    """A long copied passage must surface as a high-n_shared pair; an
+    unrelated doc must not pair with anything."""
+    from aws_data_engineering_spark.operators.text import winnowing_overlap_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "intro text before. " + passage),
+        (2, passage + " and then some unrelated trailing words here"),
+        (3, "zzz completely different content about spark shuffles qqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnowing_overlap_pairs(
+            df, "doc_id", "text", min_shared=3, max_df=None
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert all(a < b for a, b in got)
+    assert not any(3 in pair for pair in got)
