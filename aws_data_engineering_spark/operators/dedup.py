@@ -443,3 +443,57 @@ def jaccard_pairs(
     return inter.select(
         "id_a", "id_b", F.round(jac, 4).alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
+
+
+def ngram_contamination(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: per candidate doc, how many of its
+    distinct word n-grams also occur in ANY benchmark document.
+
+    The decontamination stage of a training-data pipeline: candidate docs
+    sharing long n-grams with an eval benchmark are flagged for removal.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    (eval suites are MBs; the corpus is TBs), so it is ``broadcast`` and the
+    whole check is a map-side semi-join over the exploded candidate grams —
+    the only shuffle is the final per-doc count, keyed on doc id (no skew:
+    one doc's grams are bounded by its token count).
+
+    Returns (id, n_shared_grams) for contaminated docs only; clean docs
+    produce no row. Shingling reuses the d05 Arrow worker (distinct,
+    normalized word n-grams) so the DuckDB oracle replicates it exactly.
+    """
+    spark = candidates.sparkSession
+    shingle_set, _ = _shingle_worker_fns(shingle_n)
+
+    def explode_grams(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids: list[int] = []
+            grams: list[str] = []
+            for doc_id, text in zip(pdf["id"], pdf["text"]):
+                sh = shingle_set(text)
+                ids.extend([doc_id] * len(sh))
+                grams.extend(sh)
+            yield pd_w.DataFrame({"id": ids, "shingle": grams})
+
+    def fanout(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(explode_grams, "id bigint, shingle string")
+        )
+
+    bench_grams = fanout(benchmark).select("shingle").distinct()
+    return (
+        fanout(candidates)
+        .join(F.broadcast(bench_grams), "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

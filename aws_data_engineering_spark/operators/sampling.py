@@ -1,0 +1,168 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+Everything here is built on a portable content hash: ``md5(id || salt)`` →
+first two hex chars → bucket in ``[0, 256)``. No RNG, no partition-dependent
+seeds — assignment is a pure function of the row key, so it is
+
+- **idempotent** under retries, repartitioning, and speculative execution
+  (``rand()``-based sampling is none of those at cluster scale);
+- **reproducible** across engines — the DuckDB oracle replicates the exact
+  bucket with ``ascii``/``substr`` arithmetic (see :func:`bucket_sql`);
+- **stable across runs**: growing the corpus never reassigns an existing
+  row's split, which is the property a train/val/test split must have when
+  the corpus is continuously re-ingested.
+
+All expressions are built-in ``pyspark.sql.functions`` (JVM codegen, no
+Python). The mixture sampler joins against a tiny broadcast rates table, so
+at 100 TB the only work is a broadcast-hash probe + filter — no shuffle.
+
+Reference parity: the reference has no sampling stage; this extends its
+config-driven projection contract (``FInal/load_script.py:189-191``) with
+the dataset-mixture stage an LLM ingestion pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Number of hash buckets; two hex chars of md5.
+NUM_BUCKETS = 256
+
+
+def _as_col(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _hexval(c: Column) -> Column:
+    # hex char -> value 0..15: '0'-'9' are ascii 48..57, 'a'-'f' 97..102.
+    a = F.ascii(c)
+    return a - 48 - F.when(a >= 97, F.lit(39)).otherwise(F.lit(0))
+
+
+def hash_bucket(id_col: str | Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 256) from md5(id || salt).
+
+    Engine-portable: avoids Spark's ``hash``/``xxhash64`` (not available in
+    DuckDB) and hex→int conversion (``conv`` has no DuckDB twin); plain
+    ascii arithmetic reproduces bit-identically in the oracle.
+    """
+    h = F.md5(F.concat(_as_col(id_col).cast("string"), F.lit(salt)))
+    return (_hexval(F.substring(h, 1, 1)) * 16 + _hexval(F.substring(h, 2, 1))).alias(
+        "bucket"
+    )
+
+
+def bucket_sql(id_expr: str, salt: str = "") -> str:
+    """DuckDB SQL fragment computing the identical bucket as :func:`hash_bucket`."""
+
+    h = f"md5(concat(CAST({id_expr} AS VARCHAR), '{salt}'))"
+
+    def hexval(i: int) -> str:
+        a = f"ascii(substr({h}, {i}, 1))"
+        return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
+
+    return f"({hexval(1)} * 16 + {hexval(2)})"
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer bucket thresholds for a named-split assignment.
+
+    ``{"train": .8, "val": .1, "test": .1}`` → ``[("train", 204),
+    ("val", 230), ("test", 256)]``. The last split absorbs rounding slack.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    for i, (name, frac) in enumerate(fractions.items()):
+        cum += frac
+        hi = NUM_BUCKETS if i == len(fractions) - 1 else int(cum * NUM_BUCKETS)
+        out.append((name, hi))
+    return out
+
+
+def split_assignment(
+    id_col: str | Column,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+) -> Column:
+    """Column assigning each row a deterministic named split."""
+    bucket = hash_bucket(id_col, salt)
+    expr: Column | None = None
+    for name, hi in split_thresholds(fractions):
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    assert expr is not None
+    return expr.alias("split")
+
+
+def split_sql(id_expr: str, fractions: dict[str, float], salt: str = "split-v1") -> str:
+    """DuckDB CASE expression matching :func:`split_assignment`."""
+    b = bucket_sql(id_expr, salt)
+    parts = [
+        f"WHEN {b} < {hi} THEN '{name}'" for name, hi in split_thresholds(fractions)
+    ]
+    return "CASE " + " ".join(parts) + " END"
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str | Column, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows keyed by ``id_col``.
+
+    Unlike ``df.sample``, re-runs (and different partitionings) select the
+    same rows — required for reproducible corpus subsets.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(hash_bucket(id_col, salt) < int(rate * NUM_BUCKETS))
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Per-group deterministic sampling — the dataset-mixture stage.
+
+    ``rates`` maps ``key_col`` values (e.g. source corpus) to keep
+    fractions; unlisted keys fall back to ``default_rate``. Implemented as a
+    broadcast join against the tiny rates table + bucket filter: at scale
+    this is a map-side probe with zero shuffle.
+    """
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        [(k, int(v * NUM_BUCKETS)) for k, v in rates.items()],
+        schema=f"{key_col} string, __thresh int",
+    )
+    default_thresh = int(default_rate * NUM_BUCKETS)
+    return (
+        df.join(F.broadcast(rates_df), on=key_col, how="left")
+        .filter(
+            hash_bucket(id_col, salt)
+            < F.coalesce(F.col("__thresh"), F.lit(default_thresh))
+        )
+        .drop("__thresh")
+    )
+
+
+def mixture_sql(
+    id_expr: str,
+    key_expr: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix-v1",
+) -> str:
+    """DuckDB predicate matching :func:`mixture_sample`'s keep-filter."""
+    b = bucket_sql(id_expr, salt)
+    whens = " ".join(
+        f"WHEN {key_expr} = '{k}' THEN {int(v * NUM_BUCKETS)}" for k, v in rates.items()
+    )
+    return f"{b} < (CASE {whens} ELSE {int(default_rate * NUM_BUCKETS)} END)"

@@ -439,3 +439,105 @@ def d08_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnowing_overlap_pairs(
         docs, "doc_id", "text", k=5, window=4, min_shared=30
     )
+
+
+@register(
+    "t07_repetition_signals",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+      FROM documents
+    ), stats AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             len(list_distinct(t)) AS n_distinct_tokens,
+             t
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, UNNEST([t[i] || ' ' || t[i + 1]
+                             FOR i IN generate_series(1, len(t) - 1)]) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ), counts AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM grams GROUP BY doc_id, bigram
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_bigram_count FROM counts GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+           CAST(COALESCE(top_bigram_count, 0) AS BIGINT) AS top_bigram_count
+    FROM stats s LEFT JOIN top ON s.doc_id = top.doc_id
+    """,
+    "Gopher-style repetition signals: distinct-token and top-bigram counts "
+    "(integer outputs — no float rounding at the hash boundary)",
+)
+def t07_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens("text").alias("t"))
+    stats = base.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct_tokens"),
+    )
+    # bigrams via posexplode + lead: whole-stage-codegen'd, shuffles once on
+    # doc_id (bounded per-doc fan-out) — no interpreted HOF in the loop
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    top = (
+        base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+        .withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    return stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.coalesce("top_bigram_count", F.lit(0)).cast("bigint").alias("top_bigram_count"),
+    )
+
+
+# Benchmark sources for the contamination check (shared with the oracle SQL).
+_BENCH_SOURCES = ("src0", "src1")
+_BENCH_IN = "('" + "', '".join(_BENCH_SOURCES) + "')"
+
+
+@register(
+    "d09_benchmark_contamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) <= 4 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+4], ' ')
+                                      FOR i IN generate_series(1, len(t) - 4)])
+             END AS sh
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, source, UNNEST(sh) AS shingle FROM grams
+    ), bench AS (
+      SELECT DISTINCT shingle FROM ex WHERE source IN {_BENCH_IN}
+    ), cand AS (
+      SELECT doc_id, shingle FROM ex WHERE source NOT IN {_BENCH_IN}
+    )
+    SELECT doc_id, COUNT(*) AS n_shared_grams
+    FROM cand JOIN bench USING (shingle)
+    GROUP BY doc_id
+    """,
+    "decontamination: candidate docs sharing a distinct word 5-gram with the "
+    "benchmark sources (broadcast semi-join over exploded grams)",
+)
+def d09_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench_pred = F.col("source").isin(*_BENCH_SOURCES)
+    out = D.ngram_contamination(
+        docs.filter(~bench_pred), docs.filter(bench_pred), "doc_id", "text", shingle_n=5
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_shared_grams")

@@ -1,0 +1,63 @@
+"""Training-data pipeline queries: deterministic splits and dataset mixture.
+
+Both queries and their oracles derive from the SAME Python dict of
+fractions/rates (``operators/sampling`` generates the DuckDB SQL fragments),
+so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.operators import sampling as P
+from aws_data_engineering_spark.plans.registry import register
+from aws_data_engineering_spark.sources.tables import load_table
+
+# Single source of truth shared by Spark plan and oracle SQL.
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.5}
+MIXTURE_DEFAULT = 0.25
+
+
+@register(
+    "p01_train_val_test_split",
+    f"""
+    WITH assigned AS (
+      SELECT source, n_chars,
+             {P.split_sql("doc_id", SPLIT_FRACTIONS)} AS split
+      FROM documents
+    )
+    SELECT source, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY source, split
+    """,
+    "deterministic md5-bucket train/val/test split, counts per source",
+)
+def p01_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", P.split_assignment("doc_id", SPLIT_FRACTIONS))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "p02_dataset_mixture",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {P.mixture_sql("doc_id", "source", MIXTURE_RATES, MIXTURE_DEFAULT)}
+    """,
+    "dataset-mixture sampling: per-source deterministic keep rates",
+)
+def p02_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return P.mixture_sample(
+        docs, "doc_id", "source", MIXTURE_RATES, MIXTURE_DEFAULT
+    ).select("doc_id", "source")

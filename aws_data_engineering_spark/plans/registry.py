@@ -48,6 +48,7 @@ def _load_all() -> None:
         events_queries,
         llm_queries,
         multimodal_queries,
+        pipeline_queries,
         relational_queries,
         streaming_queries,
     )

@@ -978,3 +978,133 @@ def q33_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q34_profit_by_nation_year",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.1), 4) AS profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+    "TPC-H Q9 shape: 5-table join, revenue minus supply-cost proxy, "
+    "grouped by supplier nation and order year",
+)
+def q34_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    # part is filtered FIRST (predicate reaches the scan) then broadcast —
+    # the selective dim prunes lineitem rows before the orders join;
+    # supplier⨝nation folds dim-side and broadcasts too. Only shuffle: the
+    # lineitem⨝orders equi-join + final groupBy (AQE-coalesced).
+    widget_parts = part.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_geo = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(widget_parts), li.l_partkey == widget_parts.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_geo), li.l_suppkey == supp_geo.s_suppkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        # round at 4 = the expression's true decimal width (2dp·2dp → 4dp;
+        # cost term is 3dp): the decimal sum is exact at 4dp, so both
+        # engines snap the same — round(…,2) can land on a .xx5 boundary
+        .agg(F.round(F.sum(amount), 4).alias("profit"))
+    )
+
+
+@register(
+    "q35_yoy_revenue",
+    """
+    WITH yr AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             ROUND(SUM(o_totalprice), 2) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT o_year, revenue, n_orders,
+           COALESCE(LAG(revenue) OVER (ORDER BY o_year), 0.0) AS prev_revenue
+    FROM yr
+    """,
+    "year-over-year revenue: aggregate then analytic lag window "
+    "(round-then-lag keeps both engines bit-identical)",
+)
+def q35_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    yr = orders.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("o_year")
+    return yr.select(
+        "o_year",
+        "revenue",
+        "n_orders",
+        F.coalesce(F.lag("revenue").over(w), F.lit(0.0)).alias("prev_revenue"),
+    )
+
+
+@register(
+    "q36_segment_revenue_share",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment,
+             ROUND(SUM(o_totalprice), 2) AS seg_revenue,
+             COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, seg_revenue, n_orders,
+           ROUND(SUM(seg_revenue) OVER (), 2) AS total_revenue,
+           seg_revenue / ROUND(SUM(seg_revenue) OVER (), 2) AS revenue_share
+    FROM seg
+    """,
+    "share-of-total via unbounded window over pre-rounded aggregates "
+    "(the division of two bit-identical doubles is deterministic)",
+)
+def q36_segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    seg = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("seg_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    total = F.round(F.sum("seg_revenue").over(w), 2)
+    return seg.select(
+        "c_mktsegment",
+        "seg_revenue",
+        "n_orders",
+        total.alias("total_revenue"),
+        (F.col("seg_revenue") / total).alias("revenue_share"),
+    )

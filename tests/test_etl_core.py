@@ -314,3 +314,27 @@ def test_partition_pruning_on_dt(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "d1" in plan
     assert df.count() == 10
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    """ORC source/sink parity: partitioned write + format-dispatch read with
+    partition pruning (same layout contract as the parquet path)."""
+    from aws_data_engineering_spark.sources.readers import read_table
+
+    path = str(tmp_path / "orc_tbl")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02")],
+        "id int, v string, dt string",
+    )
+    W.write_append(df, path, fmt="orc", partition_by=["dt"])
+    back = read_table(spark, path, fmt="orc")
+    assert sorted((r["id"], r["v"], r["dt"]) for r in back.collect()) == [
+        (1, "a", "2024-01-01"),
+        (2, "b", "2024-01-01"),
+        (3, "c", "2024-01-02"),
+    ]
+    pruned = back.filter(F.col("dt") == "2024-01-02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 1
+    # partition filter applied at scan, not post-filter
+    assert "PartitionFilters: [isnotnull(dt" in plan

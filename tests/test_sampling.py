@@ -1,0 +1,117 @@
+"""Deterministic sampling / split / contamination operator tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.operators import dedup as D
+from aws_data_engineering_spark.operators import sampling as P
+
+
+def _py_bucket(key: str, salt: str) -> int:
+    return int(hashlib.md5((key + salt).encode()).hexdigest()[:2], 16)
+
+
+def test_split_thresholds_cumulative():
+    assert P.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1}) == [
+        ("train", 204),
+        ("val", 230),
+        ("test", 256),
+    ]
+
+
+def test_split_thresholds_rejects_bad_fractions():
+    with pytest.raises(ValueError):
+        P.split_thresholds({})
+    with pytest.raises(ValueError):
+        P.split_thresholds({"a": 0.5, "b": 0.2})
+
+
+def test_hash_bucket_matches_reference_md5(spark):
+    df = spark.range(0, 200).withColumn("bucket", P.hash_bucket("id", "s1"))
+    for row in df.collect():
+        assert row["bucket"] == _py_bucket(str(row["id"]), "s1")
+
+
+def test_split_assignment_total_and_deterministic(spark):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.range(0, 1000).withColumn("split", P.split_assignment("id", fr))
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 1000  # every row assigned
+    assert set(counts) == {"train", "val", "test"}
+    # md5 buckets are near-uniform: train ≈ 204/256 ±5%
+    assert 700 < counts["train"] < 900
+    # identical assignment on re-run and after repartition
+    again = (
+        spark.range(0, 1000)
+        .repartition(7)
+        .withColumn("split", P.split_assignment("id", fr))
+    )
+    assert sorted(df.collect()) == sorted(again.collect())
+
+
+def test_deterministic_sample_is_stable_subset(spark):
+    df = spark.range(0, 1000)
+    s_half = P.deterministic_sample(df, "id", 0.5, "z")
+    s_quarter = P.deterministic_sample(df, "id", 0.25, "z")
+    half_ids = {r["id"] for r in s_half.collect()}
+    quarter_ids = {r["id"] for r in s_quarter.collect()}
+    # smaller rate selects a strict subset of the larger (same salt) — the
+    # property that lets a pipeline grow a sample without reshuffling rows
+    assert quarter_ids <= half_ids
+    assert 400 < len(half_ids) < 600
+    with pytest.raises(ValueError):
+        P.deterministic_sample(df, "id", 1.5)
+
+
+def test_mixture_sample_per_key_rates(spark):
+    rows = [(i, "keep_all" if i % 2 == 0 else "drop_all") for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, src string")
+    out = P.mixture_sample(df, "id", "src", {"keep_all": 1.0, "drop_all": 0.0})
+    got = out.groupBy("src").count().collect()
+    assert {r["src"]: r["count"] for r in got} == {"keep_all": 200}
+    # unlisted key honors default_rate
+    extra = spark.createDataFrame([(i, "other") for i in range(256)], "id bigint, src string")
+    kept = P.mixture_sample(extra, "id", "src", {"keep_all": 1.0}, default_rate=0.5).count()
+    assert 90 < kept < 166
+
+
+def test_ngram_contamination_planted(spark):
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id bigint, text string"
+    )
+    cands = spark.createDataFrame(
+        [
+            # shares the 5-grams "alpha beta gamma delta epsilon" and
+            # "beta gamma delta epsilon zeta" with the benchmark doc
+            (10, "alpha beta gamma delta epsilon zeta eta"),
+            # no 5-gram overlap
+            (11, "one two three four five six seven"),
+            # shares exactly one 5-gram
+            (12, "x alpha beta gamma delta epsilon y"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["id"]: r["n_shared_grams"]
+        for r in D.ngram_contamination(cands, bench, "doc_id", "text", 5).collect()
+    }
+    assert out == {10: 2, 12: 1}  # doc 11 clean → absent
+
+
+def test_contamination_short_doc_whole_text_gram(spark):
+    # docs shorter than n collapse to a single whole-text shingle — a short
+    # candidate matches only if its full normalized text appears in the
+    # benchmark's gram set
+    bench = spark.createDataFrame([(1, "tiny doc")], "doc_id bigint, text string")
+    cands = spark.createDataFrame(
+        [(2, "tiny doc"), (3, "other doc")], "doc_id bigint, text string"
+    )
+    out = {
+        r["id"]: r["n_shared_grams"]
+        for r in D.ngram_contamination(cands, bench, "doc_id", "text", 5).collect()
+    }
+    assert out == {2: 1}
