@@ -1108,3 +1108,61 @@ def q36_segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_revenue"),
         (F.col("seg_revenue") / total).alias("revenue_share"),
     )
+
+
+@register(
+    "q37_unpivot_measures",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2)      AS qty,
+             ROUND(SUM(l_extendedprice), 2) AS price,
+             ROUND(SUM(l_tax), 2)           AS tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, val
+    FROM wide UNPIVOT (val FOR measure IN (qty, price, tax))
+    """,
+    "wide→long unpivot (melt) of pre-rounded aggregate measures — the "
+    "inverse of q27's pivot",
+)
+def q37_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_tax"), 2).alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "q38_segments_per_nation",
+    """
+    SELECT n_name,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    "set aggregation to a sorted CSV: collect_set → array_sort → array_join "
+    "(deterministic string_agg equivalent)",
+)
+def q38_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+        )
+    )

@@ -101,3 +101,34 @@ def st03_stream_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     )
     name = f"st03_{uuid.uuid4().hex[:8]}"
     return run_to_memory_sink(out, name, "append")
+
+
+@register(
+    "st04_stream_static_enrichment",
+    """
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+    "stream-static join: events stream enriched against the static customer "
+    "dim (broadcast — re-resolved per micro-batch, no stream-side shuffle) "
+    "then aggregated; oracle-checked against the batch join",
+)
+def st04_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = f"st04_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(agg, name, "complete")
