@@ -597,11 +597,22 @@ def q17_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round(…,6) sits far above the value granularity (cents interpolated
     # at quarter-points → 4 decimals), so binary noise can't straddle a
     # rounding boundary on either engine
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+    # one array-percentile aggregate, not three scalar ones: the exact
+    # percentile keeps a per-group value-count map as agg state, and three
+    # separate aggs build three copies of it (~2× slower at sf0.1)
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"), pcts.alias("ps"))
+        .select(
+            "l_returnflag",
+            "n_items",
+            F.round(F.col("ps")[0], 6).alias("p25"),
+            F.round(F.col("ps")[1], 6).alias("p50"),
+            F.round(F.col("ps")[2], 6).alias("p75"),
+        )
     )
 
 
@@ -1164,5 +1175,33 @@ def q38_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
                 "segments"
             ),
+        )
+    )
+
+
+@register(
+    "q39_approx_percentiles",
+    None,  # sketch-based (KLL-style quantile summaries) → rows-only check;
+    # accuracy guarded by test_approx_percentile_error_bound
+    "approx_percentile quartiles per group — the 100 TB path for q17: the "
+    "quantile sketch is mergeable map-side (bounded state), where exact "
+    "percentile ships a full per-group value-count map through the shuffle",
+)
+def q39_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)),
+        F.lit(10000),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"), pcts.alias("ps"))
+        .select(
+            "l_returnflag",
+            "n_items",
+            F.col("ps")[0].alias("p25"),
+            F.col("ps")[1].alias("p50"),
+            F.col("ps")[2].alias("p75"),
         )
     )

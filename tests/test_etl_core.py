@@ -338,3 +338,19 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     assert pruned.count() == 1
     # partition filter applied at scan, not post-filter
     assert "PartitionFilters: [isnotnull(dt" in plan
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """q39's sketch quartiles must sit within 1% relative error of q17's
+    exact quartiles (accuracy=10000 → rank error <= n/10000)."""
+    from aws_data_engineering_spark.plans.registry import queries
+
+    qs = queries()
+    exact = {r["l_returnflag"]: r for r in qs["q17_price_percentiles"](spark, sf_dir).collect()}
+    approx = {r["l_returnflag"]: r for r in qs["q39_approx_percentiles"](spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert exact[k]["n_items"] == approx[k]["n_items"]
+        for p in ("p25", "p50", "p75"):
+            e, a = exact[k][p], approx[k][p]
+            assert abs(a - e) <= 0.01 * e, (k, p, a, e)
