@@ -1205,3 +1205,39 @@ def q39_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ps")[2].alias("p75"),
         )
     )
+
+
+@register(
+    "q40_null_semantics",
+    """
+    WITH e AS (
+      SELECT o_orderkey,
+             nullif(o_orderpriority, '1-URGENT') AS pri,
+             o_totalprice
+      FROM orders
+    )
+    SELECT pri IS NOT DISTINCT FROM NULL AS is_urgent,
+           COUNT(*) AS n_orders,
+           COUNT(pri) AS n_with_pri,
+           COALESCE(MIN(pri), 'none') AS min_pri,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM e GROUP BY 1
+    """,
+    "null semantics: nullif, null-safe equality (<=>), count-ignores-nulls, "
+    "coalesce over a derived nullable column",
+)
+def q40_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    e = orders.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pri"),
+        "o_totalprice",
+    )
+    return e.groupBy(
+        F.col("pri").eqNullSafe(F.lit(None).cast("string")).alias("is_urgent")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("pri").alias("n_with_pri"),
+        F.coalesce(F.min("pri"), F.lit("none")).alias("min_pri"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

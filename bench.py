@@ -34,6 +34,8 @@ HEADLINE = [
     "d01_exact_dedup_groups",
     "d04_minhash_candidate_pairs",
     "d05_ngram_jaccard_pairs",
+    "d09_benchmark_contamination",
+    "p01_train_val_test_split",
     "s01_ann_bruteforce_topk",
     "e02_embedding_neardup_lsh",
     "t02_quality_scores",
