@@ -1241,3 +1241,29 @@ def q40_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.min("pri"), F.lit("none")).alias("min_pri"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "q42_price_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bucket
+    """,
+    "equi-width histogram binning (explicit FLOOR on both sides: DuckDB // "
+    "does not floor double operands, and CAST alone rounds)",
+)
+def q42_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -182,3 +182,45 @@ def test_dedup_stream_exactly_once(spark, sf_dir, events_dir):
     ids = [r["event_id"] for r in out.select("event_id").collect()]
     assert len(ids) == n_orig
     assert len(set(ids)) == n_orig
+
+
+def test_incremental_multibatch_parity(spark, sf_dir, tmp_path):
+    """Aggregation state must accumulate across micro-batches: a 4-file
+    source with maxFilesPerTrigger=1 forces >=4 micro-batches, and the final
+    complete-mode result must equal the one-shot batch aggregate."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.unix_micros("ts") * 1000)
+        .orderBy("ts")
+        .collect()
+    )
+    quarter = len(ev) // 4
+    d = tmp_path / "multi"
+    d.mkdir()
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    for i in range(4):
+        chunk = ev[i * quarter :] if i == 3 else ev[i * quarter : (i + 1) * quarter]
+        staging = tmp_path / f"_stage{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        part.rename(d / f"batch{i}.parquet")
+
+    stream = ST.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    agg = ST.windowed_counts(stream, "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("multibatch_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+    result = spark.table("multibatch_parity")
+    batch = ST.windowed_counts(load_table(spark, sf_dir, "events"), "1 hour")
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
