@@ -1267,3 +1267,69 @@ def q42_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "q43_salted_skew_join",
+    """
+    SELECT o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "skew-resistant salted equi-join (deterministic per-row salt spreads "
+    "hot keys over n reducers) — result-identical to the plain join, so "
+    "fully oracle-checked",
+)
+def q43_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.operators.joins import salted_equi_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), "o_orderpriority"
+    )
+    joined = salted_equi_join(li, orders, keys=["ok"], n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q44_two_phase_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_items,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "salted two-phase aggregation for low-cardinality hot groups (partial "
+    "per (key, salt), then merge) — decomposable aggs are exact, so fully "
+    "oracle-checked",
+)
+def q44_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.operators.joins import two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    merged = two_phase_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": ("l_quantity", "sum"),
+            "n_items": ("l_quantity", "count"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salts=16,
+    )
+    return merged.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n_items",
+        F.round("max_price", 2).alias("max_price"),
+    )
