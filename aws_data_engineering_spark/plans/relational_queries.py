@@ -1333,3 +1333,68 @@ def q44_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+@register(
+    "q45_multiset_ops",
+    """
+    WITH o AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+         f AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+    SELECT o_orderpriority, 'except_all' AS op, COUNT(*) AS n
+    FROM (SELECT * FROM o EXCEPT ALL SELECT * FROM f) GROUP BY 1
+    UNION ALL
+    SELECT o_orderpriority, 'intersect_all' AS op, COUNT(*) AS n
+    FROM (SELECT * FROM o INTERSECT ALL SELECT * FROM f) GROUP BY 1
+    """,
+    "multiset (bag) semantics: EXCEPT ALL / INTERSECT ALL preserve "
+    "duplicate counts — complements q09's distinct set ops",
+)
+def q45_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    ex = (
+        o.exceptAll(f)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    inter = (
+        o.intersectAll(f)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    return ex.unionByName(inter).select("o_orderpriority", "op", "n")
+
+
+@register(
+    "q46_date_string_functions",
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           last_day(CAST(o_orderdate AS DATE))         AS month_end,
+           CAST(quarter(o_orderdate) AS INT)           AS q,
+           lpad(o_orderstatus, 3, '_')                 AS status_padded,
+           translate(o_orderpriority, '-', ' ')        AS priority_spaced,
+           levenshtein(o_orderstatus, SUBSTR(o_orderpriority, 1, 1)) AS lev
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    "date arithmetic (datediff/date_add/last_day/quarter) and string "
+    "functions (lpad/translate/levenshtein)",
+)
+def q46_date_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        F.date_add(d, 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.quarter("o_orderdate").alias("q"),
+        F.lpad("o_orderstatus", 3, "_").alias("status_padded"),
+        F.translate("o_orderpriority", "-", " ").alias("priority_spaced"),
+        F.levenshtein("o_orderstatus", F.substring("o_orderpriority", 1, 1)).alias("lev"),
+    )
