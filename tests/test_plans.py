@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §2b/§4
+claims (broadcast dim joins, filter pushdown, column pruning, partial
+aggregation) must be visible in the executed plan, not just intended.
+
+These guard against silent plan regressions — e.g. a dim join decaying to
+SortMergeJoin, or a filter failing to reach the parquet scan — which would
+be invisible at test scale but dominate at 100 TB.
+"""
+
+from __future__ import annotations
+
+from aws_data_engineering_spark.plans.registry import queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q02_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(queries()["q02_revenue_by_nation"](spark, sf_dir))
+    # every dim join is broadcast; the fact table must never sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q34_profit_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(queries()["q34_profit_by_nation_year"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # part and supplier⨝nation
+    assert "SortMergeJoin" not in plan
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(queries()["q01_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    # map-side partial agg before the exchange: two HashAggregate levels
+    plan = _plan(queries()["q01_pricing_summary"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # q14 projects 2 of lineitem's 11 columns (+1 filter col); the parquet
+    # ReadSchema must not contain unprojected wide columns
+    plan = _plan(queries()["q14_parts_by_volume"](spark, sf_dir))
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    assert not any("l_comment" in ln or "l_shipinstruct" in ln for ln in scan_lines)
+    # lineitem scan must be narrow: fewer than 6 of its columns survive
+    li_line = next(ln for ln in scan_lines if "l_" in ln)
+    read_schema = li_line.split("ReadSchema:")[1]
+    assert read_schema.count("l_") < 6, li_line
+
+
+def test_q03_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(queries()["q03_top_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_d09_contamination_broadcasts_benchmark(spark, sf_dir):
+    plan = _plan(queries()["d09_benchmark_contamination"](spark, sf_dir))
+    # the benchmark gram set joins via broadcast; candidate grams never shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
