@@ -249,3 +249,35 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# Common PII patterns for corpus scrubbing. Order matters: email before
+# phone so an address's digits aren't partially consumed by the phone rule.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+)
+
+
+def redact_pii(col: str | Column, replacement: str = "[REDACTED]") -> Column:
+    """Scrub common PII spans (emails, phone numbers, SSNs) from text.
+
+    Chained JVM ``regexp_replace`` — codegen'd, no Python in the path. A
+    production pipeline would add NER-based detection via a pandas UDF;
+    the regex tier is the deterministic, cheap first pass every corpus
+    scrub runs at full scale.
+    """
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+def pii_match_count(col: str | Column) -> Column:
+    """Total count of PII-pattern matches (pre-redaction audit metric)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for _, pat in PII_PATTERNS:
+        total = total + F.regexp_count(c, F.lit(pat))
+    return total

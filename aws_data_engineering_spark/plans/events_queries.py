@@ -258,3 +258,31 @@ def q41_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
     )
+
+
+@register(
+    "q47_json_struct_parse",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           COUNT(*) AS n_events,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY k_mod
+    """,
+    "from_json into a typed struct (schema-on-read JSON parsing — the "
+    "JacksonParser path, vs q22's JSONPath extraction), grouped by a "
+    "derived field",
+)
+def q47_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k int"))
+    k = F.col("p").getField("k")
+    return (
+        parsed.groupBy((k % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )

@@ -115,3 +115,28 @@ def test_contamination_short_doc_whole_text_gram(spark):
         for r in D.ngram_contamination(cands, bench, "doc_id", "text", 5).collect()
     }
     assert out == {2: 1}
+
+
+def test_redact_pii_planted(spark):
+    from aws_data_engineering_spark.operators import text as T
+
+    rows = [
+        (1, "contact me at alice@example.com or +1 (555) 123-4567 ok"),
+        (2, "ssn 123-45-6789 should vanish"),
+        (3, "clean text stays untouched"),
+    ]
+    df = spark.createDataFrame(rows, "id int, body string")
+    out = {
+        r["id"]: (r["red"], r["n_pii"])
+        for r in df.select(
+            "id",
+            T.redact_pii("body").alias("red"),
+            T.pii_match_count("body").alias("n_pii"),
+        ).collect()
+    }
+    assert out[1][0] == "contact me at [REDACTED] or [REDACTED] ok"
+    assert out[1][1] == 2
+    assert out[2][0] == "ssn [REDACTED] should vanish"
+    # ssn also matches the phone pattern's digit run -> 2 raw pattern hits
+    assert out[2][1] == 2
+    assert out[3] == ("clean text stays untouched", 0)
