@@ -246,3 +246,89 @@ def sample_frames(df: DataFrame, id_col: str, data_col: str, every_k: int = 2) -
 
     src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
     return src.mapInPandas(sample, FRAME_SAMPLE_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Audio (FAUD fake format: 4-byte magic + u32 sample_rate + u32 n_samples +
+# n_samples amplitude bytes). Same contract as FIMG: the Spark-side plumbing
+# (schema, Arrow batching, partitioning) is real; the codec is a
+# deterministic fake because soundfile/pyav aren't in this environment.
+# ---------------------------------------------------------------------------
+
+FAUD_MAGIC = b"FAUD"
+AUDIO_FEATURES_DDL = (
+    "id bigint, sample_rate int, n_samples int, sum_amplitude bigint, n_frames int"
+)
+
+
+def _faud_worker_fns():
+    """FAUD encode/decode closures (pickled by value — see _fimg_worker_fns)."""
+    import struct as _struct
+
+    magic = b"FAUD"
+
+    def encode_faud(sample_rate: int, n_samples: int, seed: int) -> bytes:
+        samples = bytes(((seed + k) * 31) % 256 for k in range(n_samples))
+        return magic + _struct.pack(">II", sample_rate, n_samples) + samples
+
+    def decode_faud(data: bytes) -> tuple[int, int, bytes]:
+        if data[:4] != magic:
+            raise ValueError("not a FAUD blob")
+        sr, n = _struct.unpack(">II", data[4:12])
+        return sr, n, data[12 : 12 + n]
+
+    return encode_faud, decode_faud
+
+
+def synthesize_fake_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic FAUD blobs keyed by id: sample_rate in {8,12,16,20} kHz,
+    256 + id % 512 samples."""
+    encode_faud, _ = _faud_worker_fns()
+
+    def gen(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids = list(pdf["id"])
+            blobs = [
+                encode_faud(8000 + (int(i) % 4) * 4000, 256 + int(i) % 512, int(i))
+                for i in ids
+            ]
+            yield pd_w.DataFrame({"id": ids, "data": blobs, "mime": "audio/x-faud"})
+
+    src = df.select(F.col(id_col).alias("id"))
+    return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+def decode_audio_features(
+    df: DataFrame, id_col: str, data_col: str, frame_len: int = 512
+) -> DataFrame:
+    """Decode → per-clip features (rate, length, amplitude sum, frame count).
+
+    Integer outputs only, so the oracle is exact; blobs die inside the
+    worker — downstream shuffles carry 5 scalars per clip, never bytes."""
+    _, decode_faud = _faud_worker_fns()
+    fl = frame_len
+
+    def features(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            out = {k: [] for k in ("id", "sample_rate", "n_samples", "sum_amplitude", "n_frames")}
+            for i, data in zip(pdf["id"], pdf["data"]):
+                b = bytes(data)
+                if b[:4] == b"FAUD":
+                    sr, n, samples = decode_faud(b)
+                else:  # pragma: no cover - real decoders not installed here
+                    raise NotImplementedError(
+                        "audio decode needs soundfile/pyav, not available here"
+                    )
+                out["id"].append(i)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["sum_amplitude"].append(sum(samples))
+                out["n_frames"].append(n // fl)
+            yield pd_w.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(features, AUDIO_FEATURES_DDL)

@@ -89,3 +89,29 @@ def m03_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sampled_frames").alias("n_sampled"),
         "frame_bytes",
     )
+
+
+@register(
+    "m04_audio_decode_features",
+    """
+    WITH a AS (
+      SELECT doc_id AS id,
+             CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+             CAST(256 + doc_id % 512 AS INT) AS n_samples
+      FROM documents
+    )
+    SELECT id, sample_rate, n_samples,
+           CAST(list_aggregate([(id + k) * 31 % 256
+                                FOR k IN generate_series(0, n_samples - 1)],
+                               'sum') AS BIGINT) AS sum_amplitude,
+           CAST(n_samples // 512 AS INT) AS n_frames
+    FROM a
+    """,
+    "audio decode + feature extraction over binary FAUD clips via "
+    "mapInPandas (real soundfile/pyav decode stubbed — absent here); "
+    "closed-form oracle over the deterministic fake codec",
+)
+def m04_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clips = M.synthesize_fake_audio(docs, "doc_id")
+    return M.decode_audio_features(clips, "id", "data")

@@ -1398,3 +1398,37 @@ def q46_date_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate("o_orderpriority", "-", " ").alias("priority_spaced"),
         F.levenshtein("o_orderstatus", F.substring("o_orderpriority", 1, 1)).alias("lev"),
     )
+
+
+@register(
+    "q48_sql_api_parity",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    "the raw-SQL entry path: temp views + spark.sql with a broadcast hint — "
+    "same Catalyst plan surface as the DataFrame API (q02), proving the "
+    "engine's SQL front door end-to-end",
+)
+def q48_sql_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"sqlv_{t}")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(sqlv_customer), BROADCAST(sqlv_nation) */
+               n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM sqlv_lineitem
+        JOIN sqlv_orders   ON l_orderkey = o_orderkey
+        JOIN sqlv_customer ON o_custkey = c_custkey
+        JOIN sqlv_nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
