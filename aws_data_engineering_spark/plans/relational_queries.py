@@ -1432,3 +1432,51 @@ def q48_sql_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "q49_month_spine_gapfill",
+    """
+    WITH spine AS (
+      SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '2001-08-01',
+                                         INTERVAL 1 MONTH)) AS DATE) AS month_start
+    ), rev AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             ROUND(SUM(o_totalprice), 2) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY 1
+    )
+    SELECT s.month_start,
+           COALESCE(rev.revenue, 0.0) AS revenue,
+           COALESCE(rev.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN rev ON s.month_start = rev.month_start
+    """,
+    "gap-filled time series: a generated month spine (sequence+explode — "
+    "never collected to the driver) left-joined to sparse monthly revenue, "
+    "missing months coalesced to zero",
+)
+def q49_month_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-08-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    )
+    rev = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return spine.join(rev, "month_start", "left").select(
+        "month_start",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
