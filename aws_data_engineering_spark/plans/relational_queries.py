@@ -1480,3 +1480,33 @@ def q49_month_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
     )
+
+
+@register(
+    "q50_trailing_window_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2)
+             AS trailing_90d_revenue
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    "RANGE window frame (value-based, not row-based): per-customer trailing "
+    "90-day revenue over event-time seconds — complements the ROWS frames "
+    "in q24/q36",
+)
+def q50_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7776000, 0)  # 90 days in seconds
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_revenue"),
+    )
