@@ -7,6 +7,7 @@ genuinely non-SQL ops (MinHash-LSH, SimHash, LSH-ANN) register with
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -541,3 +542,34 @@ def d09_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(~bench_pred), docs.filter(bench_pred), "doc_id", "text", shingle_n=5
     )
     return out.select(F.col("id").alias("doc_id"), "n_shared_grams")
+
+
+@register(
+    "t08_pandas_udf_tokens",
+    """
+    SELECT source,
+           CAST(SUM(LEN(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
+             AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    "Arrow-vectorized scalar pandas_udf (SCALAR eval over Series batches — "
+    "the third Python surface next to mapInPandas and applyInPandas), "
+    "oracle-checked against the JVM tokenizer semantics",
+)
+def t08_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pandas must be importable as a MODULE-LEVEL name for the type hints:
+    # `from __future__ import annotations` stringifies them, and pandas_udf
+    # resolves the strings against the function's module globals
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def tok_count(s: pd.Series) -> pd.Series:
+        # mirror T.tokens exactly: trim, split on ASCII whitespace runs
+        return s.str.strip().str.split(r"\s+", regex=True).str.len().astype("int32")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(tok_count("text")).cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
