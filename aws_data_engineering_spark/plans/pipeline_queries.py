@@ -7,6 +7,7 @@ so the two sides cannot drift.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,3 +62,58 @@ def p02_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.mixture_sample(
         docs, "doc_id", "source", MIXTURE_RATES, MIXTURE_DEFAULT
     ).select("doc_id", "source")
+
+
+@register(
+    "p03_grouped_map_rank",
+    """
+    SELECT doc_id, source, n_chars,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id) AS INT)
+             AS rank_in_source
+    FROM documents
+    """,
+    "grouped-map applyInPandas (per-group pandas transform — one group per "
+    "Arrow batch): per-source size ranking, oracle-checked against the "
+    "window row_number equivalent",
+)
+def p03_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def rank_group(pdf):
+        out = pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True]).copy()
+        out["rank_in_source"] = range(1, len(out) + 1)
+        return out
+
+    return docs.groupBy("source").applyInPandas(
+        rank_group, "doc_id bigint, source string, n_chars bigint, rank_in_source int"
+    )
+
+
+@register(
+    "p04_grouped_agg_udf",
+    """
+    SELECT source,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+    """,
+    "grouped-aggregate pandas_udf (Series -> scalar, partial-merged like a "
+    "JVM agg): integer char totals per source, exact oracle",
+)
+def p04_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def int_sum(s: pd.Series) -> int:
+        return int(s.sum())
+
+    @pandas_udf("bigint")
+    def int_max(s: pd.Series) -> int:
+        return int(s.max())
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        int_sum("n_chars").alias("total_chars"),
+        int_max("n_chars").alias("max_chars"),
+    )
