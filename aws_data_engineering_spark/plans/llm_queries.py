@@ -573,3 +573,38 @@ def t08_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(tok_count("text")).cast("bigint").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@register(
+    "t09_udtf_tokenize",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           UNNEST([{'pos': i - 1, 'token': t[i]}
+                   FOR i IN generate_series(1, len(t))], recursive := true)
+    FROM toks
+    """,
+    "Python UDTF (table function: one input row -> many output rows via a "
+    "lateral join) tokenizing documents with positions — oracle-checked "
+    "against the SQL explode equivalent",
+)
+def t09_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            # mirror the \s+ tokenizer: strip, split on whitespace runs
+            for i, t in enumerate((text or "").strip().split()):
+                yield i, t
+
+    name = "t09_tok"
+    spark.udtf.register(name, Tokenize)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("t09_docs")
+    return spark.sql(
+        f"SELECT d.doc_id, u.pos, u.token FROM t09_docs d, LATERAL {name}(d.text) u"
+    )

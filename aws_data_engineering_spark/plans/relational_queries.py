@@ -1510,3 +1510,28 @@ def q50_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_revenue"),
     )
+
+
+@register(
+    "q51_row_udf_dim",
+    """
+    SELECT n_name,
+           CAST(LEN(regexp_extract_all(lower(n_name), '[aeiou]')) AS INT)
+             AS n_vowels,
+           CAST(LENGTH(n_name) AS INT) AS name_len
+    FROM nation
+    """,
+    "classic row-at-a-time Python UDF — deliberately applied only to the "
+    "25-row dim (the slow path belongs on tiny inputs; hot paths use "
+    "pandas UDFs or JVM expressions), oracle-checked",
+)
+def q51_row_udf_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    count_vowels = F.udf(
+        lambda s: sum(1 for ch in (s or "").lower() if ch in "aeiou"), "int"
+    )
+    nation = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_name",
+        count_vowels("n_name").alias("n_vowels"),
+        F.length("n_name").alias("name_len"),
+    )
