@@ -1535,3 +1535,216 @@ def q51_row_udf_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_vowels("n_name").alias("n_vowels"),
         F.length("n_name").alias("name_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# q52 — statistical aggregates: corr/covar/stddev/variance/skewness/kurtosis.
+# All single-pass streaming moments in Spark (partial-aggregable → map-side
+# combine, one tiny shuffle row per group — same 100 TB shape as q01). The
+# oracle computes Spark's population skewness/kurtosis (sqrt(n)·M3/M2^1.5,
+# n·M4/M2²−3) from two-pass central moments since DuckDB's built-ins apply
+# sample-bias correction.
+# --------------------------------------------------------------------------
+@register(
+    "q52_stat_aggregates",
+    """
+    WITH mu AS (
+      SELECT l_returnflag AS rf, AVG(l_extendedprice) AS mp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2)  AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 2)             AS price_stddev,
+           ROUND(var_samp(l_quantity), 4)                     AS qty_var,
+           ROUND(SQRT(COUNT(*)) * SUM(POWER(l_extendedprice - mp, 3))
+                 / POWER(SUM(POWER(l_extendedprice - mp, 2)), 1.5), 4) AS price_skew,
+           ROUND(COUNT(*) * SUM(POWER(l_extendedprice - mp, 4))
+                 / POWER(SUM(POWER(l_extendedprice - mp, 2)), 2) - 3.0, 4) AS price_kurt
+    FROM lineitem JOIN mu ON l_returnflag = mu.rf
+    GROUP BY l_returnflag
+    """,
+    "statistical aggregates: corr, covar_samp, stddev_samp, var_samp, "
+    "skewness, kurtosis — all partial-aggregable streaming moments",
+)
+def q52_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("price_skew"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("price_kurt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — MapType end-to-end: aggregate per-(segment, priority) counts into a
+# map column (map_from_entries ∘ sort_array ∘ collect_list), then consume it
+# with element_at / map_keys / map_values + fold. The map stays bounded (5
+# priorities) so collect_list is safe at any scale — the unbounded dimension
+# (customers × orders) is aggregated away BEFORE collecting. Oracle computes
+# the same scalars via conditional aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "q53_priority_count_map",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS urgent_cnt,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_cnt,
+           CAST(COUNT(DISTINCT o_orderpriority) AS INT) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS total_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "MapType surface: map_from_entries aggregation + element_at / map_keys / "
+    "map_values consumption, bounded-cardinality collect",
+)
+def q53_priority_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    per = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = per.groupBy("c_mktsegment").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderpriority", "cnt")))
+        ).alias("m")
+    )
+    zero = F.lit(0).cast("bigint")
+    return m.select(
+        "c_mktsegment",
+        F.coalesce(F.element_at("m", F.lit("1-URGENT")), zero).alias("urgent_cnt"),
+        F.coalesce(F.element_at("m", F.lit("5-LOW")), zero).alias("low_cnt"),
+        F.size(F.map_keys("m")).alias("n_priorities"),
+        F.aggregate(F.map_values("m"), zero, lambda a, x: a + x).alias("total_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q54 — higher-order array functions per row: filter / exists / transform /
+# aggregate / array_max over the embedding column. All JVM-side expression
+# evaluation — no Python in the loop — so it scales as a narrow map stage
+# (zero shuffles). The sum-of-squares fold is left-to-right, matching
+# DuckDB's list_aggregate order (same contract as s01/e01).
+# --------------------------------------------------------------------------
+@register(
+    "q54_array_hof",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT vec_id, label,
+           CAST(LEN(list_filter(e, x -> x > 0)) AS INT)            AS n_pos,
+           ROUND(list_aggregate([x * x FOR x IN e], 'sum'), 4)     AS sum_sq,
+           ROUND(list_max(e), 4)                                   AS max_c,
+           LEN(list_filter(e, x -> x > 0.25)) > 0                  AS has_big
+    FROM v
+    """,
+    "higher-order array functions: filter, exists, transform, aggregate "
+    "(fold), array_max — pure JVM expressions, zero-shuffle map stage",
+)
+def q54_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            ),
+            4,
+        ).alias("sum_sq"),
+        F.round(F.array_max(v), 4).alias("max_c"),
+        F.exists(v, lambda x: x > 0.25).alias("has_big"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q55 — TPC-H Q13 shape (custdist): LEFT OUTER join with an extra non-equi
+# predicate in the ON clause, COUNT(col) null semantics (customers with no
+# orders count 0), then a distribution over the counts. Two shuffles: the
+# customer⨝orders agg and the tiny histogram agg.
+# --------------------------------------------------------------------------
+@register(
+    "q55_order_count_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    "TPC-H Q13 custdist: left outer join + COUNT(col) null semantics + "
+    "count-of-counts distribution",
+)
+def q55_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# q56 — TPC-H Q18 shape (large-volume orders): HAVING filter on a grouped
+# fact aggregate, re-joined to orders + broadcast customer dim. The heavy
+# groupBy(l_orderkey) shares its hash partitioning with the subsequent
+# equi-join on the same key — Catalyst reuses the exchange rather than
+# shuffling twice.
+# --------------------------------------------------------------------------
+@register(
+    "q56_big_order_customers",
+    """
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(sum_qty, 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+    "TPC-H Q18: grouped HAVING on the fact table, exchange-reusing "
+    "re-join on the group key, broadcast customer dim",
+)
+def q56_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 250)
+        .select("l_orderkey", F.round("raw_qty", 2).alias("sum_qty"))
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )

@@ -354,3 +354,26 @@ def test_approx_percentile_error_bound(spark, sf_dir):
         for p in ("p25", "p50", "p75"):
             e, a = exact[k][p], approx[k][p]
             assert abs(a - e) <= 0.01 * e, (k, p, a, e)
+
+
+def test_map_type_functions(spark):
+    """MapType surface: create_map, map_keys/values, element_at,
+    map_concat, transform_values — the collection-type coverage SURVEY §1.2
+    commits to beyond the reference's int/string lattice."""
+    df = spark.createDataFrame([(1, 10, 20), (2, 30, 40)], "id int, a int, b int")
+    m = df.select(
+        "id",
+        F.create_map(F.lit("a"), F.col("a"), F.lit("b"), F.col("b")).alias("m"),
+    )
+    out = m.select(
+        "id",
+        F.map_keys("m").alias("ks"),
+        F.element_at("m", "a").alias("va"),
+        F.transform_values("m", lambda k, v: v * 2).alias("doubled"),
+        F.map_concat("m", F.create_map(F.lit("c"), F.lit(9))).alias("merged"),
+    ).collect()
+    row = next(r for r in out if r["id"] == 1)
+    assert sorted(row["ks"]) == ["a", "b"]
+    assert row["va"] == 10
+    assert row["doubled"]["a"] == 20 and row["doubled"]["b"] == 40
+    assert row["merged"]["c"] == 9 and len(row["merged"]) == 3
