@@ -153,6 +153,52 @@ def mixture_sample(
     )
 
 
+def sequence_packing(
+    df: DataFrame,
+    tokens_col: str | Column,
+    budget: int,
+    order_col: str | Column = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (GPT-style pretraining batches).
+
+    Documents are laid end-to-end in a deterministic order and the stream is
+    chunked every ``budget`` tokens; a document's ``pack_id`` is the chunk its
+    first token lands in, ``n_chunks`` how many chunks it spans (documents may
+    cross chunk boundaries — the concat-then-chunk regime, not first-fit
+    bin-packing, which needs a sequential scan and is not shuffle-free).
+
+    Implemented as one window prefix-sum: with ``group_col`` (e.g. source
+    corpus) the window partitions by group so packing parallelizes per
+    group — the 100 TB layout, where each corpus packs independently.
+    Without it the window is global (single-partition sort; only for small
+    corpora or already-bucketed inputs).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col) if group_col is not None else Window.partitionBy()
+    ).orderBy(_as_col(order_col))
+    toks = _as_col(tokens_col)
+    start = F.coalesce(
+        F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    ).cast("bigint")
+    end = start + toks.cast("bigint") - 1  # inclusive last-token offset
+    chunk_of = lambda off: F.floor(off / F.lit(budget))  # noqa: E731
+    return (
+        df.withColumn("start_offset", start)
+        .withColumn("pack_id", chunk_of(start))
+        .withColumn(
+            "n_chunks",
+            F.when(toks <= 0, F.lit(0).cast("bigint")).otherwise(
+                chunk_of(end) - chunk_of(start) + 1
+            ),
+        )
+    )
+
+
 def mixture_sql(
     id_expr: str,
     key_expr: str,

@@ -608,3 +608,41 @@ def t09_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT d.doc_id, u.pos, u.token FROM t09_docs d, LATERAL {name}(d.text) u"
     )
+
+
+@register(
+    "t10_top_tokens",
+    """
+    WITH tok AS (
+      SELECT lower(unnest(string_split_regex(TRIM(text), '\\s+'))) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+      WHERE token <> '' GROUP BY token
+    )
+    SELECT token, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT) AS rnk
+    FROM counts QUALIFY rnk <= 20
+    """,
+    "corpus-wide top-20 token frequencies: explode -> skewed groupBy (hot "
+    "tokens partial-aggregate map-side) -> TakeOrdered top-k, ties broken "
+    "lexically",
+)
+def t10_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
+        )
+        .select(F.lower(F.col("raw")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # TakeOrderedAndProject keeps the top-k selection distributed; the
+    # 20-row window afterwards only stamps ranks on the already-tiny result.
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(20)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.withColumn("rnk", F.row_number().over(w))

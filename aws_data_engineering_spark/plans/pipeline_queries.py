@@ -117,3 +117,43 @@ def p04_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         int_sum("n_chars").alias("total_chars"),
         int_max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "p05_sequence_packing",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_offset
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS pack_id,
+           CAST(CASE WHEN n_tokens <= 0 THEN 0
+                ELSE FLOOR((start_offset + n_tokens - 1) / 2048.0)
+                   - FLOOR(start_offset / 2048.0) + 1 END AS BIGINT) AS n_chunks
+    FROM o
+    """,
+    "concat-then-chunk sequence packing: per-corpus deterministic order, "
+    "prefix-sum token offsets, 2048-token chunks — one window per group, "
+    "parallel across corpora",
+)
+def p05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    packed = P.sequence_packing(
+        docs, "n_tokens", budget=2048, order_col="doc_id", group_col="source"
+    )
+    return packed.select(
+        "doc_id", "source", "n_tokens", "start_offset", "pack_id", "n_chunks"
+    )

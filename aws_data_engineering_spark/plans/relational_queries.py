@@ -1748,3 +1748,49 @@ def q56_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
+
+
+# --------------------------------------------------------------------------
+# q57 — max_by/min_by argmax aggregates: the single-pass alternative to the
+# window-row_number top-1 pattern (q04) — no sort, no window, just a
+# partial-aggregable agg (one shuffle row per group). Tie-free by folding
+# the unique key into the ordering value.
+# --------------------------------------------------------------------------
+@register(
+    "q57_argmax_customers",
+    """
+    WITH c AS (
+      SELECT n_name, c_name, c_acctbal,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey AS ord
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name,
+           arg_max(c_name, ord) AS richest_customer,
+           ROUND(MAX(c_acctbal), 2) AS max_acctbal,
+           arg_min(c_name, ord) AS poorest_customer,
+           ROUND(MIN(c_acctbal), 2) AS min_acctbal
+    FROM c GROUP BY n_name
+    """,
+    "argmax/argmin aggregates (max_by/min_by): per-nation extreme customers "
+    "in one partial-aggregable pass — no window, no sort",
+)
+def q57_argmax_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    # tie-free ordering value: (acctbal, custkey) folded into one bigint —
+    # acctbal has 2 decimals, custkey < 1e7, so the encoding is collision-free
+    ord_col = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * F.lit(10000000).cast("bigint")
+        + F.col("c_custkey")
+    )
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_name", "c_acctbal", ord_col.alias("ord"))
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", "ord").alias("richest_customer"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+            F.min_by("c_name", "ord").alias("poorest_customer"),
+            F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+        )
+    )

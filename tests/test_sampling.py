@@ -140,3 +140,34 @@ def test_redact_pii_planted(spark):
     # ssn also matches the phone pattern's digit run -> 2 raw pattern hits
     assert out[2][1] == 2
     assert out[3] == ("clean text stays untouched", 0)
+
+
+def test_sequence_packing_semantics(spark):
+    """Concat-then-chunk: offsets are per-group prefix sums; pack_id is the
+    chunk holding the first token; n_chunks counts boundary crossings;
+    empty docs span zero chunks."""
+    rows = [
+        # group a: tokens 6, 3, 0, 5 with budget 4
+        ("a", 1, 6),  # start 0, pack 0, spans chunks 0-1 -> 2
+        ("a", 2, 3),  # start 6, occupies 6..8 -> crosses into chunk 2 -> 2
+        ("a", 3, 0),  # start 9, zero tokens -> 0 chunks
+        ("a", 4, 5),  # start 9, spans 9..13 -> chunks 2-3 -> 2
+        # group b packs independently from offset 0
+        ("b", 1, 4),  # start 0, exactly one chunk
+        ("b", 2, 1),  # start 4, chunk 1
+    ]
+    df = spark.createDataFrame(rows, "g string, i int, toks int")
+    out = {
+        (r["g"], r["i"]): (r["start_offset"], r["pack_id"], r["n_chunks"])
+        for r in P.sequence_packing(
+            df, "toks", budget=4, order_col="i", group_col="g"
+        ).collect()
+    }
+    assert out[("a", 1)] == (0, 0, 2)
+    assert out[("a", 2)] == (6, 1, 2)
+    assert out[("a", 3)] == (9, 2, 0)
+    assert out[("a", 4)] == (9, 2, 2)
+    assert out[("b", 1)] == (0, 0, 1)
+    assert out[("b", 2)] == (4, 1, 1)
+    with pytest.raises(ValueError):
+        P.sequence_packing(df, "toks", budget=0)
