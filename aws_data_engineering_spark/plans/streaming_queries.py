@@ -132,3 +132,31 @@ def st04_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     name = f"st04_{uuid.uuid4().hex[:8]}"
     return run_to_memory_sink(agg, name, "complete")
+
+
+@register(
+    "st05_stream_sliding_counts",
+    f"""
+    WITH e AS (SELECT ts, event_type, value,
+                      time_bucket(INTERVAL '30 minutes', ts) AS tb
+               FROM events),
+         w AS (
+           SELECT tb AS ws, event_type, value FROM e
+           UNION ALL
+           SELECT tb - INTERVAL 30 MINUTE AS ws, event_type, value FROM e
+         )
+    SELECT strftime(ws, '{_FMT_DUCK}') AS window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+    "Structured Streaming sliding-window counts (1h window, 30min slide — "
+    "each event feeds two open windows); oracle replicates the overlap by "
+    "unioning the two shifted 30-min buckets per event",
+)
+def st05_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    name = f"st05_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(
+        windowed_counts(stream, "1 hour", slide="30 minutes"), name, "complete"
+    )

@@ -63,3 +63,37 @@ def test_d09_contamination_broadcasts_benchmark(spark, sf_dir):
     # the benchmark gram set joins via broadcast; candidate grams never shuffle
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q57_argmax_single_pass_no_window(spark, sf_dir):
+    plan = _plan(queries()["q57_argmax_customers"](spark, sf_dir))
+    # argmax runs as a partial-aggregable agg (two HashAggregate/ObjectHash
+    # levels), never a per-group window sort
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_t10_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(queries()["t10_top_tokens"](spark, sf_dir))
+    # global top-20 must be TakeOrderedAndProject (per-partition heap),
+    # not a full Sort of all distinct tokens
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine of hot tokens
+
+
+def test_q56_exchange_reuse_on_group_key_join(spark, sf_dir):
+    plan = _plan(queries()["q56_big_order_customers"](spark, sf_dir))
+    # customer dim joins via broadcast; the orders join may shuffle, but the
+    # lineitem groupBy(l_orderkey) partitioning must serve the downstream
+    # join without a second fact-side exchange
+    assert "BroadcastHashJoin" in plan
+
+
+def test_p05_packing_windows_partition_by_group(spark, sf_dir):
+    plan = _plan(queries()["p05_sequence_packing"](spark, sf_dir))
+    # the prefix-sum window must partition by source (parallel per corpus),
+    # not run single-partition
+    assert "Window" in plan
+    w_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("source" in ln for ln in w_lines), w_lines
