@@ -497,3 +497,58 @@ def ngram_contamination(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: each node gets the smallest
+    node id reachable from it (``node``, ``label``). The step that turns a
+    pair list (d04/d05/d07/e01) into an actual deduplicated corpus — keep
+    one canonical doc per label.
+
+    Algorithm: iterative min-label propagation — every round each node
+    adopts the minimum label among itself and its neighbors; fixpoint when
+    no label changes. Rounds = graph diameter, which for near-dup graphs is
+    small (dup clusters are dense cliques, not long chains). Each round is
+    one shuffle (groupBy node); ``localCheckpoint`` cuts lineage so round
+    ``k`` doesn't replan rounds ``1..k-1``. The label table it caches is two
+    integer columns per distinct node — negligible storage at any scale.
+    For adversarially chain-shaped graphs at 100 TB, swap the round body for
+    the alternating large-star/small-star step (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log n) rounds on the
+    same DataFrame skeleton.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = edges.localCheckpoint(eager=False)
+    labels = (
+        edges.select("a").distinct().select(F.col("a").alias("node"), F.col("a").alias("label"))
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

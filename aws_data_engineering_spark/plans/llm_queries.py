@@ -646,3 +646,56 @@ def t10_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(20)
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+@register(
+    "d10_neardup_clusters",
+    """
+    WITH RECURSIVE
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.45),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b AS a, id_a AS b FROM pairs),
+      reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM v
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      labeled AS (SELECT src AS vec_id, MIN(dst) AS cluster_id
+                  FROM reach GROUP BY src)
+    SELECT vec_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           vec_id = cluster_id AS is_canonical
+    FROM labeled
+    """,
+    "dedup cluster resolution: embedding near-dup pairs -> connected "
+    "components (iterative min-label propagation; oracle walks the same "
+    "graph with a recursive CTE) -> canonical doc per cluster",
+)
+def d10_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(S.cosine(F.col("a.e"), F.col("b.e")) >= 0.45)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        emb.select("vec_id")
+        .join(comp, F.col("vec_id") == comp["node"], "left")
+        .select("vec_id", F.coalesce("label", "vec_id").alias("cluster_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "vec_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

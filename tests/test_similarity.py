@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from aws_data_engineering_spark.operators import dedup as D
 from aws_data_engineering_spark.operators import similarity as S
 from aws_data_engineering_spark.sources.tables import load_table
 
@@ -90,3 +91,22 @@ def test_jaccard_max_df_cap(spark, sf_dir):
     # docs 1,2 are identical on surviving shingles → jaccard 1.0;
     # 3 and 4 share only the dropped hot shingles → no pair at all
     assert got == {(1, 2): 1.0}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation resolves a 4-node chain (worst-case diameter),
+    a 2-clique, and leaves disconnected pairs apart."""
+    pairs = spark.createDataFrame(
+        [(2, 9), (9, 4), (4, 7), (11, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in D.connected_components(pairs, "id_a", "id_b").collect()
+    }
+    # chain 2-9-4-7 all collapse to min id 2 despite no direct edges
+    assert out[2] == out[9] == out[4] == out[7] == 2
+    assert out[11] == out[12] == 11
+    assert out[20] == out[21] == 20
+    # only nodes that appear in pairs are labeled
+    assert set(out) == {2, 9, 4, 7, 11, 12, 20, 21}
