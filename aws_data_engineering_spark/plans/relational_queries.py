@@ -1794,3 +1794,53 @@ def q57_argmax_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q58 — DataFrameNaFunctions surface: na.replace (value recode), na.fill
+# (null default), na.drop (null row filter). All compile to CASE/COALESCE/
+# IS NOT NULL expressions — codegen'd, pushdown-friendly, zero extra
+# shuffles beyond the final agg.
+# --------------------------------------------------------------------------
+@register(
+    "q58_na_functions",
+    """
+    WITH w AS (
+      SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FINISHED'
+                                WHEN 'P' THEN 'PARTIAL' ELSE o_orderstatus
+             END AS status,
+             COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'UNKNOWN') AS pri,
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice
+             END AS price_or_null
+      FROM orders)
+    SELECT status, pri,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(price_or_null), 2) AS total_price
+    FROM w WHERE price_or_null IS NOT NULL
+    GROUP BY status, pri
+    """,
+    "DataFrameNaFunctions: na.replace value recode, na.fill null default, "
+    "na.drop null filter — all plain codegen'd expressions",
+)
+def q58_na_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderpriority") == "3-MEDIUM", None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pri"),
+        F.when(F.col("o_orderstatus") == "O", None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_or_null"),
+    )
+    cleaned = (
+        src.na.replace(
+            {"O": "OPEN", "F": "FINISHED", "P": "PARTIAL"}, subset=["status"]
+        )
+        .na.fill({"pri": "UNKNOWN"})
+        .na.drop(subset=["price_or_null"])
+    )
+    return cleaned.groupBy("status", "pri").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("price_or_null"), 2).alias("total_price"),
+    )

@@ -79,19 +79,25 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        elapsed = time.time() - t0
+        # query isolation: drop cached/persisted blocks so one run's
+        # residue can't distort the next measurement
+        spark.catalog.clearCache()
+        return elapsed
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # best-of-2: the host VM shows transient CPU-steal stalls; the min
-        # of two runs reflects the plan's actual cost, not scheduler noise
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-            # query isolation: drop cached/persisted blocks so one run's
-            # residue can't distort the next measurement
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        # of two runs reflects the plan's actual cost, not scheduler noise.
+        # If the two runs disagree by >2x, one of them hit a stall — take a
+        # third sample so a stall on both can't masquerade as plan cost.
+        times = [run_once(name), run_once(name)]
+        if max(times) > 2 * min(times):
+            times.append(run_once(name))
+        timings[name] = round(min(times), 3)
 
     total = round(sum(timings.values()), 3)
     print(
