@@ -286,3 +286,39 @@ def q47_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(k).alias("max_k"),
         )
     )
+
+
+@register(
+    "q59_variant_semistructured",
+    """
+    WITH v AS (
+      SELECT event_type, user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM v GROUP BY event_type
+    """,
+    "VariantType semi-structured path (Spark 4): parse_json -> open binary "
+    "variant -> typed variant_get extraction. Unlike from_json (q47) no "
+    "schema is declared up front — the 100 TB pattern for heterogeneous "
+    "event payloads (shredded variant scans beat string re-parsing)",
+)
+def q59_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_big_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

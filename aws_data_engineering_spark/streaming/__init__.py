@@ -3,6 +3,7 @@ from aws_data_engineering_spark.streaming.streams import (  # noqa: F401
     purchase_click_attribution,
     read_events_stream,
     run_to_memory_sink,
+    running_user_totals,
     sessionize_with_state,
     stream_upsert_sink,
     windowed_counts,

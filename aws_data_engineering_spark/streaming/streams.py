@@ -305,3 +305,65 @@ def purchase_click_attribution(
         "click_id",
         F.date_format("c_ts", fmt).alias("click_ts"),
     )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running event count + value total via
+    ``transformWithStateInPandas`` — Spark 4's arbitrary-state API (the
+    successor to ``applyInPandasWithState``): typed state handles
+    (ValueState/ListState/MapState), TTL, and timers managed per key by the
+    state store.
+
+    Environment gate: the transformWithState protocol speaks protobuf
+    between the JVM and the Python state server; on hosts without
+    ``google.protobuf`` the query crashes at start — callers should gate on
+    that import (the parity test skips without it), the same pattern as the
+    Delta-gated writer paths.
+
+    State here is one ValueState of two scalars per user — O(active users),
+    sharded by the grouping key across executors exactly like the state
+    store shards at cluster scale. Each micro-batch folds its rows into the
+    state and emits the user's new running totals (output mode ``update``).
+
+    The processor class is defined inside this function so cloudpickle
+    ships it by value to Python workers (see operators/dedup.py for the
+    same pattern and why module-level references break under sys.path
+    imports).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd_w
+
+            n, total = 0, 0.0
+            if self._totals.exists():
+                n, total = self._totals.get()
+            for pdf in rows:
+                n += len(pdf)
+                for v in pdf["value"]:
+                    total += float(v)
+            self._totals.update((n, total))
+            yield pd_w.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="update",
+        timeMode="none",
+    )

@@ -224,3 +224,33 @@ def test_incremental_multibatch_parity(spark, sf_dir, tmp_path):
     result = spark.table("multibatch_parity")
     batch = ST.windowed_counts(load_table(spark, sf_dir, "events"), "1 hour")
     assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_running_totals_transform_with_state_parity(spark, sf_dir):
+    """transformWithStateInPandas running totals == batch groupBy aggregate.
+    Gated: the state-server protocol needs protobuf, absent in this env."""
+    pytest.importorskip("google.protobuf")
+    import os
+    import uuid
+
+    from aws_data_engineering_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        running_user_totals,
+    )
+
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    name = f"twst_{uuid.uuid4().hex[:8]}"
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in run_to_memory_sink(running_user_totals(stream), name, "update")
+        .collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert got == want
