@@ -157,3 +157,34 @@ def p05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", "source", "n_tokens", "start_offset", "pack_id", "n_chunks"
     )
+
+
+from aws_data_engineering_spark.sources.python_datasource import (  # noqa: E402
+    read_synthlog,
+    synthlog_oracle_sql,
+)
+
+_SYNTHLOG_ROWS = 20000
+
+
+@register(
+    "c01_python_datasource_scan",
+    f"""
+    WITH synthlog AS ({synthlog_oracle_sql(_SYNTHLOG_ROWS)})
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(bucket) AS BIGINT) AS bucket_sum,
+           CAST(MIN(id) AS BIGINT) AS first_id
+    FROM synthlog GROUP BY level
+    """,
+    "custom connector on the Python Data Source API: partition-planned "
+    "synthetic log source registered as format('synthlog'); oracle "
+    "regenerates the identical table via generate_series + md5 arithmetic",
+)
+def c01_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_synthlog(spark, rows=_SYNTHLOG_ROWS, partitions=8)
+    return df.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bucket").alias("bucket_sum"),
+        F.min("id").alias("first_id"),
+    )

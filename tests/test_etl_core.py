@@ -377,3 +377,16 @@ def test_map_type_functions(spark):
     assert row["va"] == 10
     assert row["doubled"]["a"] == 20 and row["doubled"]["b"] == 40
     assert row["merged"]["c"] == 9 and len(row["merged"]) == 3
+
+
+def test_python_datasource_partition_planning(spark):
+    """synthlog custom source: partition count drives scan parallelism,
+    rows are deterministic across reads, slices cover the id range exactly."""
+    from aws_data_engineering_spark.sources.python_datasource import read_synthlog
+
+    df = read_synthlog(spark, rows=1000, partitions=4)
+    assert df.rdd.getNumPartitions() == 4
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == list(range(1000))
+    again = sorted(tuple(r) for r in read_synthlog(spark, 1000, 7).collect())
+    assert sorted(tuple(r) for r in df.collect()) == again
