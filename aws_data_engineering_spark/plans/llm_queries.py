@@ -699,3 +699,38 @@ def d10_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
         (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+@register(
+    "t11_arrow_native_stats",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INT) AS n_chars_arrow,
+           CAST(LEN(regexp_extract_all(text, '[A-Z]')) AS INT) AS n_upper
+    FROM documents
+    """,
+    "mapInArrow: zero-copy RecordBatch transform via pyarrow.compute "
+    "kernels (no pandas conversion on either side) — completes the Python "
+    "execution matrix alongside row UDF / scalar + grouped pandas_udf / "
+    "applyInPandas / mapInPandas / UDTF",
+)
+def t11_arrow_native_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def kernel(batches):
+        import pyarrow as pa_w
+        import pyarrow.compute as pc_w
+
+        for rb in batches:
+            t = pa_w.Table.from_batches([rb])
+            out = pa_w.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_chars_arrow": pc_w.cast(pc_w.utf8_length(t["text"]), "int32"),
+                    "n_upper": pc_w.cast(
+                        pc_w.count_substring_regex(t["text"], "[A-Z]"), "int32"
+                    ),
+                }
+            )
+            yield from out.to_batches()
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(kernel, "doc_id bigint, n_chars_arrow int, n_upper int")

@@ -160,3 +160,33 @@ def st05_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(
         windowed_counts(stream, "1 hour", slide="30 minutes"), name, "complete"
     )
+
+
+_ST07_ROWS = 5000
+
+
+@register(
+    "st07_stream_python_datasource",
+    None,  # deterministic table, but the drain itself is the thing under
+    # test and the oracle views cover only the sf tables — see the
+    # row-exact parity test in tests/test_streaming.py
+    "streaming side of the Python Data Source API: offset-tracked "
+    "micro-batches from the synthlog connector drained to a memory sink, "
+    "then aggregated — exercises initialOffset/read/readBetweenOffsets",
+)
+def st07_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from aws_data_engineering_spark.sources.python_datasource import (
+        drain_stream_to_memory,
+        read_synthlog_stream,
+    )
+
+    stream = read_synthlog_stream(spark, rows=_ST07_ROWS, batch=1024)
+    name = f"st07_{uuid.uuid4().hex[:8]}"
+    drained = drain_stream_to_memory(stream, name, expected_rows=_ST07_ROWS)
+    return drained.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bucket").cast("bigint").alias("bucket_sum"),
+        F.min("id").alias("first_id"),
+    )

@@ -36,7 +36,12 @@ def _make_datasource_classes():
     driver imports this package via sys.path — see operators/dedup.py)."""
     from dataclasses import dataclass
 
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     @dataclass
     class _Slice(InputPartition):
@@ -69,6 +74,47 @@ def _make_datasource_classes():
                     level = "INFO"
                 yield (i, level, bucket)
 
+    def _gen_rows(lo: int, hi: int):
+        import hashlib
+
+        for i in range(lo, hi):
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            bucket = int(h[:2], 16)
+            if bucket < _ERROR_HI:
+                level = "ERROR"
+            elif bucket < _WARN_HI:
+                level = "WARN"
+            else:
+                level = "INFO"
+            yield (i, level, bucket)
+
+    class SynthLogStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked micro-batch reader over the same synthetic table:
+        each batch advances ``pos`` by ``batch`` ids until ``rows`` is
+        exhausted. ``readBetweenOffsets`` regenerates any batch from its
+        offset pair — the deterministic-replay contract exactly-once file
+        sources rely on after failure."""
+
+        def __init__(self, options):
+            self._rows = int(options.get("rows", 1000))
+            self._batch = int(options.get("batch", 256))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            lo = int(start["pos"])
+            hi = min(lo + self._batch, self._rows)
+            # materialized list, not a generator: the prefetched batch is
+            # pickled driver->executor and generators don't pickle
+            return list(_gen_rows(lo, hi)), {"pos": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return list(_gen_rows(int(start["pos"]), int(end["pos"])))
+
+        def commit(self, end):
+            pass
+
     class SynthLogDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -79,6 +125,9 @@ def _make_datasource_classes():
 
         def reader(self, schema):
             return SynthLogReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return SynthLogStreamReader(self.options)
 
     return SynthLogDataSource
 
@@ -96,6 +145,54 @@ def read_synthlog(spark: SparkSession, rows: int, partitions: int = 8) -> DataFr
         .option("partitions", str(partitions))
         .load()
     )
+
+
+def read_synthlog_stream(
+    spark: SparkSession, rows: int, batch: int = 256
+) -> DataFrame:
+    """``readStream`` over the synthlog connector (micro-batches of
+    ``batch`` ids, offset-tracked by the simple stream reader)."""
+    register_synthlog(spark)
+    return (
+        spark.readStream.format("synthlog")
+        .option("rows", str(rows))
+        .option("batch", str(batch))
+        .load()
+    )
+
+
+def drain_stream_to_memory(
+    df: DataFrame, name: str, expected_rows: int, timeout_s: float = 120.0
+) -> DataFrame:
+    """Run an unbounded custom-source stream until ``expected_rows`` arrive,
+    then stop. ``availableNow`` can't bound a source with no end-of-input
+    marker (the simple reader protocol prefetches exactly one batch), so the
+    drain polls the sink — the pattern integration tests use for unbounded
+    sources."""
+    import time
+
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    spark = df.sparkSession
+    deadline = time.time() + timeout_s
+    try:
+        while time.time() < deadline:
+            if spark.table(name).count() >= expected_rows:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"stream {name!r} drained fewer than {expected_rows} rows "
+                f"in {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return spark.table(name)
 
 
 def synthlog_oracle_sql(rows: int) -> str:

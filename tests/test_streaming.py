@@ -254,3 +254,23 @@ def test_running_totals_transform_with_state_parity(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_python_datasource_row_parity(spark):
+    """The synthlog stream (offset-tracked micro-batches) delivers exactly
+    the batch connector's rows — no loss, no duplication across batches."""
+    import uuid
+
+    from aws_data_engineering_spark.sources.python_datasource import (
+        drain_stream_to_memory,
+        read_synthlog,
+        read_synthlog_stream,
+    )
+
+    name = f"twps_{uuid.uuid4().hex[:8]}"
+    drained = drain_stream_to_memory(
+        read_synthlog_stream(spark, rows=2000, batch=512), name, expected_rows=2000
+    )
+    got = sorted(tuple(r) for r in drained.collect())
+    want = sorted(tuple(r) for r in read_synthlog(spark, 2000, 4).collect())
+    assert got == want
