@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aws_data_engineering_spark.operators import transforms as T
 from aws_data_engineering_spark.schema import build_schema_from_dict
@@ -142,6 +143,21 @@ def run_load(
     )
 
     curated = T.stamp_audit_columns(df)
+    # in-flight audit metrics via observe(): row count + null-PK count are
+    # computed ON the curated write itself (no second scan of the input —
+    # at 100 TB a separate count() would double the job). The reference
+    # only log-stamps progress (FInal/load_script.py:16-29); this gives the
+    # load a verifiable data contract at zero extra passes.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"load_audit_{config.table_name}")
+    metrics = [F.count(F.lit(1)).alias("rows_written")]
+    if config.primary_key:
+        null_pk = F.lit(False)
+        for k in config.primary_key:
+            null_pk = null_pk | F.col(k).isNull()
+        metrics.append(F.sum(null_pk.cast("int")).alias("null_pk_rows"))
+    curated = curated.observe(obs, *metrics)
     write_curated(
         spark,
         curated,
@@ -151,5 +167,12 @@ def run_load(
         partition_col="dt",
         fmt=config.file_format,
     )
-    _log.info("load done: table=%s", config.table_name)
+    audit = obs.get
+    _log.info("load done: table=%s audit=%s", config.table_name, audit)
+    if config.primary_key and audit.get("null_pk_rows"):
+        _log.warning(
+            "table=%s has %s rows with NULL primary-key columns",
+            config.table_name,
+            audit["null_pk_rows"],
+        )
     return curated

@@ -1844,3 +1844,45 @@ def q58_na_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("price_or_null"), 2).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q60 — schema evolution across feed versions: a v1 extract lacking a column
+# unioned with the v2 extract that has it (unionByName +
+# allowMissingColumns — name-based alignment, never positional), missing
+# values surfacing as NULLs. The query-side twin of the writer's
+# mergeSchema opt-in (SURVEY §1.3).
+# --------------------------------------------------------------------------
+@register(
+    "q60_schema_evolution_union",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+             'v1' AS src_ver
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS src_ver
+      FROM orders)
+    SELECT src_ver,
+           COALESCE(o_orderpriority, '<absent>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM unioned GROUP BY src_ver, priority
+    """,
+    "schema evolution: unionByName(allowMissingColumns=True) aligns a "
+    "column-poorer v1 feed with the v2 schema by NAME, nulls filling the gap",
+)
+def q60_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1 = orders.drop("o_orderpriority").withColumn("src_ver", F.lit("v1"))
+    v2 = orders.withColumn("src_ver", F.lit("v2"))
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy(
+        "src_ver",
+        F.coalesce("o_orderpriority", F.lit("<absent>")).alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -390,3 +390,29 @@ def test_python_datasource_partition_planning(spark):
     assert ids == list(range(1000))
     again = sorted(tuple(r) for r in read_synthlog(spark, 1000, 7).collect())
     assert sorted(tuple(r) for r in df.collect()) == again
+
+
+def test_pipeline_observe_audit(spark, tmp_path, caplog):
+    """run_load computes audit metrics ON the write via observe() (no second
+    input scan): rows_written always, null_pk_rows when a PK is declared —
+    and warns when PK columns come in NULL."""
+    import logging
+
+    inbound = tmp_path / "inbound" / "erp" / "aud"
+    # second data row has an empty id -> NULL after the int cast
+    _write_gz_csv(inbound / "aud_20240601.gz", "id,name\n1,ann\n,bob\n")
+    cfg = P.TableConfig(
+        table_name="aud",
+        schema={"id": "IntegerType", "name": "StringType"},
+        primary_key=["id"],
+        landing_load_strategy="overwrite",
+        curated_load_strategy="append",
+    )
+    with caplog.at_level(logging.INFO, logger="aws_data_engineering_spark"):
+        P.run_load(
+            spark, cfg, str(inbound), str(tmp_path / "l"), str(tmp_path / "c")
+        )
+    text = " ".join(r.getMessage() for r in caplog.records)
+    assert "'rows_written': 2" in text, text
+    assert "'null_pk_rows': 1" in text, text
+    assert "NULL primary-key" in text, text
