@@ -1886,3 +1886,40 @@ def q60_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q62 — ANSI-mode-safe arithmetic: Spark 4 runs with spark.sql.ansi.enabled
+# by default, so /0 and bad casts THROW mid-job unless handled. try_divide /
+# try_cast / try_to_number return NULL instead — the discipline every
+# 100 TB pipeline needs (one malformed row must not kill a 6-hour job).
+# --------------------------------------------------------------------------
+@register(
+    "q62_ansi_safe_arithmetic",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                          ELSE o_totalprice / (o_orderkey % 10) END), 2)
+             AS sum_safe_ratio,
+           CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_div,
+           CAST(SUM(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "ANSI-mode-safe arithmetic: try_divide / try_cast return NULL where "
+    "ANSI semantics would throw (div-by-zero, malformed cast) — malformed "
+    "rows degrade to NULLs instead of failing the job",
+)
+def q62_ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    denom = F.col("o_orderkey") % 10  # hits 0 on every 10th key
+    safe_ratio = F.try_divide(F.col("o_totalprice"), denom)
+    uncastable = F.col("o_orderpriority").try_cast("int").isNull()
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(safe_ratio), 2).alias("sum_safe_ratio"),
+        F.sum((denom == 0).cast("int")).cast("bigint").alias("n_null_div"),
+        F.sum(uncastable.cast("int")).cast("bigint").alias("n_uncastable"),
+    )
