@@ -1923,3 +1923,65 @@ def q62_ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((denom == 0).cast("int")).cast("bigint").alias("n_null_div"),
         F.sum(uncastable.cast("int")).cast("bigint").alias("n_uncastable"),
     )
+
+
+# --------------------------------------------------------------------------
+# q63 — DataFrameStatFunctions crosstab: contingency table of
+# status × priority. One pairwise groupBy count + a driver-side pivot of
+# the (tiny: |A|×|B|) distinct-pair grid — valid at any fact-table scale
+# as long as the CATEGORY cardinalities stay bounded.
+# --------------------------------------------------------------------------
+@register(
+    "q63_crosstab",
+    """
+    SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+           CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+             AS "1-URGENT",
+           CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
+             AS "2-HIGH",
+           CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)
+             AS "3-MEDIUM",
+           CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+             AS "4-NOT SPECIFIED",
+           CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)
+             AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "stat-functions crosstab (contingency table): pairwise counts pivoted "
+    "into a status x priority grid, column names = category values",
+)
+def q63_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.stat.crosstab("o_orderstatus", "o_orderpriority")
+
+
+from aws_data_engineering_spark.operators.transforms import (  # noqa: E402
+    morton_code,
+    morton_sql,
+)
+
+
+# --------------------------------------------------------------------------
+# q64 — Z-order (Morton) clustering value: the data-layout primitive behind
+# multi-dimensional data skipping (Delta OPTIMIZE ZORDER, Hudi clustering).
+# operators/transforms.zorder_by range-partitions + sorts on this value so
+# parquet min/max stats prune scans on EITHER dimension; the query exposes
+# the codes themselves so the oracle pins the bit math.
+# --------------------------------------------------------------------------
+@register(
+    "q64_zorder_values",
+    f"""
+    SELECT p_partkey, p_size,
+           {morton_sql("p_size", "p_partkey % 256", 16)} AS zval
+    FROM part
+    """,
+    "Z-order/Morton interleave of (p_size, p_partkey%256) — pure codegen'd "
+    "bit arithmetic; zorder_by clusters tables on it for 2-D data skipping",
+)
+def q64_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_size",
+        morton_code(F.col("p_size"), F.col("p_partkey") % 256, 16).alias("zval"),
+    )

@@ -416,3 +416,26 @@ def test_pipeline_observe_audit(spark, tmp_path, caplog):
     assert "'rows_written': 2" in text, text
     assert "'null_pk_rows': 1" in text, text
     assert "NULL primary-key" in text, text
+
+
+def test_zorder_by_range_disjoint_sorted_partitions(spark):
+    """zorder_by must be row-preserving, sort by the Morton value inside
+    every partition, and give partitions disjoint z-ranges — the layout
+    parquet min/max stats need for 2-D skipping."""
+    df = spark.range(0, 1024).select(
+        F.col("id").alias("a"), ((F.col("id") * 7) % 1024).alias("b")
+    )
+    out = T.zorder_by(df, "a", "b", bits=10)
+    z = out.withColumn("z", T.morton_code(F.col("a"), F.col("b"), 10)).withColumn(
+        "p", F.spark_partition_id()
+    )
+    rows = z.select("p", "z").collect()
+    assert len(rows) == 1024
+    by_part: dict[int, list[int]] = {}
+    for r in rows:
+        by_part.setdefault(r["p"], []).append(r["z"])
+    for vals in by_part.values():
+        assert vals == sorted(vals)
+    spans = sorted((min(v), max(v)) for v in by_part.values())
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
