@@ -1985,3 +1985,45 @@ def q64_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         morton_code(F.col("p_size"), F.col("p_partkey") % 256, 16).alias("zval"),
     )
+
+
+# --------------------------------------------------------------------------
+# q65 — window navigation + windowed collect: first_value / nth_value /
+# cume_dist and a bounded collect_list frame (trailing 3 order totals as an
+# array column). One user-keyed sort serves every function — Catalyst
+# collapses same-spec windows into a single Window operator.
+# --------------------------------------------------------------------------
+@register(
+    "q65_window_navigation",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price,
+           ROUND(CUME_DIST() OVER w, 6) AS price_cume,
+           [ROUND(x, 2) FOR x IN LIST(o_totalprice) OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)] AS last3_prices
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "window navigation (first_value/nth_value/cume_dist) + bounded "
+    "collect_list frame producing an array column; same window spec -> one "
+    "Window operator",
+)
+def q65_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(frame), 2).alias("first_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(frame), 2).alias("second_price"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume"),
+        F.transform(
+            F.collect_list("o_totalprice").over(last3), lambda x: F.round(x, 2)
+        ).alias("last3_prices"),
+    )

@@ -160,3 +160,32 @@ def test_winnowing_overlap_pairs_detects_copy(spark):
     assert (1, 2) in got and got[(1, 2)] >= 3
     assert all(a < b for a, b in got)
     assert not any(3 in pair for pair in got)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=300),
+)
+@settings(max_examples=15, deadline=None)
+def test_sequence_packing_invariants(spark, toks, budget):
+    """For any token-count sequence: start offsets are exact prefix sums,
+    pack_id is the chunk of the first token, n_chunks matches the
+    closed-form ceil over the occupied offset span (0 for empty docs)."""
+    from aws_data_engineering_spark.operators import sampling as P
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "i int, toks int")
+    out = {
+        r["i"]: (r["start_offset"], r["pack_id"], r["n_chunks"])
+        for r in P.sequence_packing(df, "toks", budget=budget, order_col="i").collect()
+    }
+    run = 0
+    for i, t in enumerate(toks):
+        start, pack, n = out[i]
+        assert start == run
+        assert pack == start // budget
+        if t <= 0:
+            assert n == 0
+        else:
+            assert n == (start + t - 1) // budget - start // budget + 1
+        run += t
