@@ -188,3 +188,49 @@ def c01_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bucket").alias("bucket_sum"),
         F.min("id").alias("first_id"),
     )
+
+
+@register(
+    "p06_token_budget_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS running_tokens
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens, running_tokens
+    FROM o WHERE running_tokens - n_tokens < 5000
+    """,
+    "token-budget corpus sampling: keep docs per source until ~5000 tokens, "
+    "selection order randomized-but-deterministic via md5(doc_id) — the "
+    "'N tokens per corpus' mixture stage; one prefix-sum window per source, "
+    "parallel across corpora",
+)
+def p06_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from aws_data_engineering_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    # order by content hash: an unbiased shuffle that is still reproducible
+    # across runs, partitionings, and engines (same contract as p01/p02)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = docs.withColumn("running_tokens", F.sum("n_tokens").over(w))
+    # a doc is kept if the budget was not yet exhausted BEFORE it: the
+    # first overflowing doc is included, so every source reaches >= budget
+    return ranked.filter(
+        (F.col("running_tokens") - F.col("n_tokens")) < 5000
+    ).select("doc_id", "source", "n_tokens", "running_tokens")

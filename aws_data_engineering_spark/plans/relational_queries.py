@@ -2027,3 +2027,33 @@ def q65_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list("o_totalprice").over(last3), lambda x: F.round(x, 2)
         ).alias("last3_prices"),
     )
+
+
+# --------------------------------------------------------------------------
+# q66 — exact decimal aggregation: prices cast to DECIMAL(12,2) and summed
+# in fixed-point — bit-exact across engines and summation orders (no float
+# drift, no rounding contract needed), the money-math discipline of the
+# §1.2 type lattice. Result presented as double only at the edge.
+# --------------------------------------------------------------------------
+@register(
+    "q66_decimal_exact_totals",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_price_exact,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS max_price_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "DECIMAL(12,2) fixed-point aggregation: bit-exact money math across "
+    "engines and summation orders — no float-rounding contract required",
+)
+def q66_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(dec).cast("double").alias("total_price_exact"),
+        F.max(dec).cast("double").alias("max_price_exact"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
