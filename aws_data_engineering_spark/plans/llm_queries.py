@@ -751,3 +751,79 @@ def t12_collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(toks) - F.size(cleaned)).alias("n_removed"),
         F.array_join(cleaned, " ").alias("cleaned_text"),
     )
+
+
+def _pp01_oracle() -> str:
+    from aws_data_engineering_spark.operators.sampling import split_sql
+
+    split = split_sql("doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, source, text,
+             CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CAST(LEN(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                                  x -> x IN {_SW_LIST_SQL})) AS DOUBLE) AS n_sw,
+             CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_dig,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             ROUND(LEAST(n_tok / 20.0, 1.0) * 0.4
+                   + LEAST(n_sw / GREATEST(n_tok, 1) * 4, 1.0) * 0.4
+                   + (1 - LEAST(n_dig / GREATEST(n_chars, 1) * 10, 1.0)) * 0.2, 4)
+               AS quality,
+             CASE WHEN n_sw / GREATEST(n_tok, 1) >= 0.05 THEN 'en'
+                  WHEN n_tok < 3 THEN 'short' ELSE 'unknown' END AS lang_pred,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM feats
+    ), filtered AS (
+      SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
+    ), canon AS (
+      SELECT * FROM filtered
+      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+    )
+    SELECT {split} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(quality), 4) AS total_quality
+    FROM canon GROUP BY split
+    """
+
+
+@register(
+    "pp01_training_data_pipeline",
+    _pp01_oracle(),
+    "the whole training-data prep pipeline as ONE plan: quality score -> "
+    "language filter -> fingerprint-dedup keep-canonical -> deterministic "
+    "split assignment -> per-split token accounting. Catalyst fuses the "
+    "scalar stages into the scan; the only shuffles are the dedup window "
+    "and the final tiny agg",
+)
+def pp01_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from aws_data_engineering_spark.operators import sampling as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.fingerprint("text").alias("fp"),
+    )
+    filtered = scored.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    w = Window.partitionBy("fp")
+    canon = filtered.withColumn("min_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("min_id")
+    )
+    split = canon.withColumn(
+        "split",
+        P.split_assignment("doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}),
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("quality"), 4).alias("total_quality"),
+    )

@@ -42,6 +42,7 @@ HEADLINE = [
     "t03_token_counts_by_source",
     "m02_image_decode_features",
     "st01_stream_tumbling_counts",
+    "pp01_training_data_pipeline",
 ]
 
 
