@@ -234,3 +234,51 @@ def p06_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         (F.col("running_tokens") - F.col("n_tokens")) < 5000
     ).select("doc_id", "source", "n_tokens", "running_tokens")
+
+
+@register(
+    "q67_cdc_apply",
+    """
+    WITH changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 1 THEN 'D' ELSE 'U' END AS op,
+             ROUND(o_totalprice + 10.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    ), final AS (
+      SELECT o.o_orderkey,
+             CASE WHEN o.o_orderkey % 4 = 0 THEN ROUND(o.o_totalprice + 10.0, 2)
+                  ELSE ROUND(o.o_totalprice, 2) END AS price
+      FROM orders o
+      WHERE o.o_orderkey % 4 <> 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(price), 2) AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM final
+    """,
+    "CDC apply (I/U/D) against the orders snapshot: every 4th key updated "
+    "(+10.00), keys ≡1 mod 4 deleted; one anti-join + union, no full rewrite "
+    "— MERGE-with-delete semantics the reference's upsert lacks",
+)
+def q67_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.sources.writers import apply_cdc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    k = F.col("o_orderkey")
+    changes = (
+        load_table(spark, sf_dir, "orders")
+        .filter((k % 4 == 0) | (k % 4 == 1))
+        .select(
+            "o_orderkey",
+            F.when(k % 4 == 1, "D").otherwise("U").alias("op"),
+            F.round(F.col("o_totalprice") + 10.0, 2).alias("price"),
+        )
+    )
+    final = apply_cdc(orders, changes, ["o_orderkey"], op_col="op")
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+    )

@@ -256,3 +256,44 @@ def write_curated(
         raise ValueError(
             f"Unknown load strategy: {strategy!r} (expected one of {VALID_STRATEGIES})"
         )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Apply a change-data-capture batch (I/U/D rows) to a snapshot.
+
+    Extends the reference's MERGE semantics (``merge_upsert``,
+    ``generic_load_script.py:150-170``) with DELETE — the op Delta MERGE
+    expresses as ``whenMatchedDelete`` and the reference never needed
+    (append-only feeds). Semantics: with ``seq_col`` given, only each key's
+    LATEST change applies (earlier versions are superseded — the Debezium
+    compaction rule); ``'D'`` removes the key, anything else upserts the
+    row. Plan shape: one window (latest-per-key) + one left-anti join on
+    the key + a union — all key-partitioned, no full-table rewrite beyond
+    what MERGE itself would touch.
+    """
+    if not keys:
+        raise ValueError("apply_cdc requires a non-empty primary_key")
+    latest = changes
+    if seq_col is not None:
+        from pyspark.sql import Window
+
+        order = [F.col(seq_col).desc()]
+        if tiebreak:
+            order.append(F.col(tiebreak).asc())
+        w = Window.partitionBy(*keys).orderBy(*order)
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    drop_cols = [op_col] + ([seq_col] if seq_col else [])
+    upserts = latest.filter(F.col(op_col) != "D").drop(*drop_cols)
+    kept = base.join(latest.select(*keys), keys, "left_anti")
+    return kept.unionByName(upserts)

@@ -439,3 +439,29 @@ def test_zorder_by_range_disjoint_sorted_partitions(spark):
     spans = sorted((min(v), max(v)) for v in by_part.values())
     for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_apply_cdc_latest_wins_and_deletes(spark):
+    """CDC apply: only each key's latest change applies (seq compaction),
+    'D' removes the key, new keys insert, untouched keys survive."""
+    base = spark.createDataFrame(
+        [(1, "keep"), (2, "update-me"), (3, "delete-me")], "id int, val string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "v1", "U", 10),
+            (2, "v2", "U", 20),  # later seq supersedes v1
+            (3, "x", "U", 5),
+            (3, "x", "D", 6),  # delete wins: it is the latest change
+            (4, "new", "I", 1),
+            (5, "ghost", "D", 1),  # delete of a key absent from base: no-op
+        ],
+        "id int, val string, op string, seq int",
+    )
+    out = {
+        r["id"]: r["val"]
+        for r in W.apply_cdc(base, changes, ["id"], seq_col="seq").collect()
+    }
+    assert out == {1: "keep", 2: "v2", 4: "new"}
+    with pytest.raises(ValueError, match="primary_key"):
+        W.apply_cdc(base, changes, [])
