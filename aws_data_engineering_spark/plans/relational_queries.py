@@ -2057,3 +2057,129 @@ def q66_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(dec).cast("double").alias("max_price_exact"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# q68 — snapshot reconciliation via FULL OUTER join: diff two table versions
+# into added / removed / changed / unchanged row classes — the audit every
+# reload strategy (ref W4/W5) needs. One co-partitioned shuffle join; the
+# class column is a null-pattern CASE, codegen'd.
+# --------------------------------------------------------------------------
+@register(
+    "q68_snapshot_reconciliation",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN ROUND(o_totalprice + 1.0, 2) ELSE o_totalprice
+             END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 1
+    )
+    SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_totalprice <> new.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change_class,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    GROUP BY change_class
+    """,
+    "snapshot reconciliation: FULL OUTER diff of two table versions into "
+    "added/removed/changed/unchanged classes — the reload-strategy audit",
+)
+def q68_snapshot_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.filter(k % 5 != 0).select(
+        k.alias("old_key"), F.col("o_totalprice").alias("old_price")
+    )
+    new = orders.filter(k % 5 != 1).select(
+        k.alias("new_key"),
+        F.when(k % 7 == 0, F.round(F.col("o_totalprice") + 1.0, 2))
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    diff = old.join(new, old["old_key"] == new["new_key"], "full_outer")
+    change_class = (
+        F.when(F.col("old_key").isNull(), "added")
+        .when(F.col("new_key").isNull(), "removed")
+        .when(F.col("old_price") != F.col("new_price"), "changed")
+        .otherwise("unchanged")
+    )
+    return diff.groupBy(change_class.alias("change_class")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+# --------------------------------------------------------------------------
+# dq01 — declarative data-quality sweep: referential integrity, domain
+# checks, and null checks across the star schema in ONE pass per table,
+# unioned into a violation report. Anti-joins broadcast the (small) parent
+# key sets; every check is a filter count — no Python, no second scans.
+# --------------------------------------------------------------------------
+@register(
+    "dq01_data_quality_checks",
+    """
+    SELECT 'orphan_lineitem_order' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orphan_order_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'negative_extendedprice',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0) AS BIGINT)
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'null_order_date',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT)
+    """,
+    "data-quality sweep: referential integrity (anti-join orphans), domain "
+    "range checks, null checks — one violation-count report row per rule",
+)
+def dq01_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        one(
+            "orphan_lineitem_order",
+            li.join(
+                orders.select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        one(
+            "orphan_order_customer",
+            orders.join(
+                F.broadcast(customer.select("c_custkey")),
+                orders["o_custkey"] == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        one("negative_extendedprice", li.filter(F.col("l_extendedprice") < 0)),
+        one(
+            "discount_out_of_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        one("null_order_date", orders.filter(F.col("o_orderdate").isNull())),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
