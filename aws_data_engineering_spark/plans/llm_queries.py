@@ -827,3 +827,29 @@ def pp01_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.sum("quality"), 4).alias("total_quality"),
     )
+
+
+@register(
+    "s05_knn_graph",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  list_cosine_similarity(a.e, b.e) AS sim
+           FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    "full k-NN graph (every vector's top-3 neighbors) — the input structure "
+    "for graph dedup / semantic clustering; same numpy flat-index kernel as "
+    "s01 with the whole corpus as the query set",
+)
+def s05_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb, k=3)

@@ -97,3 +97,17 @@ def test_p05_packing_windows_partition_by_group(spark, sf_dir):
     assert "Window" in plan
     w_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert any("source" in ln for ln in w_lines), w_lines
+
+
+def test_dq01_orphan_checks_use_anti_joins(spark, sf_dir):
+    plan = _plan(queries()["dq01_data_quality_checks"](spark, sf_dir))
+    # referential-integrity rules must run as anti-joins (broadcast for the
+    # dim-sized parents), never as correlated per-row subqueries
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q68_reconciliation_single_join(spark, sf_dir):
+    plan = _plan(queries()["q68_snapshot_reconciliation"](spark, sf_dir))
+    # one full-outer join of the two snapshots; both sides scan orders once
+    assert plan.count("SortMergeJoin FullOuter") + plan.count("FullOuter") >= 1
