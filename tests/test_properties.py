@@ -189,3 +189,66 @@ def test_sequence_packing_invariants(spark, toks, budget):
         else:
             assert n == (start + t - 1) // budget - start // budget + 1
         run += t
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 99)), max_size=8),
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),          # key
+            st.integers(0, 99),         # value
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(0, 50),         # seq
+        ),
+        max_size=12,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_apply_cdc_equals_model(spark, base_rows, change_rows):
+    """apply_cdc == a python dict model: replay changes in (seq, arrival)
+    order per key, keep only each key's latest; 'D' deletes, else upsert."""
+    from aws_data_engineering_spark.sources import writers as W
+
+    base = {k: v for k, v in base_rows}  # later base rows win, like a table
+    # model: per key, the change with the highest (seq, -arrival_index)
+    latest: dict[int, tuple] = {}
+    for idx, (k, v, op, seq) in enumerate(change_rows):
+        cur = latest.get(k)
+        # row_number orders by seq desc with NO tiebreak column passed →
+        # ties broken arbitrarily; make ties impossible in generated data
+        if cur is None or seq > cur[3]:
+            latest[k] = (k, v, op, seq)
+    # drop seq ties entirely (arbitrary winner) by deduping on (k, seq)
+    seen = set()
+    filtered_changes = []
+    for k, v, op, seq in change_rows:
+        if (k, seq) in seen:
+            continue
+        seen.add((k, seq))
+        filtered_changes.append((k, v, op, seq))
+    latest = {}
+    for k, v, op, seq in filtered_changes:
+        cur = latest.get(k)
+        if cur is None or seq > cur[3]:
+            latest[k] = (k, v, op, seq)
+    expected = dict(base)
+    for k, (kk, v, op, seq) in latest.items():
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+
+    if not base and not filtered_changes:
+        return
+    base_df = spark.createDataFrame(
+        list(base.items()) or [(None, None)], "id int, val int"
+    ).filter(F.col("id").isNotNull())
+    ch_df = spark.createDataFrame(
+        filtered_changes or [(None, None, None, None)],
+        "id int, val int, op string, seq int",
+    ).filter(F.col("id").isNotNull())
+    out = {
+        r["id"]: r["val"]
+        for r in W.apply_cdc(base_df, ch_df, ["id"], seq_col="seq").collect()
+    }
+    assert out == expected
