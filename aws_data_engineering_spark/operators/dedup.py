@@ -271,14 +271,22 @@ def minhash_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(col: str | Column, bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens: per-bit majority vote of token
+def simhash(col: str | Column, bits: int = 48) -> Column:
+    """SimHash over whitespace tokens: per-bit majority vote of token
     hashes. Built from higher-order array functions (JVM-side).
 
     For each bit i: sum over tokens of (+1 if bit set else -1) > 0 → bit=1.
+
+    Token hash = first 12 hex chars of md5 (48 bits) rather than xxhash64:
+    engine-portable, so the DuckDB oracle reproduces signatures bit-exactly
+    (same trade as text.fingerprint / sampling.hash_bucket). 48 uniform
+    bits keep the per-bit majority property that SimHash needs; the two
+    missing band bits just shorten the signature, not its semantics.
     """
     toks = F.split(normalize_text(col), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint")
+    )
 
     def voter(i: int):
         # closure factory: PySpark HOF lambdas must take exactly 1-2 params
@@ -305,18 +313,24 @@ def simhash_neardup_pairs(
     text_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    bits: int = 48,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding + exact hamming filter.
 
-    Pigeonhole blocking: split the 64-bit signature into ``n_bands``
+    Pigeonhole blocking: split the ``bits``-bit signature into ``n_bands``
     equal-width bands — any pair within ``max_hamming`` ≤ n_bands-1 bit
     flips must agree exactly on at least one band, so candidates are found
     with an equi-join on (band_idx, band_bits) and only candidates pay the
-    XOR/bit_count. Entirely JVM-side; the one shuffle is keyed by band
-    value, the standard simhash-dedup sharding at corpus scale.
+    XOR/bit_count. Because n_bands > max_hamming the blocking is COMPLETE
+    (finds every qualifying pair), which is what lets the oracle check it
+    against exact all-pairs hamming. Entirely JVM-side; the one shuffle is
+    keyed by band value, the standard simhash-dedup sharding at corpus
+    scale.
     """
-    band_width = 64 // n_bands
-    sigs = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    band_width = bits // n_bands
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig")
+    )
     banded = sigs.select(
         "id",
         "sig",

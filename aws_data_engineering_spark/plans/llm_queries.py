@@ -127,12 +127,26 @@ def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d06_simhash",
-    None,  # 64-bit majority-vote hash not practically SQL-expressible
-    "SimHash 64-bit document signatures (near-dup by hamming distance)",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id, [CAST((CAST((ascii(substr(md5(x), 1, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 1, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(17592186044416 AS BIGINT) + CAST((ascii(substr(md5(x), 2, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 2, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(1099511627776 AS BIGINT) + CAST((ascii(substr(md5(x), 3, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 3, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(68719476736 AS BIGINT) + CAST((ascii(substr(md5(x), 4, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 4, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(4294967296 AS BIGINT) + CAST((ascii(substr(md5(x), 5, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 5, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(268435456 AS BIGINT) + CAST((ascii(substr(md5(x), 6, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 6, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(16777216 AS BIGINT) + CAST((ascii(substr(md5(x), 7, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 7, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(1048576 AS BIGINT) + CAST((ascii(substr(md5(x), 8, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 8, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(65536 AS BIGINT) + CAST((ascii(substr(md5(x), 9, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 9, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(4096 AS BIGINT) + CAST((ascii(substr(md5(x), 10, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 10, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(256 AS BIGINT) + CAST((ascii(substr(md5(x), 11, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 11, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(16 AS BIGINT) + CAST((ascii(substr(md5(x), 12, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 12, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(1 AS BIGINT)) AS BIGINT) FOR x IN toks] AS hs FROM n
+    ), sigs AS (
+      SELECT doc_id, CAST((CASE WHEN list_sum([CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 1 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 2 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 4 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 8 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 16 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 32 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 64 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 128 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 256 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 512 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 1024 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 2048 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 4096 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 8192 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 16384 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 32768 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 65536 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 131072 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 262144 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 524288 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 1048576 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 2097152 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 4194304 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 8388608 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 16777216 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 33554432 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 67108864 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 134217728 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 268435456 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 536870912 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 1073741824 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 2147483648 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 4294967296 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 8589934592 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 17179869184 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 34359738368 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 68719476736 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 137438953472 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 274877906944 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 549755813888 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 1099511627776 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 2199023255552 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 4398046511104 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 8796093022208 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 17592186044416 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 35184372088832 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 70368744177664 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 140737488355328 ELSE 0 END) AS BIGINT) AS sig FROM h
+    )
+    SELECT doc_id, sig AS simhash48 FROM sigs
+    """,
+    "SimHash 48-bit document signatures (md5-derived token hashes — "
+    "engine-portable, so the majority-vote signature is oracle-checked "
+    "bit-exactly)",
 )
 def d06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash("text").alias("simhash64"))
+    return docs.select("doc_id", D.simhash("text").alias("simhash48"))
 
 
 # ---------------------------------------------------------------------------
@@ -378,10 +392,26 @@ def t05_token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d07_simhash_neardup_pairs",
-    None,  # banded-simhash candidate generation is not SQL-expressible
-    "SimHash near-dup pairs: 4×16-bit band blocking (pigeonhole: hamming<=3 "
-    "pairs share a band) then exact hamming filter — completes the d06 "
-    "signature pipeline into pairwise dedup",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id, [CAST((CAST((ascii(substr(md5(x), 1, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 1, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(17592186044416 AS BIGINT) + CAST((ascii(substr(md5(x), 2, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 2, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(1099511627776 AS BIGINT) + CAST((ascii(substr(md5(x), 3, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 3, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(68719476736 AS BIGINT) + CAST((ascii(substr(md5(x), 4, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 4, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(4294967296 AS BIGINT) + CAST((ascii(substr(md5(x), 5, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 5, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(268435456 AS BIGINT) + CAST((ascii(substr(md5(x), 6, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 6, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(16777216 AS BIGINT) + CAST((ascii(substr(md5(x), 7, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 7, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(1048576 AS BIGINT) + CAST((ascii(substr(md5(x), 8, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 8, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(65536 AS BIGINT) + CAST((ascii(substr(md5(x), 9, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 9, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(4096 AS BIGINT) + CAST((ascii(substr(md5(x), 10, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 10, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(256 AS BIGINT) + CAST((ascii(substr(md5(x), 11, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 11, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(16 AS BIGINT) + CAST((ascii(substr(md5(x), 12, 1)) - 48 - CASE WHEN ascii(substr(md5(x), 12, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT) * CAST(1 AS BIGINT)) AS BIGINT) FOR x IN toks] AS hs FROM n
+    ), sigs AS (
+      SELECT doc_id, CAST((CASE WHEN list_sum([CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 1 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 2 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 4 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 8 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 16 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 32 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 64 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 128 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 256 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 512 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 1024 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 2048 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 4096 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 8192 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 16384 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 32768 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 65536 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 131072 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 262144 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 524288 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 1048576 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 2097152 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 4194304 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 8388608 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 16777216 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 33554432 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 67108864 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 134217728 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 268435456 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 536870912 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 1073741824 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 2147483648 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 4294967296 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 8589934592 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 17179869184 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 34359738368 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 68719476736 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 137438953472 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 274877906944 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 549755813888 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 1099511627776 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 2199023255552 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 4398046511104 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 8796093022208 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 17592186044416 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 35184372088832 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 70368744177664 ELSE 0 END + CASE WHEN list_sum([CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN 140737488355328 ELSE 0 END) AS BIGINT) AS sig FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    "SimHash near-dup pairs: 4x12-bit band blocking (pigeonhole: hamming<=3 "
+    "pairs share a band, so the blocking is COMPLETE) then exact hamming "
+    "filter; oracle computes exact all-pairs hamming over the same "
+    "signatures",
 )
 def d07_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
