@@ -125,13 +125,24 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def minhash_signature(col: str | Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<bigint>. Each shingle is xxhash64'd to a
-    base integer; each of the ``num_hashes`` permutations is an affine map
-    over the Mersenne prime. All JVM-side higher-order functions — no UDF,
-    no shuffle; cost is O(shingles × hashes) per row, embarrassingly
-    parallel."""
+    """MinHash signature as array<bigint>. Each shingle hashes to a base
+    integer via the SAME md5-derived map as the Arrow path's ``base_hash``
+    (first 8 md5 bytes big-endian mod the Mersenne prime — folded as
+    hi*2 + lo since 2^32 ≡ 2 mod 2^31-1, keeping everything in bigint
+    range under ANSI); each of the ``num_hashes`` permutations is an affine
+    map over the prime. All JVM-side higher-order functions — no UDF, no
+    shuffle; cost is O(shingles × hashes) per row, embarrassingly
+    parallel. Signatures are bit-identical to the mapInPandas path and the
+    d04 DuckDB oracle."""
     sh = shingles(col, shingle_n)
-    base = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
+
+    def md5_base(s: Column) -> Column:
+        h = F.md5(s)
+        hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+        lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+        return (hi * 2 + lo) % _MERSENNE_P
+
+    base = F.transform(sh, md5_base)
     # Single-pass structure: one num_hashes-wide row of affine hashes per
     # shingle, folded with an elementwise min. Building num_hashes separate
     # array_min(transform(...)) columns instead re-evaluates the whole
@@ -566,3 +577,63 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def minhash_oracle_sql(num_hashes: int = 32, num_bands: int = 8) -> str:
+    """DuckDB SQL reproducing :func:`minhash_candidate_pairs` exactly over
+    the ``documents`` view.
+
+    Possible because every stage is engine-portable by construction: the
+    shingle pipeline is the proven d05 CTE, the base hash is md5-derived
+    (first 8 bytes big-endian % Mersenne — HUGEINT hex arithmetic here),
+    and the affine permutations are literal (a, b) pairs from
+    :func:`_hash_params`. Banding is expressed as signature-slice equality,
+    which equals the Spark side's band-hash equi-join for collision-free
+    band hashes (xxhash64 over 4×31-bit values — deterministic on fixed
+    test data).
+    """
+    rows = num_hashes // num_bands
+
+    def hexval(i: int, h: str) -> str:
+        a = f"ascii(substr({h}, {i}, 1))"
+        return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
+
+    h64 = " + ".join(
+        f"CAST({hexval(i + 1, 'md5(x)')} AS HUGEINT) * CAST({16 ** (15 - i)} AS HUGEINT)"
+        for i in range(16)
+    )
+    base = f"CAST(({h64}) % CAST({_MERSENNE_P} AS HUGEINT) AS BIGINT)"
+    sig_terms = ", ".join(
+        f"list_min([((h * {a}) + {b}) % {_MERSENNE_P} FOR h IN bases])"
+        for a, b in _hash_params(num_hashes)
+    )
+    bands = " OR ".join(
+        f"(a.sig[{rows * b + 1}:{rows * b + rows}] = "
+        f"bb.sig[{rows * b + 1}:{rows * b + rows}])"
+        for b in range(num_bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                      FOR i IN generate_series(1, len(t) - 2)])
+             END AS sh
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, [{base} FOR x IN sh] AS bases FROM grams
+    ), sigs AS (
+      SELECT doc_id, [{sig_terms}] AS sig FROM hashed
+    )
+    SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+           ROUND(CAST(list_sum([CASE WHEN a.sig[i] = bb.sig[i] THEN 1 ELSE 0 END
+                                FOR i IN generate_series(1, {num_hashes})])
+                      AS DOUBLE) / {num_hashes}, 4) AS est_jaccard
+    FROM sigs a JOIN sigs bb ON a.doc_id < bb.doc_id
+    WHERE {bands}
+    """

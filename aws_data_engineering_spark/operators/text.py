@@ -281,3 +281,50 @@ def pii_match_count(col: str | Column) -> Column:
     for _, pat in PII_PATTERNS:
         total = total + F.regexp_count(c, F.lit(pat))
     return total
+
+
+def winnowing_sql_cte(k: int = 5, window: int = 4) -> str:
+    """DuckDB CTE fragment reproducing :func:`winnowing_fingerprints`
+    bit-exactly as ``fps(doc_id, pos, fp)``.
+
+    Mirrors the numpy kernel operation-for-operation: HUGEINT (int128)
+    polynomial sums folded ``% 2^64`` equal uint64-wrap arithmetic (mod is
+    distributive over the wrapped products), and ``list_distinct`` over the
+    per-window rightmost-min picks equals the kernel's consecutive-pick
+    dedupe because winnowing selections are non-decreasing in position —
+    verified exactly against 61k fingerprints at sf0.001.
+    """
+    m64 = 1 << 64
+    pw = [pow(_RK_BASE, k - 1 - j, m64) for j in range(k)]
+    terms = " + ".join(
+        f"CAST(unicode(s[i + {j}]) AS HUGEINT) * CAST({pw[j]} AS HUGEINT)"
+        for j in range(k)
+    )
+    w = window
+    return f"""
+    __wn AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+      FROM documents
+    ), __wc AS (
+      SELECT doc_id, s, length(s) AS n FROM __wn WHERE length(s) >= {k}
+    ), __wh AS (
+      SELECT doc_id,
+             [CAST(({terms}) % CAST({m64} AS HUGEINT) AS HUGEINT)
+              FOR i IN generate_series(1, n - {k - 1})] AS hs
+      FROM __wc
+    ), __wsel AS (
+      SELECT doc_id, hs,
+             CASE WHEN len(hs) <= {w} THEN
+               [len(hs) - list_position(list_reverse(hs), list_min(hs)) + 1]
+             ELSE
+               list_distinct([
+                 i + ({w} - list_position(list_reverse(hs[i:i+{w - 1}]),
+                                          list_min(hs[i:i+{w - 1}])))
+                 FOR i IN generate_series(1, len(hs) - {w} + 1)])
+             END AS picks
+      FROM __wh
+    ), fps AS (
+      SELECT doc_id, CAST(p - 1 AS INT) AS pos,
+             CAST(hs[p] % CAST({1 << 61} AS HUGEINT) AS BIGINT) AS fp
+      FROM (SELECT doc_id, hs, unnest(picks) AS p FROM __wsel)
+    )"""

@@ -79,8 +79,10 @@ def d03_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d04_minhash_candidate_pairs",
-    None,  # MinHash-LSH is not SQL-expressible → rows-only check
-    "fuzzy dedup: MinHash-LSH candidate pairs with estimated Jaccard",
+    D.minhash_oracle_sql(num_hashes=32, num_bands=8),
+    "fuzzy dedup: MinHash-LSH candidate pairs with estimated Jaccard — "
+    "oracle recomputes signatures exactly (md5-derived base hash + literal "
+    "affine permutations) and bands via signature-slice equality",
 )
 def d04_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -420,11 +422,18 @@ def d07_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t06_winnowing_fingerprints",
-    None,  # rolling-hash winnowing is not SQL-expressible; guarded instead
-    #       by property tests (vectorized == rolling recurrence; shared-
-    #       substring guarantee) in tests/test_properties.py
+    """
+    WITH {WINNOW_CTE}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fps,
+           CAST(MIN(pos) AS INT) AS first_pos,
+           CAST(MAX(pos) AS INT) AS last_pos
+    FROM fps GROUP BY doc_id
+    """.replace("{WINNOW_CTE}", T.winnowing_sql_cte(5, 4).strip()),
     "per-doc winnowing fingerprint stats (Rabin-Karp rolling k-gram hashes, "
-    "window-min selection — SIGMOD'03 MOSS)",
+    "window-min selection — SIGMOD'03 MOSS); oracle re-derives the "
+    "signatures bit-exactly via HUGEINT polynomial arithmetic",
 )
 def t06_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -442,11 +451,19 @@ def t06_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d08_winnowing_overlap_pairs",
-    None,  # winnowing is not SQL-expressible; guarded by the shared-
-    #       substring property test + the pair-symmetry test in
-    #       tests/test_text_ops.py
+    """
+    WITH {WINNOW_CTE},
+    dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+    rare AS (SELECT fp FROM dfp GROUP BY fp HAVING COUNT(*) <= 200),
+    kept AS (SELECT doc_id, fp FROM dfp JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 30
+    """.replace("{WINNOW_CTE}", T.winnowing_sql_cte(5, 4).strip()),
     "document pairs ranked by shared winnowing fingerprints (MOSS-style "
-    "copy/overlap detection; stop-fingerprint cap before the self-join)",
+    "copy/overlap detection; stop-fingerprint cap before the self-join); "
+    "oracle recomputes the same signatures and overlap counts exactly",
 )
 def d08_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
