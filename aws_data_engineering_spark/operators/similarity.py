@@ -181,9 +181,18 @@ def bucketed_neardup_pairs(
 
         ids = pdf["id"].to_numpy()
         m = np.array(list(pdf["v"]), dtype=np.float64)
-        norms = np.sqrt((m * m).sum(axis=1))
+        # dimension-sequential accumulation == the left-to-right IEEE
+        # sequence of DuckDB's list_cosine_similarity (same contract as
+        # exact_neardup_pairs / s01) → the oracle reproduces sims bit-exactly
+        dim = m.shape[1]
+        acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
+        n2 = np.zeros(len(ids), dtype=np.float64)
+        for j in range(dim):
+            acc += m[:, j : j + 1] * m[None, :, j]
+            n2 += m[:, j] * m[:, j]
+        norms = np.sqrt(n2)
         norms[norms == 0] = 1.0
-        sims = (m / norms[:, None]) @ (m / norms[:, None]).T
+        sims = acc / (norms[:, None] * norms[None, :])
         ia, ib = np.triu_indices(len(ids), k=1)
         # enforce id_a < id_b regardless of within-bucket row order
         lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
@@ -441,3 +450,61 @@ def exact_neardup_pairs(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).repartition(spark.sparkContext.defaultParallelism)
     return src.mapInPandas(kernel, "id_a bigint, id_b bigint, sim double")
+
+
+def bucketed_neardup_oracle_sql(
+    threshold: float, n_planes: int = 4, dim: int = 64
+) -> str:
+    """DuckDB SQL reproducing :func:`bucketed_neardup_pairs` exactly: the
+    hyperplanes are deterministic literals (LCG — see :func:`_hyperplanes`),
+    bucket assignment is a sign-pattern over literal dot products, and the
+    per-bucket kernel accumulates dimension-sequentially, i.e. in
+    ``list_cosine_similarity``'s exact IEEE order."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(e, [{', '.join(repr(v) for v in plane)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS (SELECT vec_id, e, ({bucket}) AS bucket FROM v)
+    SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, bb.e), 4) AS sim
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    WHERE list_cosine_similarity(a.e, bb.e) >= {threshold}
+    """
+
+
+def lsh_topk_oracle_sql(
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB SQL reproducing :func:`lsh_topk` exactly — the bucketing uses
+    the same literal hyperplanes and the JVM cosine fold equals
+    ``list_cosine_similarity``'s summation order, so even the approximate
+    path is deterministic and oracle-checkable."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(e, [{', '.join(repr(v) for v in plane)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS (SELECT vec_id, e, ({bucket}) AS bucket FROM v),
+    q AS (SELECT * FROM b WHERE {query_pred}),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.e, c.e) AS sim
+      FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {k}
+    """

@@ -287,8 +287,10 @@ def s01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s02_ann_lsh_topk",
-    None,  # approximate — recall depends on bucketing; rows-only check
-    "LSH-bucketed approximate cosine top-k (the 100 TB scale path)",
+    S.lsh_topk_oracle_sql(k=5, n_planes=4, dim=64, query_pred="vec_id < 10"),
+    "LSH-bucketed approximate cosine top-k (the 100 TB scale path) — "
+    "deterministic literal hyperplanes + fold-order-matched cosine make "
+    "the approximation itself oracle-checkable",
 )
 def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -344,9 +346,11 @@ def e01_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e02_embedding_neardup_lsh",
-    None,  # approximate (bucket recall) → rows-only check
+    S.bucketed_neardup_oracle_sql(threshold=0.45, n_planes=4, dim=64),
     "embedding-cosine near-dup via hyperplane-LSH buckets (100 TB path: "
-    "equi-join on bucket id replaces the all-pairs cross join)",
+    "equi-join on bucket id replaces the all-pairs cross join); the "
+    "deterministic literal hyperplanes make even this approximate path "
+    "bit-exactly oracle-checkable",
 )
 def e02_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

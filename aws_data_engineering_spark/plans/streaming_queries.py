@@ -165,14 +165,27 @@ def st05_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ST07_ROWS = 5000
 
 
+from aws_data_engineering_spark.sources.python_datasource import (  # noqa: E402
+    synthlog_oracle_sql,
+)
+
+_ST07_ORACLE = """
+    WITH synthlog AS ({SRC})
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(bucket) AS BIGINT) AS bucket_sum,
+           CAST(MIN(id) AS BIGINT) AS first_id
+    FROM synthlog GROUP BY level
+""".replace("{SRC}", synthlog_oracle_sql(5000).strip())
+
+
 @register(
     "st07_stream_python_datasource",
-    None,  # deterministic table, but the drain itself is the thing under
-    # test and the oracle views cover only the sf tables — see the
-    # row-exact parity test in tests/test_streaming.py
+    _ST07_ORACLE,
     "streaming side of the Python Data Source API: offset-tracked "
     "micro-batches from the synthlog connector drained to a memory sink, "
-    "then aggregated — exercises initialOffset/read/readBetweenOffsets",
+    "then aggregated; the oracle regenerates the exact table, so a lost or "
+    "duplicated micro-batch fails the hash check",
 )
 def st07_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
