@@ -295,8 +295,14 @@ def ivf_topk(
     machines — so cost scales with corpus/n_centroids × n_probe, not the
     full cross product.
     """
+    # orderBy before limit → TakeOrdered: the training sample is the same
+    # rows regardless of partitioning/scan order (a bare limit() samples
+    # whatever partition responds first, making centroids run-dependent)
     stride_sample = (
-        candidates.select(_as_double(F.col(vec_col)).alias("v"))
+        candidates.select(
+            F.col(cand_id).alias("k"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .orderBy("k")
         .limit(train_cap)
         .collect()
     )
