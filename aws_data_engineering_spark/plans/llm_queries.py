@@ -904,3 +904,52 @@ def pp01_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s05_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.brute_force_topk(emb, emb, k=3)
+
+
+@register(
+    "t13_vocab_coverage",
+    """
+    WITH tok AS (
+      SELECT source, lower(unnest(string_split_regex(TRIM(text), '\\s+'))) AS token
+      FROM documents
+    ), t2 AS (
+      SELECT * FROM tok WHERE token <> ''
+    ), vocab AS (
+      SELECT token FROM t2 GROUP BY token
+      ORDER BY COUNT(*) DESC, token LIMIT 100
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens,
+           CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS coverage
+    FROM t2 GROUP BY source
+    """,
+    "vocabulary coverage per corpus: global top-100 vocab (TakeOrdered, "
+    "ties broken lexically) broadcast back over the token stream — the "
+    "'how much of this corpus does my tokenizer vocab cover' accounting",
+)
+def t13_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
+        )
+        .select("source", F.lower(F.col("raw")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "token", "left")
+    covered = F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).cast("bigint")
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        covered.alias("covered_tokens"),
+        (covered.cast("double") / F.count(F.lit(1))).alias("coverage"),
+    )

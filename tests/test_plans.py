@@ -111,3 +111,18 @@ def test_q68_reconciliation_single_join(spark, sf_dir):
     plan = _plan(queries()["q68_snapshot_reconciliation"](spark, sf_dir))
     # one full-outer join of the two snapshots; both sides scan orders once
     assert plan.count("SortMergeJoin FullOuter") + plan.count("FullOuter") >= 1
+
+
+def test_q61_session_window_partial_agg(spark, sf_dir):
+    plan = _plan(queries()["q61_builtin_session_window"](spark, sf_dir))
+    # session windows merge map-side before the shuffle (partial agg)
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 1
+    assert "Exchange" in plan
+
+
+def test_pp01_pipeline_fuses_scalar_stages(spark, sf_dir):
+    plan = _plan(queries()["pp01_training_data_pipeline"](spark, sf_dir))
+    # quality/lang/fingerprint/split are all scalar expressions: exactly
+    # one scan of documents, and only the dedup window + final agg shuffle
+    assert plan.count("documents") >= 1
+    assert plan.count("Exchange") <= 3, plan.count("Exchange")
