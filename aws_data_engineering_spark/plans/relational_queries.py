@@ -2183,3 +2183,52 @@ def dq01_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --------------------------------------------------------------------------
+# dq02 — table profiling report (ANALYZE-style): per-table row counts, key
+# cardinalities, and domain extrema in one pass per table, unioned into a
+# profile. The statistics a 100 TB lakehouse publishes after each load so
+# downstream consumers (and the CBO) know what landed.
+# --------------------------------------------------------------------------
+@register(
+    "dq02_table_profile",
+    """
+    SELECT 'lineitem' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+           ROUND(MIN(l_extendedprice), 2) AS min_val,
+           ROUND(MAX(l_extendedprice), 2) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+           ROUND(MIN(c_acctbal), 2), ROUND(MAX(c_acctbal), 2)
+    FROM customer
+    """,
+    "ANALYZE-style table profile: row counts, key cardinalities, domain "
+    "extrema — one aggregation pass per table, unioned into a report",
+)
+def dq02_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def profile(name: str, df: DataFrame, key: str, val: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_keys"),
+            F.round(F.min(val), 2).alias("min_val"),
+            F.round(F.max(val), 2).alias("max_val"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "n_keys", "min_val", "max_val")
+
+    out = profile("lineitem", _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_extendedprice")
+    out = out.unionByName(
+        profile("orders", _t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice")
+    )
+    return out.unionByName(
+        profile("customer", _t(spark, sf_dir, "customer"), "c_nationkey", "c_acctbal")
+    )
