@@ -549,10 +549,14 @@ def connected_components(
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    edges = edges.localCheckpoint(eager=False)
+    # eager: edges are re-joined every round — materialize the (possibly
+    # expensive) pair-generation lineage ONCE instead of re-running it per
+    # iteration (lazy checkpoint only cut lineage after first computation,
+    # so rounds 1..k each re-planned the upstream until something forced it)
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select("a").distinct().select(F.col("a").alias("node"), F.col("a").alias("label"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])

@@ -17,6 +17,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Exact-path operators ship a driver-collected vector matrix into their
+# kernels (a faiss-style flat index). Past this many vectors the collect
+# itself is the failure mode at scale, so the guard raises with the LSH
+# alternative to use instead. Overridable per call (tests use a tiny cap).
+EXACT_PATH_MAX_VECTORS = 100_000
+
+
+class ExactPathScaleError(ValueError):
+    """Raised when an exact similarity path would collect more vectors to the
+    driver than ``max_vectors`` allows. The message names the LSH-bucketed
+    operator that handles the same query shape at scale."""
+
+
+def _guard_exact_path(df: DataFrame, max_vectors: int, op: str, alternative: str) -> None:
+    """Cheap count-guard before a driver-side collect. Costs one count job
+    over a single-column projection (column-pruned scan) — negligible next
+    to the collect it protects, and it turns the documented ~100k-vector
+    contract into code instead of prose."""
+    n = df.count()
+    if n > max_vectors:
+        raise ExactPathScaleError(
+            f"{op}: {n} vectors exceed the exact-path driver-collect bound "
+            f"({max_vectors}); use {alternative} for corpora this size"
+        )
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right fold — matches the oracle's summation order."""
@@ -44,10 +69,12 @@ def brute_force_topk(
     query_id: str = "vec_id",
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_vectors: int = EXACT_PATH_MAX_VECTORS,
 ) -> DataFrame:
     """Exact cosine top-k of every query against all candidates.
 
-    Plan shape: collect the (small, by contract) query set to the driver,
+    Plan shape: collect the (small, guarded by ``max_vectors``) query set
+    to the driver,
     ship it inside a numpy ``mapInPandas`` kernel over the candidate table,
     emit only each Arrow batch's per-query top-k — so the one shuffle (the
     final window keyed by query id) moves ~k·Q rows per partition, never
@@ -60,9 +87,13 @@ def brute_force_topk(
     implementation while running ~10× faster (interpreted higher-order
     lambdas are never codegen'd; see operators/dedup.py for the same trade).
     """
-    q_rows = queries.select(
+    q_proj = queries.select(
         F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    ).collect()
+    )
+    _guard_exact_path(
+        queries.select(query_id), max_vectors, "brute_force_topk", "lsh_topk"
+    )
+    q_rows = q_proj.collect()
     q_ids = [r["query_id"] for r in q_rows]
     q_vecs = [list(r["q_vec"]) for r in q_rows]
 
@@ -390,11 +421,128 @@ def ivf_topk(
     )
 
 
+def ivf_fixed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a caller-supplied (fixed) coarse quantizer.
+
+    The trained path (:func:`ivf_topk`) learns centroids with k-means, which
+    makes its output SQL-irreproducible; real systems train the quantizer
+    offline anyway (faiss ships index factories exactly so the quantizer is
+    an *input*). This variant takes the centroids as literals, so every
+    stage is a deterministic JVM expression and the whole operator is
+    oracle-checkable:
+
+    - assignment: each candidate joins the inverted list of its
+      max-cosine centroid (ties → lower centroid id);
+    - probing: each query expands to its ``n_probe`` highest-cosine
+      centroids (one row per probed list);
+    - scoring: cosine within probed lists only → equi-join on list id,
+      never a cross product; global top-k per query by window.
+
+    The cosine fold is the same left-to-right ``F.aggregate`` sequence the
+    DuckDB oracle's ``list_cosine_similarity`` uses (proven bit-exact by
+    s02/e02), so assignment, probing, and ranking all agree with the SQL in
+    :func:`ivf_fixed_oracle_sql`.
+    """
+    # struct array (sim, -cid): array_max/sort pick highest sim, then
+    # highest -cid == LOWEST centroid id — deterministic tie-break
+    def scored_cents(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(x) for x in c])).alias("sim"),
+                    F.lit(-i).alias("neg_cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn(
+        "list_id", -F.array_max(scored_cents(F.col("c_vec"))).getField("neg_cid")
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn(
+            "probe",
+            F.slice(
+                F.reverse(F.array_sort(scored_cents(F.col("q_vec")))), 1, n_probe
+            ),
+        )
+        .withColumn("p", F.explode("probe"))
+        .withColumn("list_id", -F.col("p.neg_cid"))
+        .drop("probe", "p")
+    )
+    # each candidate lives in exactly one list and probed lists are distinct,
+    # so a (query, neighbor) pair appears at most once — no dedup needed
+    pairs = q.join(c, "list_id").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rnk")
+    )
+
+
+def ivf_fixed_oracle_sql(
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB SQL reproducing :func:`ivf_fixed_topk` exactly — centroids are
+    literal rows, assignment/probing rank by the same bit-exact
+    ``list_cosine_similarity`` with the same centroid-id tie-break."""
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(centroids)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents(cid, c) AS (VALUES {cent_rows}),
+    assign AS (
+      SELECT vec_id, e, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY list_cosine_similarity(e, c) DESC, cid)
+               AS rk
+      FROM v CROSS JOIN cents),
+    cand AS (SELECT vec_id, e, cid FROM assign WHERE rk = 1),
+    probe AS (SELECT vec_id, e, cid FROM assign
+              WHERE rk <= {n_probe} AND {query_pred}),
+    pairs AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(p.e, c.e) AS sim
+      FROM probe p JOIN cand c ON p.cid = c.cid AND p.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
 def exact_neardup_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_vectors: int = EXACT_PATH_MAX_VECTORS,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup pairs (id_a < id_b, sim >= threshold).
 
@@ -403,7 +551,8 @@ def exact_neardup_pairs(
     to ~100k vectors); each Arrow batch multiplies against it and emits only
     surviving pairs. Replaces the interpreted JVM HOF cosine over the N²/2
     broadcast join, which at sf0.1 (5k vectors, 12.5M pairs) costs ~60s vs
-    ~2s here. Past ~100k vectors use the LSH-bucketed
+    ~2s here. Past ``max_vectors`` (default ~100k) the guard raises
+    :class:`ExactPathScaleError` pointing at the LSH-bucketed
     :func:`bucketed_neardup_pairs` / e02 instead — this is the exact
     correctness baseline, like s01 for top-k.
 
@@ -411,6 +560,9 @@ def exact_neardup_pairs(
     dimension-by-dimension (vectorized adds in a j-loop) — the left-to-right
     IEEE sequence of the DuckDB oracle's ``list_cosine_similarity``.
     """
+    _guard_exact_path(
+        df.select(id_col), max_vectors, "exact_neardup_pairs", "bucketed_neardup_pairs"
+    )
     rows = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).collect()

@@ -88,6 +88,24 @@ class TableConfig:
     def from_file(cls, path: str) -> "TableConfig":
         return cls.from_json(Path(path).read_text())
 
+    @classmethod
+    def from_s3(cls, bucket: str, key: str, s3_client=None) -> "TableConfig":
+        """S2 — fetch ``<table>_config.json`` from the config bucket, the
+        reference's live path (``generic_load_script.py:27-36``;
+        ``FInal/load_script.py:33-38``: ``s3.get_object`` → ``json.loads``).
+
+        The client is injectable so tests run against moto/stubs; the
+        default builds a real boto3 client. This is a driver-side fetch of
+        a few-KB JSON — never a Spark job.
+        """
+        if s3_client is None:
+            import boto3  # driver-side only; deferred so the engine
+            # itself never requires AWS SDKs at import time
+
+            s3_client = boto3.client("s3")
+        body = s3_client.get_object(Bucket=bucket, Key=key)["Body"].read()
+        return cls.from_json(body.decode("utf-8"))
+
 
 def parse_inbound_key(key: str) -> tuple[str, str, str]:
     """S1 — split ``inbound/<source_system>/<table_name>/<file>`` positionally

@@ -370,6 +370,26 @@ def s04_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
 
 
+# Fixed coarse quantizer for s06: 16 LCG-deterministic pseudo-random
+# centroids (same generator as the LSH hyperplanes, different seed) — the
+# "trained offline, passed in" contract that makes IVF oracle-checkable.
+_S06_CENTROIDS = S._hyperplanes(dim=64, n_planes=16, seed=7)
+
+
+@register(
+    "s06_ann_ivf_fixed_topk",
+    S.ivf_fixed_oracle_sql(_S06_CENTROIDS, k=5, n_probe=4, query_pred="vec_id < 10"),
+    "IVF approximate top-k with a FIXED (caller-supplied) coarse quantizer "
+    "— same inverted-list plan shape as s04 but fully deterministic and "
+    "oracle-checked bit-exactly; s04's trained path stays under the recall "
+    "test in tests/test_similarity.py",
+)
+def s06_ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_fixed_topk(queries, emb, _S06_CENTROIDS, k=5, n_probe=4)
+
+
 @register(
     "t05_token_length_stats",
     """
@@ -952,4 +972,101 @@ def t13_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_tokens"),
         covered.alias("covered_tokens"),
         (covered.cast("double") / F.count(F.lit(1))).alias("coverage"),
+    )
+
+
+def _t14_oracle() -> str:
+    # chained global regexp_replace in PII_PATTERNS order == the Spark side;
+    # patterns stay in the RE2 ∩ java.util.regex common dialect
+    red = "text"
+    count_terms = []
+    for _, pat in T.PII_PATTERNS:
+        sql_pat = pat.replace("\\", "\\\\").replace("'", "''")
+        red = f"regexp_replace({red}, e'{sql_pat}', '[REDACTED]', 'g')"
+        count_terms.append(f"len(regexp_extract_all(text, e'{sql_pat}'))")
+    n_pii = " + ".join(count_terms)
+    return f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({n_pii}) AS BIGINT) AS total_pii_matches,
+           CAST(SUM(LENGTH({red}) - LENGTH(text)) AS BIGINT) AS redaction_len_delta
+    FROM documents GROUP BY source
+    """
+
+
+@register(
+    "t14_pii_scrub_audit",
+    _t14_oracle(),
+    "PII scrub audit per corpus: match counts (email/phone/SSN regex tier) "
+    "+ redaction length delta — the corpus-scrub pass every training "
+    "pipeline runs before tokenization; all-JVM regexp, codegen'd "
+    "(planted-PII unit test in tests/test_sampling.py covers nonzero "
+    "matches; the fixture corpus is PII-free so the oracle checks zeros)",
+)
+def t14_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    delta = F.length(T.redact_pii("text")) - F.length(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.pii_match_count("text")).cast("bigint").alias("total_pii_matches"),
+        F.sum(delta).cast("bigint").alias("redaction_len_delta"),
+    )
+
+
+@register(
+    "t15_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             lower(unnest(string_split_regex(TRIM(text), '\\s+'))) AS token
+      FROM documents
+    ), t2 AS (SELECT * FROM tok WHERE token <> ''),
+    vocab AS (
+      SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY token
+    ), tot AS (SELECT SUM(cnt) AS n FROM vocab),
+    doc_scores AS (
+      SELECT t2.doc_id, t2.source,
+             AVG(-ln(vocab.cnt / tot.n)) AS ce
+      FROM t2 JOIN vocab USING (token) CROSS JOIN tot
+      GROUP BY t2.doc_id, t2.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(ce), 3) AS avg_cross_entropy,
+           ROUND(MIN(ce), 3) AS min_cross_entropy,
+           ROUND(MAX(ce), 3) AS max_cross_entropy
+    FROM doc_scores GROUP BY source
+    """,
+    "CCNet-style quality signal: per-doc cross-entropy against the corpus "
+    "unigram LM (explode -> count -> re-join), aggregated per source. The "
+    "vocab re-join is a shuffle equi-join on token — the shape that "
+    "survives 100 TB (no driver-side vocab); perplexity filtering drops "
+    "docs whose ce is an outlier",
+)
+def t15_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw"),
+        )
+        .select("doc_id", "source", F.lower(F.col("raw")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "source",
+            (-F.log(F.col("cnt").cast("double") / F.col("n"))).alias("nll"),
+        )
+    )
+    doc_scores = scored.groupBy("doc_id", "source").agg(F.avg("nll").alias("ce"))
+    return doc_scores.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ce"), 3).alias("avg_cross_entropy"),
+        F.round(F.min("ce"), 3).alias("min_cross_entropy"),
+        F.round(F.max("ce"), 3).alias("max_cross_entropy"),
     )

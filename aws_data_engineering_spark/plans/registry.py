@@ -54,11 +54,54 @@ def _load_all() -> None:
     )
 
 
+# Queries already driver-verified in a previous round (green rows in
+# CORRECTNESS_r01.json). The driver samples a prefix of the registry each
+# round, so we order not-yet-driver-checked queries first to rotate the
+# whole registry through the checked set across rounds. All queries are
+# oracle-checked locally every round by tests/test_queries_oracle.py
+# regardless of this ordering.
+_DRIVER_CHECKED: frozenset[str] = frozenset(
+    {
+        "q20_events_hourly_tumbling", "q21_events_sliding_window",
+        "q22_events_json_extract", "q23_events_user_gaps",
+        "q24_events_running_total", "q25_events_sessionization",
+        "q41_conversion_funnel", "q47_json_struct_parse",
+        "q59_variant_semistructured", "q61_builtin_session_window",
+        "d01_exact_dedup_groups", "d02_latest_event_per_user",
+        "d03_fingerprint_dedup", "d04_minhash_candidate_pairs",
+        "d05_ngram_jaccard_pairs", "d06_simhash", "d07_simhash_neardup_pairs",
+        "d08_winnowing_overlap_pairs", "d09_benchmark_contamination",
+        "d10_neardup_clusters", "t01_text_stats", "t02_quality_scores",
+        "t03_token_counts_by_source", "t04_lang_distribution",
+        "t05_token_length_stats", "t06_winnowing_fingerprints",
+        "t07_repetition_signals", "t08_pandas_udf_tokens",
+        "t09_udtf_tokenize", "t10_top_tokens", "t11_arrow_native_stats",
+        "t12_collapse_repeated_tokens", "t13_vocab_coverage",
+        "s01_ann_bruteforce_topk", "s02_ann_lsh_topk",
+        "s03_embedding_stats_by_label", "e01_embedding_neardup_exact",
+        "e02_embedding_neardup_lsh", "pp01_training_data_pipeline",
+        "s05_knn_graph", "m01_media_metadata", "m02_image_decode_features",
+        "m03_video_frame_sample", "m04_audio_decode_features",
+        "p01_train_val_test_split", "p02_dataset_mixture",
+        "p03_grouped_map_rank", "p04_grouped_agg_udf", "p05_sequence_packing",
+        # s04 was sampled in r01 but is rows-only (no_oracle) by design; its
+        # oracle-checkable companion s06_ann_ivf_fixed_topk is new this round
+        # and sorts first with the unchecked set.
+        "s04_ann_ivf_topk",
+    }
+)
+
+
+def _ordered() -> list[tuple[str, Query]]:
+    # Stable sort: un-checked queries keep registration order, then checked.
+    return sorted(QUERIES.items(), key=lambda kv: kv[0] in _DRIVER_CHECKED)
+
+
 def queries() -> dict[str, SparkFn]:
     _load_all()
-    return {name: q.spark for name, q in QUERIES.items()}
+    return {name: q.spark for name, q in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {name: q.oracle for name, q in _ordered() if q.oracle is not None}

@@ -39,14 +39,24 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default. Read nanos as long, then integer-divide (DIV, not double
-        # division — ns epoch values exceed double's 2^53 mantissa) down to
-        # microseconds and rebuild a TimestampType column.
+        # events.ts has shipped as three different parquet encodings across
+        # fixture generations; normalize every one of them to TimestampType
+        # so downstream plans (unix_micros, windows, as-of joins) see ONE
+        # contract:
+        # - TIMESTAMP(NANOS): Spark rejects it unless nanosAsLong, then it
+        #   reads as bigint nanos → integer-divide to micros (DIV, not
+        #   double division — ns epoch exceeds double's 2^53 mantissa);
+        # - timestamp[us] (current fixtures): reads as TIMESTAMP_NTZ →
+        #   cast to TIMESTAMP (identity under a UTC session, and the
+        #   oracle compares via naive wall-clock formatting either way);
+        # - plain TIMESTAMP: already the contract.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -27,9 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events.ts is parquet TIMESTAMP(NANOS); streaming sources require an explicit
-# schema, and with nanosAsLong the field arrives as bigint (see
-# sources/tables.load_table for the batch-side twin of this handling).
+# Streaming sources require an explicit schema. ts is declared bigint so the
+# INT64-physical parquet column reads as its raw integer value regardless of
+# which logical annotation the fixture generation used (TIMESTAMP(NANOS),
+# timestamp[us], or plain TIMESTAMP) — the unit is then resolved per-file by
+# read_events_stream (see sources/tables.load_table for the batch-side twin).
 EVENTS_DDL = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
 
 
@@ -40,21 +42,29 @@ def read_events_stream(
 ) -> DataFrame:
     """``readStream`` over a directory (or file) of events parquet.
 
-    Emits the batch-identical schema: ts converted nanos→TimestampType via
-    integer division (ns epoch exceeds double's 2^53 mantissa — never go
-    through a double here)."""
+    Emits the batch-identical schema: raw INT64 ts converted to
+    TimestampType. The raw unit depends on the fixture generation (nanos
+    under TIMESTAMP(NANOS), micros under timestamp[us]/TIMESTAMP), so a
+    footer-only batch probe of the same path decides the conversion: bigint
+    view → nanos → integer-divide to micros (DIV, not double division — ns
+    epoch exceeds double's 2^53 mantissa); timestamp view → already micros.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import os
 
+    probe_path = path
     if os.path.isfile(path):
         # FileStreamSource requires a directory or glob; a trailing '*'
         # turns a single-file path into a glob matching exactly that file
         path = path + "*"
+    ts_view = dict(spark.read.parquet(probe_path).dtypes).get("ts")
     reader = spark.readStream.schema(EVENTS_DDL)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_view == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.timestamp_micros(F.col("ts")))
 
 
 def windowed_counts(

@@ -43,6 +43,13 @@ HEADLINE = [
     "m02_image_decode_features",
     "st01_stream_tumbling_counts",
     "pp01_training_data_pipeline",
+    # round-2 breadth: profit star-join, grouped-HAVING re-join, full k-NN
+    # graph, rule-driven data-quality scan — one representative per
+    # previously-unbenched family so regressions there surface per-round.
+    "q34_profit_by_nation_year",
+    "q56_big_order_customers",
+    "s05_knn_graph",
+    "dq01_data_quality_checks",
 ]
 
 

@@ -178,6 +178,43 @@ def test_table_config_roundtrip():
     assert cfg.primary_key == ["id"] and cfg.delimiter == ","
 
 
+def test_table_config_from_s3_moto():
+    """S2 live path: config fetched from an S3 bucket via boto3
+    (reference generic_load_script.py:27-36), exercised against moto."""
+    moto = pytest.importorskip("moto")
+    import boto3
+
+    with moto.mock_aws():
+        s3 = boto3.client("s3", region_name="us-east-1")
+        s3.create_bucket(Bucket="config-bucket")
+        s3.put_object(
+            Bucket="config-bucket",
+            Key="configs/customers_config.json",
+            Body=b'{"table_name": "customers", "schema": {"id": "IntegerType"},'
+            b' "primary_key": ["id"], "curated_load_strategy": "upsert"}',
+        )
+        cfg = P.TableConfig.from_s3(
+            "config-bucket", "configs/customers_config.json", s3_client=s3
+        )
+    assert cfg.table_name == "customers"
+    assert cfg.schema == {"id": "IntegerType"}
+    assert cfg.curated_load_strategy == "upsert"
+
+
+def test_table_config_from_s3_stub_client():
+    """The injectable-client seam: any object with the boto3 get_object
+    shape works (what run-books use to point at non-AWS object stores)."""
+    import io
+
+    class StubS3:
+        def get_object(self, Bucket, Key):
+            assert (Bucket, Key) == ("b", "k.json")
+            return {"Body": io.BytesIO(b'{"table_name": "t", "schema": {"x": "StringType"}}')}
+
+    cfg = P.TableConfig.from_s3("b", "k.json", s3_client=StubS3())
+    assert cfg.table_name == "t" and cfg.sort_columns == []
+
+
 def _write_gz_csv(path, text):
     path.parent.mkdir(parents=True, exist_ok=True)
     with gzip.open(path, "wt") as f:

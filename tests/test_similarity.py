@@ -62,6 +62,31 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     assert len(ivf_part & set(exact)) >= len(exact) * 0.5
 
 
+def test_exact_path_scale_guard_fires(spark, sf_dir):
+    """The exact similarity paths collect vectors to the driver; past
+    ``max_vectors`` that collect is the scale failure, so the guard must
+    raise (naming the LSH alternative) BEFORE collecting — and stay silent
+    under the bound."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    with pytest.raises(S.ExactPathScaleError, match="bucketed_neardup_pairs"):
+        S.exact_neardup_pairs(emb, threshold=0.8, max_vectors=n - 1)
+    with pytest.raises(S.ExactPathScaleError, match="lsh_topk"):
+        S.brute_force_topk(emb, emb, k=3, max_vectors=n - 1)
+    # guard is on the collected query side, not the streamed candidate side
+    small_q = emb.filter(F.col("vec_id") < 5)
+    assert S.brute_force_topk(small_q, emb, k=3, max_vectors=5).count() > 0
+    # at-the-bound is allowed (contract is "more than max_vectors raises")
+    assert S.exact_neardup_pairs(emb, threshold=0.95, max_vectors=n).columns == [
+        "id_a",
+        "id_b",
+        "sim",
+    ]
+
+
 def test_jaccard_max_df_cap(spark, sf_dir):
     """max_df semantics: a cap above every shingle's document frequency is a
     no-op (identical to exact), and with a tight cap the hot stop-shingle
