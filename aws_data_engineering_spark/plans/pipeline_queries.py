@@ -282,3 +282,39 @@ def q67_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("price"), 2).alias("total_price"),
         F.min("o_orderkey").alias("min_key"),
     )
+
+
+@register(
+    "c02_xml_roundtrip",
+    """
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+    "XML connector roundtrip (Spark 4 built-in XML source): nation written "
+    "as XML, read back with an explicit schema, aggregated — the oracle "
+    "aggregates the original table, so any row lost/garbled in the "
+    "serialize→parse cycle fails the hash",
+)
+def c02_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_data_engineering_spark.sources.readers import read_xml
+    from aws_data_engineering_spark.sources.writers import write_xml
+
+    nation = load_table(spark, sf_dir, "nation")
+    # stable per-process path; overwrite keeps the call idempotent
+    out = os.path.join(tempfile.gettempdir(), "spark_xml_roundtrip", "nation")
+    write_xml(nation, out, row_tag="nation", root_tag="nations")
+    back = read_xml(
+        spark, out, row_tag="nation",
+        schema=nation.schema,  # explicit: inference would widen ints to long
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.min("n_name").alias("first_name"),
+    )

@@ -2232,3 +2232,108 @@ def dq02_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(
         profile("customer", _t(spark, sf_dir, "customer"), "c_nationkey", "c_acctbal")
     )
+
+
+@register(
+    "q69_recursive_month_spine",
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('year', MIN(o_orderdate)) AS ylo,
+             date_trunc('month', MIN(o_orderdate)) AS lo,
+             date_trunc('month', MAX(o_orderdate)) AS hi
+      FROM orders
+    ),
+    years(y) AS (
+      SELECT ylo FROM bounds
+      UNION ALL
+      SELECT y + INTERVAL 1 YEAR FROM years, bounds WHERE y < date_trunc('year', hi)
+    ),
+    spine AS (
+      SELECT y + INTERVAL 1 MONTH * k AS m
+      FROM years CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS k)
+    ),
+    clipped AS (
+      SELECT m FROM spine CROSS JOIN bounds WHERE m >= lo AND m <= hi
+    ),
+    rev AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(clipped.m, '%Y-%m') AS month,
+           COALESCE(rev.n_orders, 0) AS n_orders,
+           COALESCE(rev.revenue, 0.0) AS revenue
+    FROM clipped LEFT JOIN rev ON clipped.m = rev.m
+    """,
+    "recursive-CTE month spine (WITH RECURSIVE, Spark 4) left-joined to "
+    "monthly revenue — gap-fill via recursion; depth = number of YEARS "
+    "(each step emits 12 months) because every recursive step is one Spark "
+    "job — per-month recursion costs 12x the driver round-trips for the "
+    "same rows; bounded+acyclic, spine joins broadcast",
+)
+def q69_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sqlv69_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT date_trunc('year', MIN(o_orderdate)) AS ylo,
+                 date_trunc('month', MIN(o_orderdate)) AS lo,
+                 date_trunc('month', MAX(o_orderdate)) AS hi
+          FROM sqlv69_orders
+        ),
+        years(y) AS (
+          SELECT ylo FROM bounds
+          UNION ALL
+          SELECT y + INTERVAL '1' YEAR FROM years, bounds
+          WHERE y < date_trunc('year', hi)
+        ),
+        spine AS (
+          SELECT to_timestamp(add_months(y, k)) AS m
+          FROM years LATERAL VIEW explode(sequence(0, 11)) AS k
+        ),
+        clipped AS (
+          SELECT m FROM spine CROSS JOIN bounds WHERE m >= lo AND m <= hi
+        ),
+        rev AS (
+          SELECT date_trunc('month', o_orderdate) AS m,
+                 COUNT(*) AS n_orders,
+                 ROUND(SUM(o_totalprice), 2) AS revenue
+          FROM sqlv69_orders GROUP BY 1
+        )
+        SELECT date_format(clipped.m, 'yyyy-MM') AS month,
+               COALESCE(rev.n_orders, 0) AS n_orders,
+               COALESCE(rev.revenue, 0.0) AS revenue
+        FROM clipped LEFT JOIN rev ON clipped.m = rev.m
+        """
+    )
+
+
+@register(
+    "q70_lateral_topk_per_nation",
+    """
+    SELECT n.n_name AS nation, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE customer.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) c
+    """,
+    "correlated LATERAL subquery with per-group ORDER BY + LIMIT (top-2 "
+    "customers per nation) — the SQL-standard spelling of q04's window "
+    "top-k; Catalyst de-correlates it into a ranked join, no per-row "
+    "re-execution",
+)
+def q70_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("sqlv70_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("sqlv70_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, c.c_custkey, c.c_acctbal
+        FROM sqlv70_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM sqlv70_customer
+          WHERE sqlv70_customer.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+        """
+    )

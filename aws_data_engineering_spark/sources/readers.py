@@ -68,3 +68,21 @@ def read_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: StructType | None = None,
+) -> DataFrame:
+    """XML scan (Spark 4 built-in XML source — no external package).
+
+    ``row_tag`` names the repeated element that becomes one row. Without a
+    schema the source infers one (extra pass — declare schemas at scale,
+    same rule as CSV).
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -297,3 +297,22 @@ def apply_cdc(
     upserts = latest.filter(F.col(op_col) != "D").drop(*drop_cols)
     kept = base.join(latest.select(*keys), keys, "left_anti")
     return kept.unionByName(upserts)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (Spark 4 built-in XML source). One file per partition, same
+    parallel-write model as parquet/csv — the interchange format for
+    feeds that still speak XML."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )

@@ -377,6 +377,27 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(dt" in plan
 
 
+def test_xml_roundtrip(spark, tmp_path):
+    """XML source/sink parity (Spark 4 built-in source): write with row/root
+    tags, read back with an explicit schema — values and types survive the
+    serialize→parse cycle, including characters XML must escape."""
+    from aws_data_engineering_spark.sources.readers import read_xml
+    from aws_data_engineering_spark.sources.writers import write_xml
+
+    path = str(tmp_path / "xml_tbl")
+    df = spark.createDataFrame(
+        [(1, "a<b&c", 1.5), (2, "plain", -0.25), (3, "", 0.0)],
+        "id int, v string, x double",
+    )
+    write_xml(df, path, row_tag="rec", root_tag="recs")
+    back = read_xml(spark, path, row_tag="rec", schema=df.schema)
+    assert sorted((r["id"], r["v"], r["x"]) for r in back.collect()) == [
+        (1, "a<b&c", 1.5),
+        (2, "plain", -0.25),
+        (3, "", 0.0),
+    ]
+
+
 def test_approx_percentile_error_bound(spark, sf_dir):
     """q39's sketch quartiles must sit within 1% relative error of q17's
     exact quartiles (accuracy=10000 → rank error <= n/10000)."""

@@ -126,3 +126,20 @@ def test_pp01_pipeline_fuses_scalar_stages(spark, sf_dir):
     # one scan of documents, and only the dedup window + final agg shuffle
     assert plan.count("documents") >= 1
     assert plan.count("Exchange") <= 3, plan.count("Exchange")
+
+
+def test_s06_ivf_fixed_no_cartesian(spark, sf_dir):
+    plan = _plan(queries()["s06_ann_ivf_fixed_topk"](spark, sf_dir))
+    # probed-list search must be an equi-join on list_id — never the
+    # query×candidate cross product the inverted index exists to avoid
+    assert "CartesianProduct" not in plan
+    assert "list_id" in plan
+
+
+def test_t15_vocab_rejoin_no_driver_vocab(spark, sf_dir):
+    plan = _plan(queries()["t15_unigram_logprob"](spark, sf_dir))
+    # the unigram-LM score re-joins tokens with corpus counts as a JOIN on
+    # token (shuffle or broadcast — both distributed); the corpus-total is
+    # the only broadcast-able singleton
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
