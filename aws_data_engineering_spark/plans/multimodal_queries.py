@@ -115,3 +115,32 @@ def m04_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     clips = M.synthesize_fake_audio(docs, "doc_id")
     return M.decode_audio_features(clips, "id", "data")
+
+
+@register(
+    "m05_png_decode_features",
+    """
+    WITH dims AS (
+      SELECT doc_id AS id,
+             CAST(4 + doc_id % 16 AS INT) AS width,
+             CAST(4 + doc_id % 12 AS INT) AS height
+      FROM documents
+    )
+    SELECT id, width, height,
+           CAST(width AS BIGINT) * height AS n_pixels,
+           CAST(list_aggregate([CAST((id + k) * 31 % 256 AS DOUBLE)
+                                FOR k IN generate_series(0, width * height - 1)],
+                               'sum') AS DOUBLE)
+             / (width * height) AS mean_pixel,
+           'image/png' AS mime
+    FROM dims
+    """,
+    "REAL image decode end-to-end: genuine PNG blobs (zlib IDAT, CRC'd "
+    "chunks, filter type cycling 0-4 per image) decoded by the pure-Python "
+    "codec inside mapInPandas — the oracle's closed-form pixel sum only "
+    "matches if every scanline unfilters correctly",
+)
+def m05_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    images = M.synthesize_png_images(docs, "doc_id")
+    return M.decode_images(images, "id", "data", "mime")
