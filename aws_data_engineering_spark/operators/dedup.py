@@ -583,6 +583,87 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """PageRank over an undirected pair list (``node``, ``rank``) — the
+    graph-centrality stage of corpus curation: in a near-dup graph, high-rank
+    nodes are template/boilerplate hubs worth inspecting before dedup keeps
+    a "canonical" copy of spam.
+
+    Shape: degree table once, then ``iterations`` rounds of
+    (join ranks→edges on source, groupBy destination, sum contributions) —
+    one shuffle join + one shuffle agg per round, the standard Pregel-on-
+    DataFrames layout that scales with edge count. A FIXED iteration count
+    (not convergence polling) keeps the plan static and the result
+    deterministic/oracle-reproducible; rank sums are order-insensitive up to
+    float ulps, absorbed by the caller rounding to >=4 decimals.
+
+    Reference scope note: the reference engine has no graph operators; this
+    extends the training-data-pipeline surface (SURVEY.md §2b) alongside
+    connected_components.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = edges.localCheckpoint(eager=True)  # reused every round
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("a").alias("node"))
+    n_nodes = nodes.count()  # one scalar job; the node list stays distributed
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(deg, "a")
+            .join(ranks, edges["a"] == ranks["node"])
+            .select(F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    pairs_cte: str, damping: float = 0.85, iterations: int = 3, round_to: int = 6
+) -> str:
+    """DuckDB SQL reproducing :func:`pagerank`: the fixed iteration count
+    un-rolls into chained CTEs (r0 -> r1 -> ...). ``pairs_cte`` must define
+    ``pairs(id_a, id_b)``. Rank sums are FP-order-insensitive to ~1e-15, so
+    both engines agree after rounding to ``round_to`` decimals."""
+    d = damping
+    parts = [
+        pairs_cte,
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs)",
+        "deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        "r0 AS (SELECT a AS node, 1.0 / n AS rank FROM deg CROSS JOIN nn)",
+    ]
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"r{k} AS (SELECT d.a AS node, (1.0 - {d}) / nn.n + {d} * COALESCE(s.s, 0.0) AS rank "
+            f"FROM deg d CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.b AS node, SUM(r.rank / dd.deg) AS s "
+            f"FROM edges e JOIN deg dd ON e.a = dd.a JOIN {prev} r ON e.a = r.node "
+            f"GROUP BY e.b) s ON d.a = s.node)"
+        )
+        prev = f"r{k}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, ROUND(rank, {round_to}) AS rank FROM {prev}"
+    )
+
+
 def minhash_oracle_sql(num_hashes: int = 32, num_bands: int = 8) -> str:
     """DuckDB SQL reproducing :func:`minhash_candidate_pairs` exactly over
     the ``documents`` view.

@@ -1070,3 +1070,26 @@ def t15_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("ce"), 3).alias("min_cross_entropy"),
         F.round(F.max("ce"), 3).alias("max_cross_entropy"),
     )
+
+
+_G01_PAIRS_CTE = """pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+        ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.45)"""
+
+
+@register(
+    "g01_pagerank_neardup_graph",
+    D.pagerank_oracle_sql(_G01_PAIRS_CTE, damping=0.85, iterations=3, round_to=6),
+    "PageRank over the embedding near-dup graph (fixed 3 iterations, "
+    "Pregel-on-DataFrames: one join + one agg shuffle per round) — "
+    "graph-centrality curation signal: high-rank nodes are boilerplate "
+    "hubs; oracle un-rolls the same iterations as chained CTEs",
+)
+def g01_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.exact_neardup_pairs(emb, threshold=0.45).select("id_a", "id_b")
+    ranks = D.pagerank(pairs, "id_a", "id_b", damping=0.85, iterations=3)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

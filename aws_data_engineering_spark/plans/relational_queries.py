@@ -2337,3 +2337,29 @@ def q70_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+@register(
+    "q71_hll_partial_union",
+    None,  # DataSketches HLL internals aren't SQL-reproducible in DuckDB →
+    # rows-only check; exactness of MERGE parity + error bound are pinned by
+    # tests/test_etl_core.py::test_hll_mergeability_and_error
+    "two-level sketch aggregation: per-priority HLL sketches of the "
+    "customer key, merged with hll_union_agg into the global distinct "
+    "estimate — the pre-aggregate-sketches-per-partition / merge-at-query "
+    "pattern that replaces full re-scans at 100 TB (sketch bytes per "
+    "partition, not rows, cross the final shuffle)",
+)
+def q71_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    partials = orders.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return partials.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partials"),
+        F.sum("n_rows").cast("bigint").alias("n_orders"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("bigint").alias(
+            "approx_distinct_customers"
+        ),
+    )

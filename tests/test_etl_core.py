@@ -523,3 +523,24 @@ def test_apply_cdc_latest_wins_and_deletes(spark):
     assert out == {1: "keep", 2: "v2", 4: "new"}
     with pytest.raises(ValueError, match="primary_key"):
         W.apply_cdc(base, changes, [])
+
+
+def test_hll_mergeability_and_error(spark, sf_dir):
+    """The q71 sketch pipeline's merge identity and accuracy: unioning
+    per-group HLL sketches must estimate within 2% of the exact distinct
+    count, and must equal the single global sketch's estimate (sketch
+    insertion is order/partition-insensitive) — the property that makes
+    per-day sketch rollups sound at 100 TB."""
+    from aws_data_engineering_spark.plans.registry import QUERIES, queries
+
+    queries()
+    merged = QUERIES["q71_hll_partial_union"].spark(spark, sf_dir).collect()[0]
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    direct = orders.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").cast("bigint").alias("e")
+    ).collect()[0]["e"]
+    exact = orders.select("o_custkey").distinct().count()
+    assert merged["approx_distinct_customers"] == direct
+    assert abs(merged["approx_distinct_customers"] - exact) / exact < 0.02

@@ -252,3 +252,25 @@ def test_apply_cdc_equals_model(spark, base_rows, change_rows):
         for r in W.apply_cdc(base_df, ch_df, ["id"], seq_col="seq").collect()
     }
     assert out == expected
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=0, max_value=4),
+    st.binary(min_size=0, max_size=120),
+)
+def test_png_codec_roundtrip_property(w, h, filter_type, seed_bytes):
+    """PNG encode→decode is the identity for arbitrary pixel content under
+    every scanline filter — hypothesis hunts the unfilter corner cases
+    (row-boundary references, modular wraparound, single-pixel rows)."""
+    from aws_data_engineering_spark.operators import multimodal as M
+
+    encode_png, decode_png = M._png_worker_fns()
+    n = w * h
+    pixels = bytes((seed_bytes * (n // max(len(seed_bytes), 1) + 1))[:n]) if seed_bytes else bytes(n)
+    blob = encode_png(w, h, pixels, filter_type=filter_type)
+    dw, dh, ch, out = decode_png(blob)
+    assert (dw, dh, ch) == (w, h, 1)
+    assert out == pixels
