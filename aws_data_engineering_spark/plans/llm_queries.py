@@ -1054,14 +1054,18 @@ def t15_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
     )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("n"))
-    scored = (
-        toks.join(vocab, "token")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id", "source",
-            (-F.log(F.col("cnt").cast("double") / F.col("n"))).alias("nll"),
-        )
+    # corpus total as a window over vocab, NOT a separate .agg() branch: the
+    # agg branch re-planned the whole scan→explode→groupBy lineage (a third
+    # full corpus scan at 100 TB); the unpartitioned window is one task over
+    # the already-aggregated (token, cnt) table — MBs, not TBs
+    from pyspark.sql import Window
+
+    vocab = vocab.withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(F.lit(1)))
+    )
+    scored = toks.join(vocab, "token").select(
+        "doc_id", "source",
+        (-F.log(F.col("cnt").cast("double") / F.col("n"))).alias("nll"),
     )
     doc_scores = scored.groupBy("doc_id", "source").agg(F.avg("nll").alias("ce"))
     return doc_scores.groupBy("source").agg(

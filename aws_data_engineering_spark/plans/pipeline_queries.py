@@ -318,3 +318,38 @@ def c02_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_nationkey").cast("bigint").alias("key_sum"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@register(
+    "c03_managed_table_roundtrip",
+    """
+    SELECT r_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_regions,
+           MIN(r_name) AS first_name
+    FROM region GROUP BY r_regionkey
+    """,
+    "catalog surface: saveAsTable into the session warehouse -> "
+    "spark.table read-back -> aggregate; the oracle aggregates the source "
+    "table, so catalog metadata or data loss in the managed roundtrip "
+    "fails the hash",
+)
+def c03_managed_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
+    region = load_table(spark, sf_dir, "region")
+    name = "spark_graft_c03_region"
+    # a fresh session's in-memory catalog doesn't know about a previous
+    # process's managed-table directory — drop both the catalog entry and
+    # any orphaned location, or saveAsTable dies with LOCATION_ALREADY_EXISTS
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if warehouse:
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    region.write.mode("overwrite").saveAsTable(name)
+    assert any(t.name == name for t in spark.catalog.listTables())
+    back = spark.table(name)
+    return back.groupBy("r_regionkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_regions"),
+        F.min("r_name").alias("first_name"),
+    )

@@ -2363,3 +2363,32 @@ def q71_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_distinct_customers"
         ),
     )
+
+
+@register(
+    "q72_parameterized_sql",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    """,
+    "parameterized spark.sql (Spark 4 named-parameter binding, :name args) "
+    "— the injection-safe SQL front door; parameters bind as literals so "
+    "Catalyst still constant-folds and pushes the predicate to the scan",
+)
+def q72_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sqlv72_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM sqlv72_orders
+        WHERE o_orderstatus = :status AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "O", "min_price": 1000.0},
+    )
