@@ -2392,3 +2392,36 @@ def q72_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "O", "min_price": 1000.0},
     )
+
+
+@register(
+    "q73_scd2_historization",
+    """
+    SELECT user_id, event_id,
+           value AS attr_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "SCD2 historization: each change event per key becomes a validity "
+    "interval [valid_from, valid_to) with an is_current flag — one lead() "
+    "window per key (single shuffle on user_id), the warehouse pattern for "
+    "turning a CDC/event stream into an as-of-queryable dimension history",
+)
+def q73_scd2_historization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("attr_value"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

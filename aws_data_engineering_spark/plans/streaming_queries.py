@@ -203,3 +203,49 @@ def st07_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("bucket").cast("bigint").alias("bucket_sum"),
         F.min("id").alias("first_id"),
     )
+
+
+@register(
+    "st08_stream_cdc_upsert",
+    """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+           value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id) = 1
+    """,
+    "streaming CDC apply end-to-end: events stream -> foreachBatch "
+    "latest-by-key collapse -> MERGE upsert into a lake table -> read the "
+    "converged table back; the oracle is the batch latest-event-per-user, "
+    "so a dropped/duplicated/mis-merged key fails the hash (the streaming "
+    "twin of the reference's W5 curated-upsert strategy)",
+)
+def st08_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from aws_data_engineering_spark.streaming import stream_upsert_sink
+
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    base = os.path.join(tempfile.gettempdir(), "spark_st08", uuid.uuid4().hex[:8])
+    shutil.rmtree(base, ignore_errors=True)
+    q = stream_upsert_sink(
+        stream,
+        os.path.join(base, "user_latest"),
+        primary_key=["user_id"],
+        order_col="ts",
+        tiebreak_col="event_id",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    table = spark.read.parquet(os.path.join(base, "user_latest"))
+    return table.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
+        "value",
+    )
