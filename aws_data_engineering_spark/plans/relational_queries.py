@@ -2425,3 +2425,40 @@ def q73_scd2_historization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, fmt).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "dq03_outlier_detection",
+    """
+    WITH stats AS (
+      SELECT o_orderpriority,
+             AVG(o_totalprice) AS mu,
+             STDDEV_SAMP(o_totalprice) AS sigma
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN ABS(o.o_totalprice - s.mu) > 3 * s.sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(s.mu + 3 * s.sigma, 2) AS upper_bound
+    FROM orders o JOIN stats s USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, s.mu, s.sigma
+    """,
+    "z-score outlier detection per group (3-sigma rule): one stats pass, "
+    "one broadcast re-join of the tiny per-group stats, one flagging pass "
+    "— the data-quality anomaly scan; at 100 TB both passes are shuffle-"
+    "partial-agg shaped and the stats side is always broadcastable",
+)
+def dq03_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sigma"),
+    )
+    joined = orders.join(F.broadcast(stats), "o_orderpriority")
+    outlier = (F.abs(F.col("o_totalprice") - F.col("mu")) > 3 * F.col("sigma")).cast("int")
+    return joined.groupBy("o_orderpriority", "mu", "sigma").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(outlier).cast("bigint").alias("n_outliers"),
+        F.round(F.col("mu") + 3 * F.col("sigma"), 2).alias("upper_bound"),
+    ).drop("mu", "sigma")

@@ -143,3 +143,24 @@ def test_t15_vocab_rejoin_no_driver_vocab(spark, sf_dir):
     # the only broadcast-able singleton
     assert "Join" in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_registry_orders_unchecked_queries_first():
+    """The driver oracle-checks a prefix of the registry; queries not yet
+    driver-verified must sort before already-verified ones so coverage
+    rotates across rounds (see registry._DRIVER_CHECKED)."""
+    from aws_data_engineering_spark.plans import registry as R
+
+    names = list(R.queries())
+    seen_checked = False
+    for n in names:
+        if n in R._DRIVER_CHECKED:
+            seen_checked = True
+        else:
+            assert not seen_checked, (
+                f"unchecked query {n} sorts after a checked one — rotation broken"
+            )
+    # sanity: both groups exist and nothing was lost
+    assert any(n in R._DRIVER_CHECKED for n in names)
+    assert any(n not in R._DRIVER_CHECKED for n in names)
+    assert set(R.oracle_sql()) <= set(names)

@@ -274,3 +274,32 @@ def test_stream_python_datasource_row_parity(spark):
     got = sorted(tuple(r) for r in drained.collect())
     want = sorted(tuple(r) for r in read_synthlog(spark, 2000, 4).collect())
     assert got == want
+
+
+def test_stream_upsert_sink_restart_idempotent(spark, sf_dir, split_events_dir, tmp_path):
+    """Restarting the CDC upsert stream from its checkpoint with no new
+    input must leave the target byte-identical (offsets committed → no
+    batch replays, and MERGE replays would converge anyway) — the
+    exactly-once posture stream_upsert_sink documents."""
+    target = str(tmp_path / "user_latest")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = ST.read_events_stream(spark, split_events_dir, max_files_per_trigger=1)
+        q = ST.stream_upsert_sink(
+            stream, target, primary_key=["user_id"], order_col="ts",
+            tiebreak_col="event_id", checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = sorted(
+        (r["user_id"], r["event_id"], r["value"])
+        for r in spark.read.parquet(target).collect()
+    )
+    run_once()  # restart from checkpoint, no new files
+    second = sorted(
+        (r["user_id"], r["event_id"], r["value"])
+        for r in spark.read.parquet(target).collect()
+    )
+    assert first == second
