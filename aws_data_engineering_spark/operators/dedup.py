@@ -613,6 +613,10 @@ def pagerank(
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("a").alias("node"))
     n_nodes = nodes.count()  # one scalar job; the node list stays distributed
+    if n_nodes == 0:
+        # empty graph (e.g. no pair cleared the similarity threshold):
+        # return an empty (node, rank) frame — the oracle's empty result
+        return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):

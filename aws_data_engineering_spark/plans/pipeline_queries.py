@@ -301,13 +301,18 @@ def q67_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c02_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
+    import uuid
 
     from aws_data_engineering_spark.sources.readers import read_xml
     from aws_data_engineering_spark.sources.writers import write_xml
 
     nation = load_table(spark, sf_dir, "nation")
-    # stable per-process path; overwrite keeps the call idempotent
-    out = os.path.join(tempfile.gettempdir(), "spark_xml_roundtrip", "nation")
+    # uuid-unique path: a fixed shared location would race a concurrent
+    # session's overwrite (leaks a KB-sized dir per run — the returned
+    # DataFrame reads lazily, so cleanup here would break the caller)
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_xml_roundtrip", uuid.uuid4().hex[:8], "nation"
+    )
     write_xml(nation, out, row_tag="nation", root_tag="nations")
     back = read_xml(
         spark, out, row_tag="nation",
@@ -334,18 +339,15 @@ def c02_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fails the hash",
 )
 def c03_managed_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    from urllib.parse import urlparse
+    import uuid
 
     region = load_table(spark, sf_dir, "region")
-    name = "spark_graft_c03_region"
-    # a fresh session's in-memory catalog doesn't know about a previous
-    # process's managed-table directory — drop both the catalog entry and
-    # any orphaned location, or saveAsTable dies with LOCATION_ALREADY_EXISTS
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    if warehouse:
-        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    # uuid-unique table name: a fixed name collides with a previous
+    # process's orphaned managed-table directory (LOCATION_ALREADY_EXISTS —
+    # the fresh in-memory catalog doesn't know about it) and would race a
+    # concurrent session; leaks a KB-sized warehouse dir per run, since the
+    # returned DataFrame reads the table lazily
+    name = f"spark_graft_c03_region_{uuid.uuid4().hex[:8]}"
     region.write.mode("overwrite").saveAsTable(name)
     assert any(t.name == name for t in spark.catalog.listTables())
     back = spark.table(name)

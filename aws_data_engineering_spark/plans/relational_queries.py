@@ -2432,33 +2432,98 @@ def q73_scd2_historization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH stats AS (
       SELECT o_orderpriority,
-             AVG(o_totalprice) AS mu,
-             STDDEV_SAMP(o_totalprice) AS sigma
+             CAST(ROUND(AVG(o_totalprice) * 100) AS BIGINT) AS mu_c,
+             CAST(ROUND(STDDEV_SAMP(o_totalprice) * 300) AS BIGINT) AS thr_c
       FROM orders GROUP BY o_orderpriority
     )
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CASE WHEN ABS(o.o_totalprice - s.mu) > 3 * s.sigma
+           CAST(SUM(CASE WHEN ABS(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                                  - s.mu_c) > s.thr_c
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           ROUND(s.mu + 3 * s.sigma, 2) AS upper_bound
+           (s.mu_c + s.thr_c) / 100.0 AS upper_bound
     FROM orders o JOIN stats s USING (o_orderpriority)
-    GROUP BY o.o_orderpriority, s.mu, s.sigma
+    GROUP BY o.o_orderpriority, s.mu_c, s.thr_c
     """,
     "z-score outlier detection per group (3-sigma rule): one stats pass, "
     "one broadcast re-join of the tiny per-group stats, one flagging pass "
     "— the data-quality anomaly scan; at 100 TB both passes are shuffle-"
-    "partial-agg shaped and the stats side is always broadcastable",
+    "partial-agg shaped and the stats side is always broadcastable. The "
+    "boundary is quantized to integer cents BEFORE comparison: mu/sigma "
+    "carry partition-order ulp jitter, and an exact-count flag comparing "
+    "raw doubles against them would be engine- and partitioning-flaky",
 )
 def dq03_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     stats = orders.groupBy("o_orderpriority").agg(
-        F.avg("o_totalprice").alias("mu"),
-        F.stddev_samp("o_totalprice").alias("sigma"),
+        F.round(F.avg("o_totalprice") * 100).cast("bigint").alias("mu_c"),
+        F.round(F.stddev_samp("o_totalprice") * 300).cast("bigint").alias("thr_c"),
     )
     joined = orders.join(F.broadcast(stats), "o_orderpriority")
-    outlier = (F.abs(F.col("o_totalprice") - F.col("mu")) > 3 * F.col("sigma")).cast("int")
-    return joined.groupBy("o_orderpriority", "mu", "sigma").agg(
+    x_c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    outlier = (F.abs(x_c - F.col("mu_c")) > F.col("thr_c")).cast("int")
+    return joined.groupBy("o_orderpriority", "mu_c", "thr_c").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(outlier).cast("bigint").alias("n_outliers"),
-        F.round(F.col("mu") + 3 * F.col("sigma"), 2).alias("upper_bound"),
-    ).drop("mu", "sigma")
+        ((F.col("mu_c") + F.col("thr_c")) / 100.0).alias("upper_bound"),
+    ).drop("mu_c", "thr_c")
+
+
+@register(
+    "q74_map_hof_pipeline",
+    """
+    WITH g AS (
+      SELECT o_orderstatus, substr(o_orderpriority, 1, 1) AS prio_digit,
+             COUNT(*) AS cnt,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, prio_digit,
+           CAST(cnt AS BIGINT) AS n_orders,
+           rev / cnt AS avg_order_value
+    FROM g WHERE cnt >= 50
+    """,
+    "map higher-order functions end-to-end: per-status maps built with "
+    "map_from_entries, transform_keys (priority -> leading digit, "
+    "injective), map_zip_with (revenue ⊗ count -> average), map_filter "
+    "(min support), exploded back to rows — the MapType algebra q53 "
+    "introduces, exercised as one chained pipeline; the oracle is the "
+    "plain relational equivalent",
+)
+def q74_map_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+    )
+    maps = per.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderpriority", "cnt"))
+        ).alias("cnt_map"),
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderpriority", "rev"))
+        ).alias("rev_map"),
+    )
+    # transform_keys: '1-URGENT' -> '1' (injective on TPC-H priorities);
+    # map_zip_with: rev/cnt per key; map_filter: minimum support
+    digit = lambda k: F.substring(k, 1, 1)  # noqa: E731
+    combined = maps.select(
+        "o_orderstatus",
+        F.map_filter(
+            F.map_zip_with(
+                F.transform_keys("cnt_map", lambda k, v: digit(k)),
+                F.transform_keys("rev_map", lambda k, v: digit(k)),
+                lambda k, c, r: F.struct(c.alias("cnt"), (r / c).alias("avg")),
+            ),
+            lambda k, v: v["cnt"] >= 50,
+        ).alias("m"),
+    )
+    exploded = combined.select(
+        "o_orderstatus", F.explode("m").alias("prio_digit", "v")
+    )
+    return exploded.select(
+        "o_orderstatus",
+        "prio_digit",
+        F.col("v.cnt").cast("bigint").alias("n_orders"),
+        F.col("v.avg").alias("avg_order_value"),
+    )

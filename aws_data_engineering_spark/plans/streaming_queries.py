@@ -222,7 +222,6 @@ def st07_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     "twin of the reference's W5 curated-upsert strategy)",
 )
 def st08_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import tempfile
 
     import pyspark.sql.functions as F
@@ -230,8 +229,10 @@ def st08_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_engineering_spark.streaming import stream_upsert_sink
 
     stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    # uuid-unique run dir (leaks a small table+checkpoint per run — the
+    # returned DataFrame reads the target lazily, so deleting it here
+    # would break the caller's collect)
     base = os.path.join(tempfile.gettempdir(), "spark_st08", uuid.uuid4().hex[:8])
-    shutil.rmtree(base, ignore_errors=True)
     q = stream_upsert_sink(
         stream,
         os.path.join(base, "user_latest"),

@@ -57,7 +57,14 @@ def read_events_stream(
         # FileStreamSource requires a directory or glob; a trailing '*'
         # turns a single-file path into a glob matching exactly that file
         path = path + "*"
-    ts_view = dict(spark.read.parquet(probe_path).dtypes).get("ts")
+    try:
+        ts_view = dict(spark.read.parquet(probe_path).dtypes).get("ts")
+    except Exception:
+        # empty monitored directory: no footer to probe yet. Streams may
+        # legitimately start before the first file lands (the explicit
+        # schema exists precisely for that); assume the current fixture
+        # encoding (micros) — the nanos form is the legacy one.
+        ts_view = "timestamp_ntz"
     reader = spark.readStream.schema(EVENTS_DDL)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -252,6 +259,14 @@ def stream_upsert_sink(
     idempotent per (key, values) — replaying a batch converges to the same
     table. checkpoint_dir enables restart-from-offset.
 
+    Cross-batch ordering: MERGE's update-all would let a LATER batch
+    carrying an OLDER event overwrite a newer target row (micro-batches are
+    file-ordered, not event-time-ordered). Before merging, the batch is
+    anti-filtered against the current target: a source row survives only if
+    its key is absent or it beats the target row on (order_col DESC,
+    tiebreak_col ASC) — so the converged table equals the global
+    latest-by-key regardless of how events split across batches.
+
     Returns the started StreamingQuery (caller awaits/stops)."""
     from aws_data_engineering_spark.operators.dedup import latest_by_key
     from aws_data_engineering_spark.sources.writers import merge_upsert
@@ -259,10 +274,34 @@ def stream_upsert_sink(
     def do_merge(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        spark = batch_df.sparkSession
         collapsed = latest_by_key(batch_df, primary_key, order_col, tiebreak_col)
-        merge_upsert(
-            batch_df.sparkSession, collapsed, path, primary_key, partition_col, fmt
-        )
+        try:
+            target = spark.read.format(fmt).load(path)
+        except Exception:
+            target = None  # first batch: nothing to compare against
+        if target is not None:
+            tgt = target.select(
+                *[F.col(k).alias(f"__t_{k}") for k in primary_key],
+                F.col(order_col).alias("__t_ord"),
+                F.col(tiebreak_col).alias("__t_tb"),
+            )
+            cond = [collapsed[k] == tgt[f"__t_{k}"] for k in primary_key]
+            joined = collapsed.join(tgt, cond, "left")
+            newer = (
+                F.col("__t_ord").isNull()
+                | (F.col(order_col) > F.col("__t_ord"))
+                | (
+                    (F.col(order_col) == F.col("__t_ord"))
+                    & (F.col(tiebreak_col) < F.col("__t_tb"))
+                )
+            )
+            collapsed = joined.filter(newer).drop(
+                "__t_ord", "__t_tb", *[f"__t_{k}" for k in primary_key]
+            )
+            if not collapsed.take(1):
+                return
+        merge_upsert(spark, collapsed, path, primary_key, partition_col, fmt)
 
     writer = stream_df.writeStream.foreachBatch(do_merge).trigger(availableNow=True)
     if checkpoint_dir:

@@ -303,3 +303,58 @@ def test_stream_upsert_sink_restart_idempotent(spark, sf_dir, split_events_dir, 
         for r in spark.read.parquet(target).collect()
     )
     assert first == second
+
+
+def test_stream_upsert_sink_out_of_order_batches(spark, sf_dir, tmp_path):
+    """A later micro-batch carrying an OLDER event must NOT overwrite a
+    newer target row: the sink anti-filters each batch against the target
+    on (order_col DESC, tiebreak ASC) before merging, so the converged
+    table equals the global latest-by-key however events split across
+    batches."""
+    import pyspark.sql.functions as F
+
+    # two files, deliberately time-REVERSED: file 0 has the newest events
+    src = str(tmp_path / "src")
+    newer = spark.createDataFrame(
+        [(2, 2_000_000_000, 7, "click", 2.0, "{}")],
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+    )
+    older = spark.createDataFrame(
+        [(1, 1_000_000_000, 7, "view", 1.0, "{}")],
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+    )
+    # micros-as-bigint columns; write as separate files so maxFilesPerTrigger=1
+    # yields two batches in listing order (file names force newest first)
+    newer.coalesce(1).write.parquet(src + "/a_newer")
+    older.coalesce(1).write.parquet(src + "/b_older")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*/")
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
+    )
+    target = str(tmp_path / "target")
+    q = ST.stream_upsert_sink(
+        stream, target, primary_key=["user_id"], order_col="ts",
+        tiebreak_col="event_id", checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1
+    # the newer event (event_id=2) must win even though its batch came first
+    assert rows[0]["event_id"] == 2 and rows[0]["event_type"] == "click"
+
+
+def test_read_events_stream_empty_dir(spark, tmp_path):
+    """Streams may start on an empty monitored directory (the explicit
+    schema exists precisely so no data need be present) — the ts-unit
+    probe must not crash the stream construction."""
+    d = str(tmp_path / "empty_events")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    stream = ST.read_events_stream(spark, d)
+    assert stream.isStreaming and "ts" in stream.columns
