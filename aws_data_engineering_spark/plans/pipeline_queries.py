@@ -355,3 +355,40 @@ def c03_managed_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_regions"),
         F.min("r_name").alias("first_name"),
     )
+
+
+@register(
+    "c04_incremental_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "continuous-aggregate maintenance: hourly rollup built by TWO refresh "
+    "calls — the second starts from the stored high-water mark and "
+    "dynamic-partition-overwrites only the recomputed buckets — then read "
+    "back; the oracle is the from-scratch hourly aggregate, so a bucket "
+    "lost, duplicated, or double-counted by the incremental path fails "
+    "the hash (the hypertable-rollup pattern at lake scale)",
+)
+def c04_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from aws_data_engineering_spark.operators.rollup import (
+        incremental_rollup_refresh,
+        read_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    path = os.path.join(tempfile.gettempdir(), "spark_c04", uuid.uuid4().hex[:8])
+    incremental_rollup_refresh(spark, events, path)
+    # second refresh: incremental no-op except the newest (possibly
+    # partial) bucket — proves the hwm path leaves history untouched
+    incremental_rollup_refresh(spark, events, path)
+    return read_rollup(spark, path).select(
+        "bucket_start", "event_type", "n_events", "total_value"
+    )

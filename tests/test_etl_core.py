@@ -544,3 +544,32 @@ def test_hll_mergeability_and_error(spark, sf_dir):
     exact = orders.select("o_custkey").distinct().count()
     assert merged["approx_distinct_customers"] == direct
     assert abs(merged["approx_distinct_customers"] - exact) / exact < 0.02
+
+
+def test_incremental_rollup_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Refresh on the first half of events, then refresh again after the
+    rest 'arrive': the incrementally-maintained rollup must equal the
+    from-scratch aggregate — including the boundary bucket that was partial
+    at the first refresh and must be recomputed, not trusted."""
+    from aws_data_engineering_spark.operators.rollup import (
+        incremental_rollup_refresh,
+        read_rollup,
+        rollup_events,
+    )
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    path = str(tmp_path / "rollup")
+    incremental_rollup_refresh(spark, events.filter(F.col("event_id") <= cutoff), path)
+    incremental_rollup_refresh(spark, events, path)
+
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in read_rollup(spark, path).collect()
+    }
+    want = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in rollup_events(events).collect()
+    }
+    assert got == want
