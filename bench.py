@@ -50,6 +50,13 @@ HEADLINE = [
     "q56_big_order_customers",
     "s05_knn_graph",
     "dq01_data_quality_checks",
+    # fixed-quantizer IVF (Arrow-kernel inverted-list search) and unigram-LM
+    # cross-entropy scoring — the round-2 similarity/text additions.
+    # Deliberately NOT benched: c04 (hundreds of tiny hourly partition
+    # writes — a maintenance demo, not a query) and g01 (driver-side
+    # iteration overhead dominates at this SF; correctness-gated instead).
+    "s06_ann_ivf_fixed_topk",
+    "t15_unigram_logprob",
 ]
 
 
