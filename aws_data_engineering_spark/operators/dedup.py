@@ -608,7 +608,11 @@ def pagerank(
     connected_components.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # distinct: duplicate pair rows must not become parallel edges (double
+    # degree + double contribution) — edge-set semantics keep the operator
+    # idempotent to repeated pair emission (e.g. a pair found via several
+    # LSH bands)
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.localCheckpoint(eager=True)  # reused every round
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("a").alias("node"))
@@ -647,7 +651,7 @@ def pagerank_oracle_sql(
     parts = [
         pairs_cte,
         "edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
-        " UNION ALL SELECT id_b, id_a FROM pairs)",
+        " UNION SELECT id_b, id_a FROM pairs)",  # UNION = edge-SET semantics
         "deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a)",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
         "r0 AS (SELECT a AS node, 1.0 / n AS rank FROM deg CROSS JOIN nn)",

@@ -62,10 +62,12 @@ def incremental_rollup_refresh(
     src = events
     if hwm is not None:
         # recompute from the bucket the hwm lives in (it may have been
-        # partial); the trunc-then-compare keeps the filter sargable on ts
-        src = events.filter(
-            F.date_format(F.date_trunc(bucket, "ts"), "yyyy-MM-dd HH:mm:ss") >= hwm
-        )
+        # partial). hwm is a bucket START, so `bucket(ts) >= hwm` is
+        # equivalent to the raw `ts >= hwm` — and only the raw form is
+        # sargable: a filter wrapping ts in date_format(date_trunc(...))
+        # can't reach the parquet scan as a PushedFilter, which would mean
+        # re-reading ALL history on every refresh at scale
+        src = events.filter(F.col("ts") >= F.to_timestamp(F.lit(hwm)))
     agg = rollup_events(src, bucket)
     (
         agg.write.mode("overwrite")

@@ -573,3 +573,19 @@ def test_incremental_rollup_equals_full_recompute(spark, sf_dir, tmp_path):
         for r in rollup_events(events).collect()
     }
     assert got == want
+
+
+def test_incremental_rollup_refresh_filter_pushes_down(spark, sf_dir, tmp_path):
+    """The incremental refresh must read only `ts >= hwm` AT THE SCAN
+    (PushedFilters), not post-filter a full read — the property that keeps
+    refresh cost proportional to new data, not to history."""
+    from aws_data_engineering_spark.operators import rollup as R
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup")
+    R.incremental_rollup_refresh(spark, events, path)
+    hwm = R.read_rollup(spark, path).agg(F.max(R.ROLLUP_BUCKET_COL)).first()[0]
+    filtered = events.filter(F.col("ts") >= F.to_timestamp(F.lit(hwm)))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(ts" in plan, plan[:800]

@@ -274,3 +274,45 @@ def test_png_codec_roundtrip_property(w, h, filter_type, seed_bytes):
     dw, dh, ch, out = decode_png(blob)
     assert (dw, dh, ch) == (w, h, 1)
     assert out == pixels
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pagerank_matches_reference_impl(spark, edges):
+    """DataFrame PageRank must match a plain-Python reference on arbitrary
+    small graphs (self-loop-free) to float tolerance — same fixed
+    iterations, damping, and undirected expansion."""
+    from aws_data_engineering_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        r["node"]: r["rank"]
+        for r in D.pagerank(pairs, "id_a", "id_b", damping=0.85, iterations=3).collect()
+    }
+
+    # reference: dict-based, identical semantics
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    deg: dict[int, int] = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    nodes = sorted(deg)
+    n = len(nodes)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        contrib: dict[int, float] = {}
+        for a, b in und:
+            contrib[b] = contrib.get(b, 0.0) + ranks[a] / deg[a]
+        ranks = {v: (1 - 0.85) / n + 0.85 * contrib.get(v, 0.0) for v in nodes}
+
+    assert set(got) == set(ranks)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
