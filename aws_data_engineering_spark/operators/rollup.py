@@ -53,11 +53,30 @@ def incremental_rollup_refresh(
     recomputed buckets. Idempotent: refreshing twice with no new events
     rewrites only the newest bucket with identical content.
     """
+    # bucket-granularity marker: refreshing an hourly rollup with
+    # bucket='day' would write day-keyed partitions ALONGSIDE the hourly
+    # ones (dynamic overwrite only replaces exactly-matching partition
+    # values) and silently double-count the overlap — fail loudly instead.
+    # Stored as a one-row json under an underscore-prefixed subdir, which
+    # Spark's FileIndex hides from the data read; written via Spark so it
+    # works on any Hadoop filesystem (s3a/hdfs), not just local paths.
+    marker = f"{rollup_path}/_rollup_meta"
     hwm = None
     try:
         hwm = read_rollup(spark, rollup_path).agg(F.max(ROLLUP_BUCKET_COL)).first()[0]
     except Exception:
         pass  # first refresh: no rollup yet
+    if hwm is not None:
+        try:
+            stored = spark.read.json(marker).first()["bucket"]
+        except Exception:
+            stored = None  # pre-marker rollup: accept and stamp below
+        if stored is not None and stored != bucket:
+            raise ValueError(
+                f"rollup at {rollup_path} was built with bucket={stored!r}; "
+                f"refreshing with bucket={bucket!r} would mix granularities — "
+                "rebuild into a fresh path instead"
+            )
 
     src = events
     if hwm is not None:
@@ -75,6 +94,9 @@ def incremental_rollup_refresh(
         .partitionBy(ROLLUP_BUCKET_COL)
         .parquet(rollup_path)
     )
+    spark.createDataFrame([(bucket,)], "bucket string").coalesce(1).write.mode(
+        "overwrite"
+    ).json(marker)
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:

@@ -468,7 +468,12 @@ def ivf_fixed_topk(
             acc += m[:, j : j + 1] * cm[None, :, j]
             bn2 += m[:, j] * m[:, j]
             cn2 += cm[:, j] * cm[:, j]
-        return acc / (np_w.sqrt(bn2)[:, None] * np_w.sqrt(cn2)[None, :])
+        # zero-vector guard (no-op for nonzero vectors, so bit-exactness
+        # holds): unguarded division yields NaN sims whose sort position
+        # differs between numpy lexsort and the oracle's ORDER BY
+        bn = np_w.maximum(np_w.sqrt(bn2), 1e-300)
+        cn = np_w.maximum(np_w.sqrt(cn2), 1e-300)
+        return acc / (bn[:, None] * cn[None, :])
 
     def assign_kernel(batches):
         import numpy as np_w
@@ -531,7 +536,9 @@ def ivf_fixed_topk(
             acc += qm[:, j : j + 1] * cm[None, :, j]
             qn2 += qm[:, j] * qm[:, j]
             cn2 += cm[:, j] * cm[:, j]
-        sims = acc / (np_w.sqrt(qn2)[:, None] * np_w.sqrt(cn2)[None, :])
+        qn = np_w.maximum(np_w.sqrt(qn2), 1e-300)  # zero-vector guard
+        cn = np_w.maximum(np_w.sqrt(cn2), 1e-300)
+        sims = acc / (qn[:, None] * cn[None, :])
         qids = qs["id"].to_numpy()
         cids = cs["id"].to_numpy()
         keep_q, keep_c = np_w.nonzero(qids[:, None] != cids[None, :])

@@ -39,6 +39,7 @@ def read_events_stream(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int | None = None,
+    assume_ts_unit: str = "us",
 ) -> DataFrame:
     """``readStream`` over a directory (or file) of events parquet.
 
@@ -62,9 +63,11 @@ def read_events_stream(
     except Exception:
         # empty monitored directory: no footer to probe yet. Streams may
         # legitimately start before the first file lands (the explicit
-        # schema exists precisely for that); assume the current fixture
-        # encoding (micros) — the nanos form is the legacy one.
-        ts_view = "timestamp_ntz"
+        # schema exists precisely for that); the unit then comes from
+        # ``assume_ts_unit`` ("us" default, "ns" for legacy
+        # TIMESTAMP(NANOS) producers) — a probe can't see files that
+        # haven't arrived, so pre-data starts must declare their encoding.
+        ts_view = "bigint" if assume_ts_unit == "ns" else "timestamp_ntz"
     reader = spark.readStream.schema(EVENTS_DDL)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -263,30 +266,34 @@ def stream_upsert_sink(
     carrying an OLDER event overwrite a newer target row (micro-batches are
     file-ordered, not event-time-ordered). Before merging, the batch is
     anti-filtered against the current target: a source row survives only if
-    its key is absent or it beats the target row on (order_col DESC,
-    tiebreak_col ASC) — so the converged table equals the global
-    latest-by-key regardless of how events split across batches.
+    its merge key is absent or it beats the existing row on (order_col
+    DESC, tiebreak_col ASC). The comparison keys on the FULL merge key —
+    primary_key plus partition_col when set (W5 semantics: the same
+    business key in a new partition is a new row, and joining on the pk
+    alone would fan out against every partition's row) — so with
+    partition_col=None the converged table equals the global latest-by-key,
+    and with a partition_col it equals the latest-by-(key, partition).
 
     Returns the started StreamingQuery (caller awaits/stops)."""
     from aws_data_engineering_spark.operators.dedup import latest_by_key
-    from aws_data_engineering_spark.sources.writers import merge_upsert
+    from aws_data_engineering_spark.sources.writers import _table_exists, merge_upsert
+
+    merge_keys = list(primary_key) + ([partition_col] if partition_col else [])
 
     def do_merge(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
         spark = batch_df.sparkSession
-        collapsed = latest_by_key(batch_df, primary_key, order_col, tiebreak_col)
-        try:
+        collapsed = latest_by_key(batch_df, merge_keys, order_col, tiebreak_col)
+        # target existence via the writers' probe — a bare try/except around
+        # the read would silently treat a transient read FAILURE as "first
+        # batch" and skip the ordering guard entirely
+        if _table_exists(spark, path, fmt):
             target = spark.read.format(fmt).load(path)
-        except Exception:
-            target = None  # first batch: nothing to compare against
-        if target is not None:
             tgt = target.select(
-                *[F.col(k).alias(f"__t_{k}") for k in primary_key],
+                *[F.col(k).alias(f"__t_{k}") for k in merge_keys],
                 F.col(order_col).alias("__t_ord"),
                 F.col(tiebreak_col).alias("__t_tb"),
             )
-            cond = [collapsed[k] == tgt[f"__t_{k}"] for k in primary_key]
+            cond = [collapsed[k] == tgt[f"__t_{k}"] for k in merge_keys]
             joined = collapsed.join(tgt, cond, "left")
             newer = (
                 F.col("__t_ord").isNull()
@@ -297,11 +304,19 @@ def stream_upsert_sink(
                 )
             )
             collapsed = joined.filter(newer).drop(
-                "__t_ord", "__t_tb", *[f"__t_{k}" for k in primary_key]
+                "__t_ord", "__t_tb", *[f"__t_{k}" for k in merge_keys]
             )
+        # cache: the plan below is evaluated by the emptiness probe AND by
+        # merge_upsert's write (which would otherwise re-run the window +
+        # target join + batch scan); unpersisted before return — do_merge
+        # is terminal, so nothing leaks past the batch
+        collapsed = collapsed.persist()
+        try:
             if not collapsed.take(1):
                 return
-        merge_upsert(spark, collapsed, path, primary_key, partition_col, fmt)
+            merge_upsert(spark, collapsed, path, primary_key, partition_col, fmt)
+        finally:
+            collapsed.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(do_merge).trigger(availableNow=True)
     if checkpoint_dir:

@@ -130,10 +130,13 @@ def test_pp01_pipeline_fuses_scalar_stages(spark, sf_dir):
 
 def test_s06_ivf_fixed_no_cartesian(spark, sf_dir):
     plan = _plan(queries()["s06_ann_ivf_fixed_topk"](spark, sf_dir))
-    # probed-list search must be an equi-join on list_id — never the
-    # query×candidate cross product the inverted index exists to avoid
+    # inverted-list search: scoring is list-local (one hash-partition
+    # exchange on list_id feeding the per-list kernel), never a global
+    # query×candidate product
     assert "CartesianProduct" not in plan
-    assert "list_id" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(list_id" in plan, plan[:1200]
+    assert "FlatMapGroupsInPandas" in plan or "applyInPandas" in plan.lower()
 
 
 def test_t15_vocab_rejoin_no_driver_vocab(spark, sf_dir):

@@ -358,3 +358,38 @@ def test_read_events_stream_empty_dir(spark, tmp_path):
     os.makedirs(d, exist_ok=True)
     stream = ST.read_events_stream(spark, d)
     assert stream.isStreaming and "ts" in stream.columns
+
+
+def test_stream_upsert_sink_partitioned_target(spark, tmp_path):
+    """With a partition_col the merge key is (pk, partition): the same
+    business key in two partitions keeps BOTH rows (W5 semantics), each the
+    newest within its partition, and a second batch must not fan out
+    against the other partition's row."""
+    import pyspark.sql.functions as F
+
+    ddl = "event_id bigint, ts bigint, user_id bigint, dt string, value double"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1_000, 7, "d1", 1.0), (2, 2_000, 7, "d1", 2.0), (3, 3_000, 7, "d2", 3.0)],
+        ddl,
+    ).coalesce(1).write.parquet(src + "/a")
+    spark.createDataFrame(
+        [(4, 1_500, 7, "d1", 4.0)], ddl  # older than d1's current winner
+    ).coalesce(1).write.parquet(src + "/b")
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*/")
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
+    )
+    target = str(tmp_path / "target")
+    q = ST.stream_upsert_sink(
+        stream, target, primary_key=["user_id"], order_col="ts",
+        tiebreak_col="event_id", partition_col="dt",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    rows = {(r["user_id"], r["dt"]): r["event_id"] for r in spark.read.parquet(target).collect()}
+    # one row per (user, dt); d1 keeps event 2 (event 4 was older), d2 keeps 3
+    assert rows == {(7, "d1"): 2, (7, "d2"): 3}
