@@ -62,6 +62,39 @@ def _as_double(c: Column) -> Column:
     return c.cast("array<double>")
 
 
+def _seq_cosine_fns():
+    """The ONE definition of the kernel-side cosine contract, as a factory
+    (the returned closure is cloudpickle'd BY VALUE into worker closures —
+    a module-level helper would need this package importable on executors,
+    which the driver-harness sys.path setup does not provide).
+
+    ``seq_cosine_matrix(a, b)``: (Na, D) × (Nb, D) float64 → (Na, Nb)
+    cosine similarities, accumulating dot products and squared norms
+    dimension-by-dimension (a j-loop of vectorized adds). That is the exact
+    left-to-right IEEE sequence of the JVM ``F.aggregate`` fold and of
+    DuckDB's ``list_cosine_similarity`` — the property every bit-exact
+    similarity oracle in this module depends on. Zero vectors: norms are
+    floored at 1e-300 (a no-op for any nonzero vector), so sims come back
+    0.0 instead of NaN (NaN sort position differs across engines).
+    """
+    import numpy as np
+
+    def seq_cosine_matrix(a, b):
+        dim = a.shape[1]
+        acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+        an2 = np.zeros(a.shape[0], dtype=np.float64)
+        bn2 = np.zeros(b.shape[0], dtype=np.float64)
+        for j in range(dim):
+            acc += a[:, j : j + 1] * b[None, :, j]
+            an2 += a[:, j] * a[:, j]
+            bn2 += b[:, j] * b[:, j]
+        an = np.maximum(np.sqrt(an2), 1e-300)
+        bn = np.maximum(np.sqrt(bn2), 1e-300)
+        return acc / (an[:, None] * bn[None, :])
+
+    return seq_cosine_matrix
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -96,36 +129,21 @@ def brute_force_topk(
     q_rows = q_proj.collect()
     q_ids = [r["query_id"] for r in q_rows]
     q_vecs = [list(r["q_vec"]) for r in q_rows]
-
-    def _seq_norm(vec):
-        acc = 0.0
-        for x in vec:
-            acc += x * x
-        return acc**0.5
-
-    q_norms = [_seq_norm(v) for v in q_vecs]
     kk = int(k)
+    seq_cos = _seq_cosine_fns()
 
     def kernel(batches):
         import numpy as np_w
         import pandas as pd_w
 
         qm = np_w.asarray(q_vecs, dtype=np_w.float64)  # (Q, D)
-        qn = np_w.asarray(q_norms, dtype=np_w.float64)  # (Q,)
         qid = np_w.asarray(q_ids)
         for pdf in batches:
             if not len(pdf) or not len(qid):
                 continue
             ids = pdf["neighbor_id"].to_numpy()
             cm = np_w.array(list(pdf["c_vec"]), dtype=np_w.float64)  # (B, D)
-            dim = cm.shape[1]
-            # dimension-sequential accumulation == left-to-right fold
-            acc = np_w.zeros((len(ids), len(qid)), dtype=np_w.float64)
-            cn2 = np_w.zeros(len(ids), dtype=np_w.float64)
-            for j in range(dim):
-                acc += cm[:, j : j + 1] * qm[None, :, j]
-                cn2 += cm[:, j] * cm[:, j]
-            sims = acc / (qn[None, :] * np_w.sqrt(cn2)[:, None])
+            sims = seq_cos(cm, qm)  # (B, Q)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(qid)):
                 col = sims[:, qi]
@@ -205,6 +223,7 @@ def bucketed_neardup_pairs(
     per-task matrix size)."""
     planes = _hyperplanes(dim, n_planes)
     thr = float(threshold)
+    seq_cos = _seq_cosine_fns()  # the module's one bit-exact cosine kernel
 
     def kernel(pdf):
         import numpy as np
@@ -212,18 +231,7 @@ def bucketed_neardup_pairs(
 
         ids = pdf["id"].to_numpy()
         m = np.array(list(pdf["v"]), dtype=np.float64)
-        # dimension-sequential accumulation == the left-to-right IEEE
-        # sequence of DuckDB's list_cosine_similarity (same contract as
-        # exact_neardup_pairs / s01) → the oracle reproduces sims bit-exactly
-        dim = m.shape[1]
-        acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
-        n2 = np.zeros(len(ids), dtype=np.float64)
-        for j in range(dim):
-            acc += m[:, j : j + 1] * m[None, :, j]
-            n2 += m[:, j] * m[:, j]
-        norms = np.sqrt(n2)
-        norms[norms == 0] = 1.0
-        sims = acc / (norms[:, None] * norms[None, :])
+        sims = seq_cos(m, m)
         ia, ib = np.triu_indices(len(ids), k=1)
         # enforce id_a < id_b regardless of within-bucket row order
         lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
@@ -456,24 +464,11 @@ def ivf_fixed_topk(
     """
     cents_list = [[float(x) for x in c] for c in centroids]
     np_probe = int(n_probe)
+    seq_cos = _seq_cosine_fns()  # the module's one bit-exact cosine kernel
 
     def _cent_sims(m, np_w):
-        # (B×D) vs (K×D) cosine with left-to-right j-loop accumulation
-        cm = np_w.asarray(cents_list, dtype=np_w.float64)  # (K, D)
-        dim = cm.shape[1]
-        acc = np_w.zeros((m.shape[0], cm.shape[0]), dtype=np_w.float64)
-        bn2 = np_w.zeros(m.shape[0], dtype=np_w.float64)
-        cn2 = np_w.zeros(cm.shape[0], dtype=np_w.float64)
-        for j in range(dim):
-            acc += m[:, j : j + 1] * cm[None, :, j]
-            bn2 += m[:, j] * m[:, j]
-            cn2 += cm[:, j] * cm[:, j]
-        # zero-vector guard (no-op for nonzero vectors, so bit-exactness
-        # holds): unguarded division yields NaN sims whose sort position
-        # differs between numpy lexsort and the oracle's ORDER BY
-        bn = np_w.maximum(np_w.sqrt(bn2), 1e-300)
-        cn = np_w.maximum(np_w.sqrt(cn2), 1e-300)
-        return acc / (bn[:, None] * cn[None, :])
+        # (B×D) vs (K×D) centroid cosine via the shared kernel
+        return seq_cos(m, np_w.asarray(cents_list, dtype=np_w.float64))
 
     def assign_kernel(batches):
         import numpy as np_w
@@ -528,17 +523,7 @@ def ivf_fixed_topk(
             return empty
         qm = np_w.array(list(qs["v"]), dtype=np_w.float64)
         cm = np_w.array(list(cs["v"]), dtype=np_w.float64)
-        dim = qm.shape[1]
-        acc = np_w.zeros((len(qs), len(cs)), dtype=np_w.float64)
-        qn2 = np_w.zeros(len(qs), dtype=np_w.float64)
-        cn2 = np_w.zeros(len(cs), dtype=np_w.float64)
-        for j in range(dim):
-            acc += qm[:, j : j + 1] * cm[None, :, j]
-            qn2 += qm[:, j] * qm[:, j]
-            cn2 += cm[:, j] * cm[:, j]
-        qn = np_w.maximum(np_w.sqrt(qn2), 1e-300)  # zero-vector guard
-        cn = np_w.maximum(np_w.sqrt(cn2), 1e-300)
-        sims = acc / (qn[:, None] * cn[None, :])
+        sims = seq_cos(qm, cm)
         qids = qs["id"].to_numpy()
         cids = cs["id"].to_numpy()
         keep_q, keep_c = np_w.nonzero(qids[:, None] != cids[None, :])
@@ -649,28 +634,20 @@ def exact_neardup_pairs(
     all_vecs = [list(r["v"]) for r in rows]
     thr = float(threshold)
 
+    seq_cos = _seq_cosine_fns()  # the module's one bit-exact cosine kernel
+
     def kernel(batches):
         import numpy as np_w
         import pandas as pd_w
 
         cm = np_w.asarray(all_vecs, dtype=np_w.float64)  # (N, D)
         cids = np_w.asarray(all_ids)
-        dim = cm.shape[1]
-        cn2 = np_w.zeros(len(cids), dtype=np_w.float64)
-        for j in range(dim):
-            cn2 += cm[:, j] * cm[:, j]
-        cnorm = np_w.sqrt(cn2)
         for pdf in batches:
             if not len(pdf):
                 continue
             bm = np_w.array(list(pdf["v"]), dtype=np_w.float64)  # (B, D)
             bids = pdf["id"].to_numpy()
-            acc = np_w.zeros((len(bids), len(cids)), dtype=np_w.float64)
-            bn2 = np_w.zeros(len(bids), dtype=np_w.float64)
-            for j in range(dim):
-                acc += bm[:, j : j + 1] * cm[None, :, j]
-                bn2 += bm[:, j] * bm[:, j]
-            sims = acc / (np_w.sqrt(bn2)[:, None] * cnorm[None, :])
+            sims = seq_cos(bm, cm)
             keep_b, keep_c = np_w.nonzero(
                 (sims >= thr) & (bids[:, None] < cids[None, :])
             )
