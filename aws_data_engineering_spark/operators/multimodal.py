@@ -6,10 +6,13 @@ Media is carried as an opaque ``binary`` column plus a typed metadata struct
 resize / frame-sample step is an Arrow-batched ``mapInPandas`` so Python
 touches each byte-batch exactly once.
 
-PNG has a REAL pure-Python codec (stdlib zlib + numpy, all five scanline
-filters — see ``_png_worker_fns``); the remaining real formats (JPEG/WAV/
-MP4) need PIL / ffmpeg, which are NOT in this environment, and stay STUBBED
-behind a clearly-marked ``NotImplementedError`` (see ``_decode_real``).
+Three real formats have REAL pure-Python codecs: PNG (stdlib zlib + numpy,
+all five scanline filters — ``_png_worker_fns``), WAV (RIFF/16-bit PCM —
+``_wav_worker_fns``), and baseline JPEG (Annex-K Huffman, zigzag, dequant,
+float IDCT — ``_jpeg_worker_fns``). The remaining formats (color/progressive
+JPEG, MP4, FLAC) need PIL / ffmpeg, which are NOT in this environment, and
+stay STUBBED behind a clearly-marked ``NotImplementedError``
+(see ``_decode_real``).
 Everything Spark-side — schema, partitioning, UDF signatures, Arrow batch
 shape — is real and tested, using the PNG path plus a deterministic fake
 format (``FIMG``: 4-byte magic + big-endian u32 width/height + width×height
@@ -440,6 +443,10 @@ def _png_worker_fns():
                 idat += payload
             elif tag == b"IEND":
                 break
+        if w is None or h is None or color_type is None:
+            # malformed stream (no IHDR, or truncated before it): keep the
+            # ValueError contract instead of an opaque TypeError downstream
+            raise ValueError("missing IHDR chunk")
         ch = 1 if color_type == 0 else 3
         stride = w * ch
         raw = _zlib.decompress(idat)
@@ -502,3 +509,489 @@ def synthesize_png_images(
 
     src = df.select(F.col(id_col).alias("id"))
     return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+# ---------------------------------------------------------------------------
+# WAV (real format, pure-Python codec): stdlib struct only — no soundfile /
+# pyav needed. Canonical RIFF/WAVE with 16-bit PCM, arbitrary chunk order on
+# read (extra chunks skipped with even-byte padding, like real producers
+# emit). Output is a genuine .wav playable by any audio tool; this closes
+# the "real decode" gap for a second format after PNG, while JPEG/MP4 stay
+# stubbed behind _decode_real (their codecs genuinely need native libs).
+# ---------------------------------------------------------------------------
+
+AUDIO_WAV_FEATURES_DDL = (
+    "id bigint, sample_rate int, n_channels int, n_samples int, "
+    "sum_amplitude bigint, peak_amplitude int, duration_ms double"
+)
+
+
+def _wav_worker_fns():
+    """WAV encode/decode closures (pickled by value — see _fimg_worker_fns)."""
+    import struct as _struct
+
+    def encode_wav(sample_rate: int, samples, n_channels: int = 1) -> bytes:
+        """16-bit little-endian PCM RIFF/WAVE. ``samples`` are int16 values
+        interleaved across channels (len must be a multiple of n_channels)."""
+        pcm = _struct.pack(f"<{len(samples)}h", *samples)
+        block_align = 2 * n_channels
+        fmt = _struct.pack(
+            "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align,
+            block_align, 16,
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(pcm)) + pcm
+        )
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    def decode_wav(data: bytes) -> tuple[int, int, list]:
+        """→ (sample_rate, n_channels, int16 samples). ValueError on
+        malformed/unsupported input (the PNG codec's error contract)."""
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE stream")
+        (riff_len,) = _struct.unpack("<I", data[4:8])
+        if riff_len + 8 != len(data):
+            raise ValueError("RIFF length does not match stream size")
+        pos, fmt, pcm = 12, None, None
+        while pos + 8 <= len(data):
+            tag = data[pos : pos + 4]
+            (ln,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+            payload = data[pos + 8 : pos + 8 + ln]
+            if len(payload) != ln:
+                raise ValueError(f"truncated {tag!r} chunk")
+            pos += 8 + ln + (ln & 1)  # chunks are even-byte aligned
+            if tag == b"fmt ":
+                fmt = payload
+            elif tag == b"data":
+                pcm = payload
+        if fmt is None or pcm is None:
+            raise ValueError("missing fmt /data chunk")
+        audio_format, n_channels, sample_rate, _, _, bits = _struct.unpack(
+            "<HHIIHH", fmt[:16]
+        )
+        if audio_format != 1 or bits != 16:
+            raise ValueError("only 16-bit PCM WAV supported")
+        if len(pcm) % 2:
+            raise ValueError("odd PCM byte length for 16-bit samples")
+        samples = list(_struct.unpack(f"<{len(pcm) // 2}h", pcm))
+        return sample_rate, n_channels, samples
+
+    return encode_wav, decode_wav
+
+
+def synthesize_wav_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL WAVs keyed by id — the FAUD generator's rate/length
+    lattice with samples centered to int16 ((id + k) * 31 % 256 - 128), so
+    closed-form oracles carry over and negative amplitudes exercise the
+    signed decode path."""
+    encode_wav, _ = _wav_worker_fns()
+
+    def gen(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids = list(pdf["id"])
+            blobs = []
+            for i in ids:
+                sr = 8000 + (int(i) % 4) * 4000
+                n = 256 + int(i) % 512
+                samples = [((int(i) + k) * 31) % 256 - 128 for k in range(n)]
+                blobs.append(encode_wav(sr, samples))
+            yield pd_w.DataFrame({"id": ids, "data": blobs, "mime": "audio/wav"})
+
+    src = df.select(F.col(id_col).alias("id"))
+    return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+def decode_wav_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """Real WAV decode → per-clip features (rate, channels, length, amplitude
+    sum/peak, duration). Amplitude outputs are exact integers so the oracle
+    is closed-form; duration_ms is the same two IEEE ops on both engines
+    (n * 1000.0 then / rate), so it hash-matches without rounding. Blobs die
+    inside the worker — downstream shuffles carry 7 scalars per clip."""
+    _, decode_wav = _wav_worker_fns()
+
+    def features(batches):
+        import pandas as pd_w
+
+        cols = (
+            "id", "sample_rate", "n_channels", "n_samples",
+            "sum_amplitude", "peak_amplitude", "duration_ms",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for i, data in zip(pdf["id"], pdf["data"]):
+                sr, nch, samples = decode_wav(bytes(data))
+                n = len(samples)
+                out["id"].append(i)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(nch)
+                out["n_samples"].append(n)
+                out["sum_amplitude"].append(sum(samples))
+                out["peak_amplitude"].append(max(abs(s) for s in samples) if n else 0)
+                out["duration_ms"].append((n * 1000.0) / sr)
+            yield pd_w.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(features, AUDIO_WAV_FEATURES_DDL)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (real format, pure-Python codec): stdlib struct + numpy — no PIL
+# needed. Baseline DCT (SOF0), grayscale, standard Annex-K Huffman tables,
+# byte stuffing, zigzag, dequant, full 2-D float IDCT. The DECODER is
+# general baseline-grayscale; the ENCODER emits images built from constant
+# 8x8 blocks under a unit quant table — the one family a lossy codec maps
+# through bit-exactly (a constant block is DC-only: DC = 8*(v-128) is an
+# integer, quant 1 keeps it, and the IDCT of a DC-only block is uniform
+# DC/8 + 128 = v), so closed-form oracles still hold end-to-end.
+# ---------------------------------------------------------------------------
+
+# Annex K Table K.3/K.4 (luminance DC) and K.5 (luminance AC): BITS (count
+# of codes per length 1..16) and HUFFVAL, verbatim from the JPEG standard.
+JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+JPEG_DC_VALS = list(range(12))
+JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_worker_fns():
+    """JPEG encode/decode closures (pickled by value — see _fimg_worker_fns)."""
+    import struct as _struct
+
+    import numpy as np_w
+
+    dc_bits, dc_vals = JPEG_DC_BITS, JPEG_DC_VALS
+    ac_bits, ac_vals = JPEG_AC_BITS, JPEG_AC_VALS
+    zigzag = JPEG_ZIGZAG
+
+    def _huff_codes(bits, vals):
+        """BITS/HUFFVAL → {symbol: (code, length)} (Annex C code assignment)."""
+        codes, code = {}, 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    def _huff_decode_table(bits, vals):
+        """BITS/HUFFVAL → {(length, code): symbol} for MSB-first decoding."""
+        table, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    class _BitWriter:
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.nbits = 0
+
+        def write(self, code, length):
+            self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+            self.nbits += length
+            while self.nbits >= 8:
+                byte = (self.acc >> (self.nbits - 8)) & 0xFF
+                self.buf.append(byte)
+                if byte == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.nbits -= 8
+                self.acc &= (1 << self.nbits) - 1
+
+        def flush(self):
+            if self.nbits:
+                pad = 8 - self.nbits
+                self.write((1 << pad) - 1, pad)  # 1-fill per the standard
+            return bytes(self.buf)
+
+    class _BitReader:
+        def __init__(self, data):
+            self.data = data
+            self.pos = 0
+            self.acc = 0
+            self.nbits = 0
+
+        def _fill(self):
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside entropy stream")
+                self.pos += 1  # skip stuffed 0x00
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+        def read_bit(self):
+            if self.nbits == 0:
+                self._fill()
+            self.nbits -= 1
+            return (self.acc >> self.nbits) & 1
+
+        def read_bits(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
+
+    def _extend(v, t):
+        """DIFF/AC magnitude decode (JPEG F.2.2.1 EXTEND)."""
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    def _category(v):
+        """Magnitude category: smallest t with |v| < 2^t."""
+        t = 0
+        a = abs(v)
+        while a:
+            a >>= 1
+            t += 1
+        return t
+
+    def _seg(marker, payload):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+    def encode_jpeg_gray_blocks(width: int, height: int, block_values) -> bytes:
+        """Baseline grayscale JPEG of constant 8x8 blocks (values 0..255,
+        row-major over ceil(h/8) x ceil(w/8) blocks) under a unit quant
+        table — the exactly-representable family (see section comment)."""
+        enc_dc = _huff_codes(dc_bits, dc_vals)
+        enc_ac = _huff_codes(ac_bits, ac_vals)
+        bw = _BitWriter()
+        bx_n = (width + 7) // 8
+        by_n = (height + 7) // 8
+        prev_dc = 0
+        for b in range(bx_n * by_n):
+            v = int(block_values[b])
+            dc = 8 * (v - 128)  # DC-only block, quant step 1
+            diff = dc - prev_dc
+            prev_dc = dc
+            t = _category(diff)
+            code, ln = enc_dc[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            code, ln = enc_ac[0x00]  # EOB: all 63 ACs zero
+            bw.write(code, ln)
+        entropy = bw.flush()
+
+        dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # table 0, all ones
+        sof = _seg(
+            0xC0,
+            _struct.pack(">BHHB", 8, height, width, 1)
+            + bytes([1, 0x11, 0]),  # comp id 1, 1x1 sampling, quant table 0
+        )
+        dht = _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)) + _seg(
+            0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+        )
+        sos = _seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 63, 0]))
+        return (
+            b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+        )
+
+    def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+        """General baseline grayscale decoder → (width, height, pixels).
+        Huffman per the stream's own DHT, dequant per its DQT, zigzag,
+        full float 2-D IDCT, level shift, clamp. ValueError on anything
+        that isn't baseline single-component 8-bit."""
+        if data[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG stream (missing SOI)")
+        pos = 2
+        qtables, dc_tabs, ac_tabs = {}, {}, {}
+        w = h = None
+        comp_q = None
+        entropy_start = None
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("marker expected")
+            marker = data[pos + 1]
+            if marker == 0xD9:
+                break
+            (ln,) = _struct.unpack(">H", data[pos + 2 : pos + 4])
+            payload = data[pos + 4 : pos + 2 + ln]
+            if marker == 0xDB:
+                p = 0
+                while p < len(payload):
+                    pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                    if pq != 0:
+                        raise ValueError("only 8-bit quant tables supported")
+                    qtables[tq] = list(payload[p + 1 : p + 65])
+                    p += 65
+            elif marker == 0xC0:
+                prec, h, w, ncomp = _struct.unpack(">BHHB", payload[:6])
+                if prec != 8 or ncomp != 1:
+                    raise ValueError("only baseline 8-bit grayscale supported")
+                if payload[7] != 0x11:
+                    raise ValueError("only 1x1 sampling supported")
+                comp_q = payload[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                raise ValueError("only baseline (SOF0) JPEG supported")
+            elif marker == 0xC4:
+                p = 0
+                while p < len(payload):
+                    tc, th = payload[p] >> 4, payload[p] & 0x0F
+                    bits = list(payload[p + 1 : p + 17])
+                    nv = sum(bits)
+                    vals = list(payload[p + 17 : p + 17 + nv])
+                    tab = _huff_decode_table(bits, vals)
+                    (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                    p += 17 + nv
+            elif marker == 0xDA:
+                ns = payload[0]
+                if ns != 1:
+                    raise ValueError("only single-scan grayscale supported")
+                dc_id, ac_id = payload[2] >> 4, payload[2] & 0x0F
+                entropy_start = pos + 2 + ln
+                break
+            pos += 2 + ln
+        if w is None or entropy_start is None:
+            raise ValueError("missing SOF0/SOS")
+        if comp_q not in qtables or dc_id not in dc_tabs or ac_id not in ac_tabs:
+            raise ValueError("missing quant/Huffman table for component")
+        # find EOI; entropy data is everything before it
+        end = data.rfind(b"\xff\xd9")
+        if end < 0:
+            raise ValueError("missing EOI")
+        br = _BitReader(data[entropy_start:end])
+        qt = np_w.asarray(qtables[comp_q], dtype=np_w.float64)
+        dct, act = dc_tabs[dc_id], ac_tabs[ac_id]
+
+        def read_symbol(tab):
+            code, length = 0, 0
+            while length < 16:
+                code = (code << 1) | br.read_bit()
+                length += 1
+                sym = tab.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code")
+
+        # precompute the 1-D IDCT basis: pix = C @ coef @ C.T
+        k = np_w.arange(8)
+        cos = np_w.cos((2 * k[:, None] + 1) * k[None, :] * np_w.pi / 16)
+        cfac = np_w.full(8, np_w.sqrt(2.0 / 8.0))
+        cfac[0] = np_w.sqrt(1.0 / 8.0)
+        basis = cos * cfac[None, :]  # (x, u)
+
+        bx_n, by_n = (w + 7) // 8, (h + 7) // 8
+        out = np_w.zeros((by_n * 8, bx_n * 8), dtype=np_w.float64)
+        prev_dc = 0
+        for by in range(by_n):
+            for bx in range(bx_n):
+                zz = np_w.zeros(64, dtype=np_w.float64)
+                t = read_symbol(dct)
+                diff = _extend(br.read_bits(t), t) if t else 0
+                prev_dc += diff
+                zz[0] = prev_dc
+                i = 1
+                while i < 64:
+                    rs = read_symbol(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL: 16 zeros
+                        i += 16
+                        continue
+                    i += r
+                    if i > 63:
+                        raise ValueError("AC run overflows block")
+                    zz[i] = _extend(br.read_bits(s), s)
+                    i += 1
+                coef = np_w.zeros(64, dtype=np_w.float64)
+                coef[zigzag] = zz * qt
+                block = basis @ coef.reshape(8, 8) @ basis.T
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        pixels = np_w.clip(np_w.round(out + 128.0), 0, 255).astype(np_w.uint8)
+        return w, h, pixels[:h, :w].tobytes()
+
+    return encode_jpeg_gray_blocks, decode_jpeg_gray
+
+
+def synthesize_jpeg_images(
+    df: DataFrame, id_col: str, width_mod: int = 16, height_mod: int = 12
+) -> DataFrame:
+    """Deterministic REAL baseline JPEGs keyed by id. Dims follow the PNG
+    generator (4 + id % mod); block (row-major index b) has constant value
+    ((id + b) * 31) % 256 — the exactly-representable family under the unit
+    quant table, so the decode output has a closed-form oracle even though
+    JPEG is a lossy format."""
+    encode_jpeg, _ = _jpeg_worker_fns()
+    wm, hm = width_mod, height_mod
+
+    def gen(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids = list(pdf["id"])
+            blobs = []
+            for i in ids:
+                w, h = 4 + int(i) % wm, 4 + int(i) % hm
+                n_blocks = ((w + 7) // 8) * ((h + 7) // 8)
+                vals = [((int(i) + b) * 31) % 256 for b in range(n_blocks)]
+                blobs.append(encode_jpeg(w, h, vals))
+            yield pd_w.DataFrame({"id": ids, "data": blobs, "mime": "image/jpeg"})
+
+    src = df.select(F.col(id_col).alias("id"))
+    return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+def decode_jpeg_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """Real JPEG decode → per-image features. Integer pixel sum plus the
+    sum/count mean (identical int operands → identical IEEE double on any
+    engine). Blobs die inside the worker."""
+    _, decode_jpeg = _jpeg_worker_fns()
+
+    def features(batches):
+        import pandas as pd_w
+
+        cols = ("id", "width", "height", "n_pixels", "sum_pixel", "mean_pixel")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for i, data in zip(pdf["id"], pdf["data"]):
+                w, h, px = decode_jpeg(bytes(data))
+                s = sum(px)
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_pixel"].append(s)
+                out["mean_pixel"].append(s / (w * h) if w * h else 0.0)
+            yield pd_w.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(
+        features,
+        "id bigint, width int, height int, n_pixels bigint, "
+        "sum_pixel bigint, mean_pixel double",
+    )

@@ -21,12 +21,30 @@ from pyspark.sql import functions as F
 ROLLUP_BUCKET_COL = "bucket_start"
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence probe (local/hdfs/s3a) via the JVM
+    Hadoop FileSystem — a true exists() check, so read errors on paths that
+    DO exist are never mistaken for absence."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def rollup_events(events: DataFrame, bucket: str = "hour") -> DataFrame:
     """One aggregate row per (time bucket, event_type): count + value sum.
     ``bucket_start`` is a sortable string key (doubles as the partition
-    column, so partition pruning works on it)."""
+    column, so partition pruning works on it).
+
+    Null-``ts`` rows are excluded by contract: they have no bucket, and the
+    incremental refresh's ``ts >= hwm`` filter is null-rejecting, so a null
+    partition written on the first refresh could never be updated again —
+    the rollup would silently diverge from a full recompute. Callers that
+    care about unbucketable rows should count them upstream
+    (``events.filter(F.col('ts').isNull()).count()``)."""
     return (
-        events.groupBy(
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
             F.date_format(F.date_trunc(bucket, "ts"), "yyyy-MM-dd HH:mm:ss").alias(
                 ROLLUP_BUCKET_COL
             ),
@@ -61,16 +79,26 @@ def incremental_rollup_refresh(
     # Spark's FileIndex hides from the data read; written via Spark so it
     # works on any Hadoop filesystem (s3a/hdfs), not just local paths.
     marker = f"{rollup_path}/_rollup_meta"
+    # Existence is probed via the Hadoop FileSystem API (works on s3a/hdfs,
+    # not just local paths) instead of try/except-around-read: a rollup that
+    # EXISTS but cannot be read (corrupt files, permission error) must
+    # propagate, not silently degrade to "first refresh" / "pre-marker" —
+    # the former recomputes everything, the latter bypasses the granularity
+    # guard below.
     hwm = None
-    try:
+    if _path_exists(spark, rollup_path):
         hwm = read_rollup(spark, rollup_path).agg(F.max(ROLLUP_BUCKET_COL)).first()[0]
-    except Exception:
-        pass  # first refresh: no rollup yet
     if hwm is not None:
-        try:
-            stored = spark.read.json(marker).first()["bucket"]
-        except Exception:
-            stored = None  # pre-marker rollup: accept and stamp below
+        stored = None  # pre-marker rollup: accept and stamp below
+        if _path_exists(spark, marker):
+            row = spark.read.json(marker).first()
+            if row is None or "bucket" not in row:
+                raise ValueError(
+                    f"rollup granularity marker at {marker} exists but is "
+                    "unreadable; refusing to refresh a rollup of unknown "
+                    "bucket granularity — repair or rebuild into a fresh path"
+                )
+            stored = row["bucket"]
         if stored is not None and stored != bucket:
             raise ValueError(
                 f"rollup at {rollup_path} was built with bucket={stored!r}; "

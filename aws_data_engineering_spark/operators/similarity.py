@@ -76,21 +76,32 @@ def _seq_cosine_fns():
     similarity oracle in this module depends on. Zero vectors: norms are
     floored at 1e-300 (a no-op for any nonzero vector), so sims come back
     0.0 instead of NaN (NaN sort position differs across engines).
+
+    Symmetric self-comparison (``b is None`` or ``b is a``) reuses the one
+    norm accumulator instead of computing it twice — bit-identical output
+    (the per-element products are the same IEEE sequence), just without the
+    duplicated O(N·D) norm pass the r2 kernel consolidation introduced.
     """
     import numpy as np
 
-    def seq_cosine_matrix(a, b):
+    def seq_cosine_matrix(a, b=None):
+        sym = b is None or b is a
+        if sym:
+            b = a
         dim = a.shape[1]
         acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
         an2 = np.zeros(a.shape[0], dtype=np.float64)
-        bn2 = np.zeros(b.shape[0], dtype=np.float64)
+        bn2 = an2 if sym else np.zeros(b.shape[0], dtype=np.float64)
         for j in range(dim):
             acc += a[:, j : j + 1] * b[None, :, j]
             an2 += a[:, j] * a[:, j]
-            bn2 += b[:, j] * b[:, j]
+            if not sym:
+                bn2 += b[:, j] * b[:, j]
         an = np.maximum(np.sqrt(an2), 1e-300)
-        bn = np.maximum(np.sqrt(bn2), 1e-300)
-        return acc / (an[:, None] * bn[None, :])
+        bn = an if sym else np.maximum(np.sqrt(bn2), 1e-300)
+        # floor the PRODUCT too: 1e-300 * 1e-300 underflows to 0.0, so a
+        # zero×zero pair would be 0/0 = NaN despite the per-norm floors
+        return acc / np.maximum(an[:, None] * bn[None, :], 1e-300)
 
     return seq_cosine_matrix
 

@@ -144,3 +144,74 @@ def m05_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     images = M.synthesize_png_images(docs, "doc_id")
     return M.decode_images(images, "id", "data", "mime")
+
+
+@register(
+    "m06_wav_decode_features",
+    """
+    WITH a AS (
+      SELECT doc_id AS id,
+             CAST(8000 + doc_id % 4 * 4000 AS INT) AS sample_rate,
+             CAST(256 + doc_id % 512 AS INT) AS n_samples
+      FROM documents
+    )
+    SELECT id, sample_rate, CAST(1 AS INT) AS n_channels, n_samples,
+           CAST(list_aggregate([(id + k) * 31 % 256 - 128
+                                FOR k IN generate_series(0, n_samples - 1)],
+                               'sum') AS BIGINT) AS sum_amplitude,
+           CAST(list_aggregate([abs((id + k) * 31 % 256 - 128)
+                                FOR k IN generate_series(0, n_samples - 1)],
+                               'max') AS INT) AS peak_amplitude,
+           n_samples * 1000.0 / sample_rate AS duration_ms
+    FROM a
+    """,
+    "REAL audio decode end-to-end: genuine RIFF/WAVE 16-bit PCM blobs "
+    "(canonical fmt /data chunks, little-endian samples) decoded by the "
+    "pure-Python codec inside mapInPandas — the closed-form amplitude "
+    "sum/peak only match if the signed 16-bit decode is exact; duration is "
+    "the same two IEEE ops on both engines, so no rounding needed",
+)
+def m06_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clips = M.synthesize_wav_audio(docs, "doc_id")
+    return M.decode_wav_features(clips, "id", "data")
+
+
+@register(
+    "m07_jpeg_decode_features",
+    """
+    WITH dims AS (
+      SELECT doc_id AS id,
+             CAST(4 + doc_id % 16 AS INT) AS width,
+             CAST(4 + doc_id % 12 AS INT) AS height,
+             CAST((4 + doc_id % 16 + 7) // 8 AS INT) AS bx_n,
+             CAST((4 + doc_id % 12 + 7) // 8 AS INT) AS by_n
+      FROM documents
+    )
+    SELECT id, width, height,
+           CAST(width AS BIGINT) * height AS n_pixels,
+           CAST(list_aggregate(
+                  [(id + b) * 31 % 256
+                     * least(8, width - b % bx_n * 8)
+                     * least(8, height - b // bx_n * 8)
+                   FOR b IN generate_series(0, bx_n * by_n - 1)],
+                  'sum') AS BIGINT) AS sum_pixel,
+           CAST(list_aggregate(
+                  [(id + b) * 31 % 256
+                     * least(8, width - b % bx_n * 8)
+                     * least(8, height - b // bx_n * 8)
+                   FOR b IN generate_series(0, bx_n * by_n - 1)],
+                  'sum') AS DOUBLE) / (width * height) AS mean_pixel
+    FROM dims
+    """,
+    "REAL JPEG decode end-to-end: genuine baseline SOF0 grayscale blobs "
+    "(Annex-K Huffman tables, byte stuffing, zigzag, unit DQT) decoded by "
+    "the pure-Python codec (full float IDCT) inside mapInPandas. The "
+    "encoder emits constant 8x8 blocks — the one family a lossy codec maps "
+    "through bit-exactly — so the closed-form per-block pixel sum only "
+    "matches if Huffman, DC prediction, dequant, and IDCT are all correct",
+)
+def m07_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    images = M.synthesize_jpeg_images(docs, "doc_id")
+    return M.decode_jpeg_features(images, "id", "data")

@@ -349,7 +349,10 @@ def c03_managed_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned DataFrame reads the table lazily
     name = f"spark_graft_c03_region_{uuid.uuid4().hex[:8]}"
     region.write.mode("overwrite").saveAsTable(name)
-    assert any(t.name == name for t in spark.catalog.listTables())
+    # catalog-visibility check: O(1) lookup, survives `python -O` (a bare
+    # assert is stripped), and doesn't scan the whole table list
+    if not spark.catalog.tableExists(name):
+        raise RuntimeError(f"managed table {name} not visible in catalog after save")
     back = spark.table(name)
     return back.groupBy("r_regionkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_regions"),

@@ -79,6 +79,28 @@ def _table_exists(spark: SparkSession, path: str, fmt: str) -> bool:
         return False
 
 
+def merge_condition(
+    primary_key: list[str],
+    partition_col: str | None,
+    target_alias: str = "t",
+    source_alias: str = "s",
+) -> str:
+    """The Delta MERGE ON condition: equality on every primary key column
+    plus the partition column, each backtick-quoted (reference contract:
+    FInal/load_script.py:94-96 — ``target.`k` = source.`k``` per PK AND
+    ``target.dt = source.dt``; we quote the partition column too, which is
+    semantically identical and safe for reserved-word column names).
+
+    Matches ``_merge_upsert_pure_spark`` exactly: both key on
+    ``primary_key + [partition_col]``, so the Delta branch and the tested
+    pure-Spark branch have identical row semantics.
+    """
+    keys = list(primary_key) + ([partition_col] if partition_col else [])
+    return " AND ".join(
+        f"{target_alias}.`{k}` = {source_alias}.`{k}`" for k in keys
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     df: DataFrame,
@@ -114,8 +136,7 @@ def merge_upsert(
     if HAS_DELTA and fmt == "delta":
         from delta.tables import DeltaTable
 
-        keys = list(primary_key) + ([partition_col] if partition_col else [])
-        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        cond = merge_condition(primary_key, partition_col)
         (
             DeltaTable.forPath(spark, path)
             .alias("t")

@@ -34,6 +34,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 # read_events_stream (see sources/tables.load_table for the batch-side twin).
 EVENTS_DDL = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
 
+# Plausible-epoch window for the per-batch ts sanity check: a micros value
+# misread as nanos lands in ~1970, a nanos value misread as micros lands
+# millennia out — both far outside any window containing real event data.
+_TS_SANITY_MIN = "1990-01-01"
+_TS_SANITY_MAX = "2100-01-01"
+
 
 def read_events_stream(
     spark: SparkSession,
@@ -73,8 +79,31 @@ def read_events_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path)
     if ts_view == "bigint":
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+        converted = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        converted = F.timestamp_micros(F.col("ts"))
+    # The unit is resolved ONCE at stream start; single-encoding-per-directory
+    # is a hard contract. If a file with the other encoding lands later, the
+    # converted epoch is 1000× off — this range check turns that silent
+    # corruption into a per-batch failure (JVM-codegen'd expression; null
+    # passes through, anything outside the plausible window raises).
+    in_range = converted.between(
+        F.lit(_TS_SANITY_MIN).cast("timestamp"), F.lit(_TS_SANITY_MAX).cast("timestamp")
+    )
+    checked = F.when(converted.isNull() | in_range, converted).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "read_events_stream: converted ts outside "
+                    f"[{_TS_SANITY_MIN}, {_TS_SANITY_MAX}] — the directory "
+                    "likely mixes ns- and us-encoded files (single encoding "
+                    "per directory is a hard contract); raw ts="
+                ),
+                F.col("ts").cast("string"),
+            )
+        )
+    )
+    return df.withColumn("ts", checked)
 
 
 def windowed_counts(

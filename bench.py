@@ -57,6 +57,9 @@ HEADLINE = [
     # iteration overhead dominates at this SF; correctness-gated instead).
     "s06_ann_ivf_fixed_topk",
     "t15_unigram_logprob",
+    # round-3: the streaming CDC upsert (foreachBatch MERGE — the streaming
+    # twin of the reference's W5) gets a round-over-round number.
+    "st08_stream_cdc_upsert",
 ]
 
 

@@ -39,15 +39,33 @@ def _sorted_rows(cols, rows):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+# DuckDB integer types wider than int64. Spark has no 128-bit integer, so a
+# HUGEINT oracle column types differently from Spark's bigint in the driver's
+# typed value-hash even when every value is equal (fetchall() hides this:
+# HUGEINT arrives as a plain Python int and 11901 == 11901 passes). DuckDB's
+# SUM(int) returns HUGEINT, so any count-style oracle must CAST(... AS BIGINT).
+_OVERWIDE_INT_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT"}
+
+
+def _assert_driver_hashable_types(cols, types, oracle_sql: str) -> None:
+    bad = [(c, t) for c, t in zip(cols, types) if str(t) in _OVERWIDE_INT_TYPES]
+    assert not bad, (
+        f"oracle columns {bad} have integer types wider than BIGINT; the "
+        f"driver's typed hash diverges from Spark's bigint even on equal "
+        f"values — wrap in CAST(... AS BIGINT) in the oracle SQL:\n{oracle_sql}"
+    )
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     """Assert spark result == duckdb oracle result (order-insensitive)."""
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     conn = duckdb_conn(sf_dir)
     try:
-        res = conn.execute(oracle_sql)
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
+        rel = conn.sql(oracle_sql)
+        d_cols = list(rel.columns)
+        _assert_driver_hashable_types(d_cols, rel.types, oracle_sql)
+        d_rows = rel.fetchall()
     finally:
         conn.close()
     assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"

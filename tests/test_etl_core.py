@@ -525,6 +525,30 @@ def test_apply_cdc_latest_wins_and_deletes(spark):
         W.apply_cdc(base, changes, [])
 
 
+def test_delta_merge_condition_parity():
+    """The Delta-branch MERGE ON condition must mirror the reference's
+    string contract (FInal/load_script.py:94-96: per-PK backtick-quoted
+    equality AND the dt equality) and key on exactly the columns the tested
+    pure-Spark merge anti-joins on (primary_key + partition_col) — so the
+    env-gated Delta branch provably has the same row semantics."""
+    from aws_data_engineering_spark.sources.writers import merge_condition
+
+    cond = merge_condition(["id", "name"], "dt", "target", "source")
+    assert cond == (
+        "target.`id` = source.`id` AND target.`name` = source.`name` "
+        "AND target.`dt` = source.`dt`"
+    )
+    # reference parity modulo backtick quoting: stripping our quotes yields
+    # byte-for-byte the condition the reference builds
+    ref_condition = " AND ".join(
+        [f"target.{k} = source.{k}" for k in ["id", "name"]]
+        + ["target.dt = source.dt"]
+    )
+    assert cond.replace("`", "") == ref_condition
+    # no partition column → PK-only condition, default t/s aliases
+    assert merge_condition(["pk"], None) == "t.`pk` = s.`pk`"
+
+
 def test_hll_mergeability_and_error(spark, sf_dir):
     """The q71 sketch pipeline's merge identity and accuracy: unioning
     per-group HLL sketches must estimate within 2% of the exact distinct
@@ -569,6 +593,60 @@ def test_incremental_rollup_equals_full_recompute(spark, sf_dir, tmp_path):
         for r in read_rollup(spark, path).collect()
     }
     want = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in rollup_events(events).collect()
+    }
+    assert got == want
+
+
+def test_rollup_corrupt_marker_raises(spark, sf_dir, tmp_path):
+    """A granularity marker that EXISTS but is unreadable must abort the
+    refresh — silently treating it as 'pre-marker' would bypass the
+    mixed-granularity guard and let a wrong `bucket` double-count."""
+    import pytest
+
+    from aws_data_engineering_spark.operators.rollup import incremental_rollup_refresh
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup")
+    incremental_rollup_refresh(spark, events, path)
+    # corrupt the marker: garbage bytes where the one-row json should be
+    marker_dir = tmp_path / "rollup" / "_rollup_meta"
+    for f in marker_dir.glob("part-*"):
+        f.write_text("not json at all {{{")
+    with pytest.raises(Exception, match="bucket|_rollup_meta|JSON|corrupt"):
+        incremental_rollup_refresh(spark, events, path)
+
+
+def test_rollup_null_ts_rows_are_excluded_consistently(spark, sf_dir, tmp_path):
+    """Null-ts events are unbucketable: they must be excluded from BOTH the
+    full aggregate and every incremental refresh, so the maintained rollup
+    never diverges from a recompute (the refresh filter `ts >= hwm` is
+    null-rejecting, so a null partition could never be maintained)."""
+    from aws_data_engineering_spark.operators.rollup import (
+        incremental_rollup_refresh,
+        read_rollup,
+        rollup_events,
+    )
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    null_row = events.limit(1).withColumn("ts", F.lit(None).cast("timestamp"))
+    with_nulls = events.unionByName(null_row)
+    path = str(tmp_path / "rollup")
+    cutoff = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    incremental_rollup_refresh(
+        spark, with_nulls.filter(F.col("event_id") <= cutoff) , path
+    )
+    incremental_rollup_refresh(spark, with_nulls, path)
+    rolled = read_rollup(spark, path)
+    assert rolled.filter(F.col("bucket_start").isNull()).count() == 0
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in rolled.collect()
+    }
+    want = {  # nulls excluded == aggregate of the non-null set
         (r["bucket_start"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in rollup_events(events).collect()
     }

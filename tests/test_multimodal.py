@@ -109,3 +109,90 @@ def test_png_decode_matches_fimg_features(spark, ids_df):
         ).collect()
     }
     assert png_feats == fimg_feats
+
+
+def test_wav_codec_roundtrip():
+    """Pure-Python WAV codec: 16-bit PCM samples (incl. negatives and int16
+    extremes) must round-trip exactly, and the emitted bytes must be a
+    structurally valid RIFF/WAVE stream."""
+    encode_wav, decode_wav = M._wav_worker_fns()
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    blob = encode_wav(16000, samples)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    sr, nch, out = decode_wav(blob)
+    assert (sr, nch) == (16000, 1)
+    assert out == samples
+
+
+def test_wav_decode_skips_foreign_chunks():
+    """Real producers insert LIST/INFO etc. between fmt and data — the
+    decoder must walk chunk-by-chunk (with even-byte padding), not assume a
+    fixed layout."""
+    import struct
+
+    encode_wav, decode_wav = M._wav_worker_fns()
+    blob = encode_wav(8000, [5, -7, 9])
+    # splice an odd-length foreign chunk right after 'WAVE'
+    foreign = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad to even
+    spliced = blob[:12] + foreign + blob[12:]
+    spliced = (
+        spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    )  # fix RIFF size
+    sr, nch, out = decode_wav(spliced)
+    assert (sr, nch, out) == (8000, 1, [5, -7, 9])
+
+
+def test_wav_malformed_rejected():
+    import pytest
+    import struct
+
+    encode_wav, decode_wav = M._wav_worker_fns()
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
+    blob = bytearray(encode_wav(8000, [1, 2]))
+    struct.pack_into("<I", blob, 4, 999)  # lie about the RIFF size
+    with pytest.raises(ValueError, match="length"):
+        decode_wav(bytes(blob))
+    # non-PCM format code must be refused, not misdecoded
+    good = encode_wav(8000, [1, 2])
+    fmt_pos = good.index(b"fmt ") + 8
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, fmt_pos, 3)  # IEEE-float format code
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        decode_wav(bytes(bad))
+
+
+def test_jpeg_codec_roundtrip_multiblock():
+    """Baseline JPEG codec: multi-block images (partial edge blocks, DC
+    diffs of both signs across blocks) must decode to the exact per-block
+    constants — exercising Huffman DC categories, EXTEND on negative
+    diffs, byte stuffing, and the float IDCT's DC path."""
+    encode_jpeg, decode_jpeg = M._jpeg_worker_fns()
+    w, h = 19, 13  # 3x2 blocks, both edges partial
+    vals = [255, 0, 128, 1, 254, 127]  # extreme swings -> max DC categories
+    blob = encode_jpeg(w, h, vals)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    dw, dh, px = decode_jpeg(blob)
+    assert (dw, dh) == (w, h)
+    bxn = (w + 7) // 8
+    for y in range(h):
+        for x in range(w):
+            assert px[y * w + x] == vals[(y // 8) * bxn + (x // 8)]
+
+
+def test_jpeg_malformed_rejected():
+    import pytest
+
+    encode_jpeg, decode_jpeg = M._jpeg_worker_fns()
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01rubbish")
+    blob = bytearray(encode_jpeg(8, 8, [100]))
+    # flip SOF0 -> SOF2 (progressive): must be refused, not misdecoded
+    sof_pos = bytes(blob).index(b"\xff\xc0")
+    blob[sof_pos + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(blob))
+    # truncated entropy stream
+    good = encode_jpeg(8, 8, [100])
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-10] + b"\xff\xd9")

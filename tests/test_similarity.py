@@ -11,6 +11,22 @@ from aws_data_engineering_spark.operators import similarity as S
 from aws_data_engineering_spark.sources.tables import load_table
 
 
+def test_seq_cosine_symmetric_fast_path_bit_exact():
+    """seq_cos(m, m) / seq_cos(m) must be bit-identical to the general
+    two-operand path — the r3 symmetric fast path only skips the duplicated
+    norm accumulation, never changes the IEEE operation sequence."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((37, 64))
+    m[5] = 0.0  # zero vector: sims must be 0.0, not NaN
+    seq_cos = S._seq_cosine_fns()
+    general = seq_cos(m, m.copy())  # distinct object → general path
+    assert np.array_equal(seq_cos(m, m), general)  # b is a
+    assert np.array_equal(seq_cos(m), general)  # b is None
+    assert not np.isnan(general).any()
+
+
 def test_bucketed_neardup_subset_of_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))

@@ -27,6 +27,47 @@ def events_dir(tmp_path_factory):
     return str(d)
 
 
+def test_mixed_ts_encoding_fails_loudly(spark, sf_dir, tmp_path):
+    """The ts unit is resolved once at stream start (single encoding per
+    directory is a hard contract). If a file with the OTHER encoding lands
+    mid-stream, converted timestamps are 1000x off — the per-batch sanity
+    range check must fail the batch, not silently corrupt every window."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "a_good.parquet")
+    stream = ST.read_events_stream(spark, str(d))
+    # the sanity check lives on the ts expression, so the query must consume
+    # ts (Catalyst prunes unreferenced columns — a query that never touches
+    # ts can't be corrupted by a bad encoding, so pruning it is correct)
+    agg = ST.windowed_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mixed_enc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # now a nanos-encoded file lands in a stream started under 'us'
+    bad = (
+        load_table(spark, sf_dir, "events")
+        .limit(10)
+        .withColumn("ts", F.unix_micros("ts") * 1000)
+    )
+    bad.coalesce(1).write.parquet(str(tmp_path / "_stage"))
+    part = next((tmp_path / "_stage").glob("part-*.parquet"))
+    part.rename(d / "b_bad.parquet")
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName("mixed_enc2")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="mixes ns- and us-encoded|outside"):
+        q2.awaitTermination()
+
+
 def test_stream_batch_parity_tumbling(spark, sf_dir, events_dir):
     stream = ST.read_events_stream(spark, events_dir)
     assert stream.isStreaming
