@@ -493,7 +493,23 @@ def ngram_contamination(
     produce no row. Shingling reuses the d05 Arrow worker (distinct,
     normalized word n-grams) so the DuckDB oracle replicates it exactly.
     """
-    spark = candidates.sparkSession
+    bench_grams = _gram_fanout(benchmark, id_col, text_col, shingle_n).select(
+        "shingle"
+    ).distinct()
+    return (
+        _gram_fanout(candidates, id_col, text_col, shingle_n)
+        .join(F.broadcast(bench_grams), "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def _gram_fanout(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    """(id, shingle) rows — one per DISTINCT word n-gram per doc — via the
+    d05 Arrow shingle worker (so DuckDB oracles replicate the tokenization
+    exactly). Pre-repartitioned so the explode parallelizes regardless of
+    the source file's split count."""
+    spark = df.sparkSession
     shingle_set, _ = _shingle_worker_fns(shingle_n)
 
     def explode_grams(batches):
@@ -508,19 +524,108 @@ def ngram_contamination(
                 grams.extend(sh)
             yield pd_w.DataFrame({"id": ids, "shingle": grams})
 
-    def fanout(df: DataFrame) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-            .repartition(spark.sparkContext.defaultParallelism)
-            .mapInPandas(explode_grams, "id bigint, shingle string")
-        )
-
-    bench_grams = fanout(benchmark).select("shingle").distinct()
     return (
-        fanout(candidates)
-        .join(F.broadcast(bench_grams), "shingle", "left_semi")
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(explode_grams, "id bigint, shingle string")
+    )
+
+
+# Bloom-filter geometry for bloom_contamination: m = 2^16 bit positions
+# (4 hex chars of md5), k independent position hashes per gram.
+_BLOOM_M_HEX_CHARS = 4
+_BLOOM_K = 4
+
+
+def _bloom_pos(col: Column, j: int) -> Column:
+    """Bit position j of a gram: 16-bit value from the first 4 hex chars of
+    md5(gram || '#b<j>'). Engine-portable ascii arithmetic (no conv/strtol —
+    see sampling.hash_bucket)."""
+    from aws_data_engineering_spark.operators.sampling import _hexval
+
+    h = F.md5(F.concat(col, F.lit(f"#b{j}")))
+    pos = F.lit(0)
+    for i in range(1, _BLOOM_M_HEX_CHARS + 1):
+        pos = pos * 16 + _hexval(F.substring(h, i, 1))
+    return pos
+
+
+def bloom_contamination(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter — the compact-
+    membership companion to :func:`ngram_contamination` for when even the
+    benchmark gram set is too large to broadcast verbatim.
+
+    The m=2^16-bit array is represented relationally: the DISTINCT set of
+    bit positions hit by the benchmark grams (≤ 65,536 rows — bounded by m,
+    NOT by benchmark size, so it broadcasts at any scale). A candidate gram
+    is a Bloom hit iff ALL k=4 of its positions are set — the standard
+    Bloom membership test as an equi-join + count. The exact semi-join runs
+    alongside so the output quantifies the false-positive rate instead of
+    hiding it (every exact hit is a Bloom hit by construction; the
+    difference is the FP count).
+
+    All hashes are md5-derived column expressions (JVM-side, no Python
+    workers beyond the shared gram fan-out), so DuckDB reproduces the
+    filter — false positives included — bit-exactly.
+
+    Returns (id, n_grams, bloom_hits, exact_hits, false_positives) for
+    docs with at least one Bloom hit.
+    """
+    bench_grams = _gram_fanout(benchmark, id_col, text_col, shingle_n).select(
+        "shingle"
+    ).distinct()
+    # the "bit array": distinct positions set by any benchmark gram
+    bench_bits = (
+        bench_grams.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("shingle"), j) for j in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    cand = _gram_fanout(candidates, id_col, text_col, shingle_n)
+    # membership probe: gram hits iff all k positions are set
+    probed = (
+        cand.select(
+            "id",
+            "shingle",
+            F.explode(
+                F.array(*[_bloom_pos(F.col("shingle"), j) for j in range(_BLOOM_K)])
+            ).alias("pos"),
+        )
+        .join(F.broadcast(bench_bits), "pos", "left_semi")
+        .groupBy("id", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == _BLOOM_K)
+        .select("id", "shingle")
+    )
+    exact = cand.join(F.broadcast(bench_grams), "shingle", "left_semi").select(
+        "id", "shingle", F.lit(1).alias("is_exact")
+    )
+    per_doc_grams = cand.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        probed.join(exact, ["id", "shingle"], "left")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .agg(
+            F.count(F.lit(1)).alias("bloom_hits"),
+            F.sum(F.coalesce(F.col("is_exact"), F.lit(0))).alias("exact_hits"),
+        )
+    )
+    return (
+        hits.join(per_doc_grams, "id")
+        .select(
+            "id",
+            "n_grams",
+            "bloom_hits",
+            "exact_hits",
+            (F.col("bloom_hits") - F.col("exact_hits")).alias("false_positives"),
+        )
     )
 
 
@@ -729,4 +834,68 @@ def minhash_oracle_sql(num_hashes: int = 32, num_bands: int = 8) -> str:
                       AS DOUBLE) / {num_hashes}, 4) AS est_jaccard
     FROM sigs a JOIN sigs bb ON a.doc_id < bb.doc_id
     WHERE {bands}
+    """
+
+
+def bloom_oracle_sql(bench_in: str, shingle_n: int = 5) -> str:
+    """DuckDB SQL reproducing :func:`bloom_contamination` exactly over the
+    ``documents`` view — false positives included, because the k position
+    hashes are md5-derived ascii arithmetic on both engines.
+
+    ``bench_in`` is the SQL IN-list of benchmark sources, e.g.
+    ``"('src0', 'src1')"``.
+    """
+    win = shingle_n - 1
+    h = "md5(shingle || '#b' || CAST(j AS VARCHAR))"
+
+    def hexval(i: int) -> str:
+        a = f"ascii(substr({h}, {i}, 1))"
+        return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
+
+    pos = "0"
+    for i in range(1, _BLOOM_M_HEX_CHARS + 1):
+        pos = f"({pos} * 16 + {hexval(i)})"
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) <= {win} THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+{win}], ' ')
+                                      FOR i IN generate_series(1, len(t) - {win})])
+             END AS sh
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, source, UNNEST(sh) AS shingle FROM grams
+    ), bench AS (
+      SELECT DISTINCT shingle FROM ex WHERE source IN {bench_in}
+    ), cand AS (
+      SELECT doc_id AS id, shingle FROM ex WHERE source NOT IN {bench_in}
+    ), bits AS (
+      SELECT DISTINCT {pos} AS pos
+      FROM bench, generate_series(0, {_BLOOM_K - 1}) g(j)
+    ), probed AS (
+      SELECT id, shingle
+      FROM (SELECT id, shingle, {pos} AS pos
+            FROM cand, generate_series(0, {_BLOOM_K - 1}) g(j)) cp
+      JOIN bits USING (pos)
+      GROUP BY id, shingle
+      HAVING COUNT(*) = {_BLOOM_K}
+    ), exact AS (
+      SELECT id, shingle, 1 AS is_exact FROM cand
+      WHERE shingle IN (SELECT shingle FROM bench)
+    ), hits AS (
+      SELECT p.id, COUNT(*) AS bloom_hits,
+             CAST(SUM(COALESCE(e.is_exact, 0)) AS BIGINT) AS exact_hits
+      FROM probed p LEFT JOIN exact e USING (id, shingle)
+      GROUP BY p.id
+    ), per_doc AS (
+      SELECT id, COUNT(*) AS n_grams FROM cand GROUP BY id
+    )
+    SELECT id AS doc_id, n_grams, bloom_hits, exact_hits,
+           bloom_hits - exact_hits AS false_positives
+    FROM hits JOIN per_doc USING (id)
     """

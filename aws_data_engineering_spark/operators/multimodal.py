@@ -995,3 +995,157 @@ def decode_jpeg_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame
         "id bigint, width int, height int, n_pixels bigint, "
         "sum_pixel bigint, mean_pixel double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Video container metadata (REAL ISO BMFF / MP4 box structure). The reference
+# pipeline carries opaque blobs only; this is the engine-side extension the
+# brief asks for. The synthesizer emits a structurally genuine MP4 file —
+# big-endian size+fourcc boxes, an `ftyp`, and a `moov` containing a real
+# version-0 `mvhd` (timescale/duration) plus one `tkhd`-bearing `trak` per
+# track with 16.16 fixed-point width/height — and the decoder is a real box
+# walker that any ffprobe-style tool would agree with. Media *samples*
+# (mdat/stbl) are out of scope: frame decode needs a codec library that is
+# not in this environment (see decode path stubs above).
+# ---------------------------------------------------------------------------
+
+MP4_METADATA_DDL = (
+    "id bigint, major_brand string, timescale int, duration_ticks int, "
+    "duration_ms double, n_tracks int, width int, height int"
+)
+
+
+def _mp4_worker_fns():
+    """MP4 box encode/parse closures (pickled by value — see _fimg_worker_fns)."""
+    import struct as _s
+
+    def _box(fourcc: bytes, payload: bytes) -> bytes:
+        return _s.pack(">I", 8 + len(payload)) + fourcc + payload
+
+    def encode_mp4(timescale, duration, tracks):
+        """tracks: list of (track_id, width, height). Returns ftyp+moov bytes."""
+        ftyp = _box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"isom" + b"mp42")
+        mvhd = _box(
+            b"mvhd",
+            _s.pack(">B3x", 0)  # version 0, flags 0
+            + _s.pack(">II", 0, 0)  # creation/modification time
+            + _s.pack(">II", timescale, duration)
+            + _s.pack(">i", 0x00010000)  # rate 1.0
+            + _s.pack(">h", 0x0100)  # volume 1.0
+            + b"\x00" * 10  # reserved
+            + _s.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24  # pre_defined
+            + _s.pack(">I", len(tracks) + 1),  # next_track_ID
+        )
+        traks = b""
+        for tid, w, h in tracks:
+            tkhd = _box(
+                b"tkhd",
+                _s.pack(">B3x", 0)
+                + _s.pack(">II", 0, 0)  # creation/modification
+                + _s.pack(">I", tid)
+                + b"\x00" * 4  # reserved
+                + _s.pack(">I", duration)
+                + b"\x00" * 8  # reserved
+                + _s.pack(">hhhh", 0, 0, 0, 0)  # layer/group/volume/reserved
+                + _s.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + _s.pack(">II", w << 16, h << 16),  # 16.16 fixed point
+            )
+            traks += _box(b"trak", tkhd)
+        return ftyp + _box(b"moov", mvhd + traks)
+
+    def _walk(blob, start, end):
+        """Yield (fourcc, payload_start, payload_end) for sibling boxes."""
+        pos = start
+        while pos + 8 <= end:
+            size = _s.unpack(">I", blob[pos : pos + 4])[0]
+            if size < 8 or pos + size > end:
+                raise ValueError(f"malformed box at {pos}: size={size}")
+            yield blob[pos + 4 : pos + 8], pos + 8, pos + size
+            pos += size
+        if pos != end:
+            raise ValueError("trailing garbage after last box")
+
+    def parse_mp4(blob: bytes):
+        """Return (major_brand, timescale, duration, n_tracks, width, height)."""
+        brand = timescale = duration = None
+        n_tracks, width, height = 0, 0, 0
+        for fourcc, p0, p1 in _walk(blob, 0, len(blob)):
+            if fourcc == b"ftyp":
+                brand = blob[p0 : p0 + 4].decode("ascii")
+            elif fourcc == b"moov":
+                for cc, c0, c1 in _walk(blob, p0, p1):
+                    if cc == b"mvhd":
+                        ver = blob[c0]
+                        if ver != 0:
+                            raise ValueError(f"unsupported mvhd version {ver}")
+                        timescale, duration = _s.unpack(">II", blob[c0 + 12 : c0 + 20])
+                    elif cc == b"trak":
+                        n_tracks += 1
+                        for tc, t0, t1 in _walk(blob, c0, c1):
+                            if tc == b"tkhd" and n_tracks == 1:
+                                w16, h16 = _s.unpack(">II", blob[t1 - 8 : t1])
+                                width, height = w16 >> 16, h16 >> 16
+        if brand is None:
+            raise ValueError("missing ftyp box")
+        if timescale is None:
+            raise ValueError("missing moov/mvhd box")
+        return brand, timescale, duration, n_tracks, width, height
+
+    return encode_mp4, parse_mp4
+
+
+def synthesize_mp4_videos(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic genuine-MP4 container per id: timescale 600, duration
+    (id % 240 + 1) * 60 ticks, 1 + id % 3 tracks, first track
+    16*(1 + id % 8) x 16*(1 + id % 6)."""
+    encode_mp4, _ = _mp4_worker_fns()
+
+    def gen(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids = list(pdf["id"])
+            blobs = []
+            for i in ids:
+                i = int(i)
+                tracks = [
+                    (t + 1, 16 * (1 + i % 8), 16 * (1 + i % 6))
+                    for t in range(1 + i % 3)
+                ]
+                blobs.append(encode_mp4(600, (i % 240 + 1) * 60, tracks))
+            yield pd_w.DataFrame({"id": ids, "data": blobs, "mime": "video/mp4"})
+
+    src = df.select(F.col(id_col).alias("id"))
+    return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+def decode_mp4_metadata(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """Real ISO-BMFF box walk → container metadata. duration_ms is the same
+    two IEEE ops (int*1000.0, /timescale) on any engine — no rounding
+    needed. Blobs die inside the worker."""
+    _, parse_mp4 = _mp4_worker_fns()
+
+    def features(batches):
+        import pandas as pd_w
+
+        cols = (
+            "id", "major_brand", "timescale", "duration_ticks",
+            "duration_ms", "n_tracks", "width", "height",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for i, data in zip(pdf["id"], pdf["data"]):
+                brand, ts, dur, n_trk, w, h = parse_mp4(bytes(data))
+                out["id"].append(i)
+                out["major_brand"].append(brand)
+                out["timescale"].append(ts)
+                out["duration_ticks"].append(dur)
+                out["duration_ms"].append(dur * 1000.0 / ts)
+                out["n_tracks"].append(n_trk)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd_w.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(features, MP4_METADATA_DDL)

@@ -1,0 +1,705 @@
+"""Round-3 breadth: remaining TPC-H query shapes (Q2/Q7/Q8/Q11/Q14/Q15/Q19
+analogues over the fixture star schema), binary-object ingestion via the
+``binaryFile`` source, real MP4 container metadata, embedding-centroid
+assignment, partition-volume anomaly detection, and the streaming
+session-window twin of q61.
+
+This module registers LAST (see ``registry._load_all``) so the queries land
+at the tail of the driver's not-yet-checked sample prefix — earlier rounds'
+unchecked queries keep rotation priority.
+
+Hash-match rules as registry docstring: identical aliases both sides, ROUND
+on float aggregates, ratio columns derived from already-rounded operands so
+both engines divide bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.operators import multimodal as M
+from aws_data_engineering_spark.operators import similarity as SIM
+from aws_data_engineering_spark.plans.registry import register
+from aws_data_engineering_spark.sources.readers import (
+    read_binary_files,
+    write_binary_objects,
+)
+from aws_data_engineering_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# q75 — TPC-H Q14 shape: promoted-part revenue share by ship month. CASE
+# inside SUM (conditional aggregation); part is a broadcast dim; the share
+# divides the two already-rounded sums so both engines divide bit-identical
+# doubles.
+# --------------------------------------------------------------------------
+@register(
+    "q75_promo_revenue_share",
+    """
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 2) AS promo_revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+           (100.0 * ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END), 2))
+             / ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    "TPC-H Q14 shape: conditional aggregation (CASE in SUM) — promo revenue "
+    "share per month, part dim broadcast, date filter pushed to the scan",
+)
+def q75_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_revenue"),
+            F.round(F.sum(_rev()), 2).alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_pct",
+            (F.lit(100.0) * F.col("promo_revenue")) / F.col("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q76 — TPC-H Q7 shape: bilateral shipping volume between two nations by
+# year. Two independent roles for the same dim (supplier-nation vs
+# customer-nation); both geo lookups fold dim-side and broadcast, so the
+# fact side shuffles once, for the lineitem⨝orders join.
+# --------------------------------------------------------------------------
+@register(
+    "q76_volume_shipping",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    "TPC-H Q7 shape: nation-pair trade volume by year — the same dim joined "
+    "in two roles (supplier geo + customer geo), both broadcast",
+)
+def q76_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # supplier geo: supplier⨝nation folded dim-side, broadcast
+    supp_geo = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    # customer geo, same shape
+    cust_geo = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_geo), orders.o_custkey == cust_geo.c_custkey)
+        .join(F.broadcast(supp_geo), li.l_suppkey == supp_geo.s_suppkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q77 — TPC-H Q8 shape: one nation's market share of a region's ECONOMY-part
+# order volume per year. Share = ratio of the two rounded sums.
+# --------------------------------------------------------------------------
+@register(
+    "q77_market_share",
+    """
+    WITH sales AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT order_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+             AS nation_volume,
+           ROUND(SUM(volume), 2) AS total_volume,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+             / ROUND(SUM(volume), 2) AS mkt_share
+    FROM sales GROUP BY order_year
+    """,
+    "TPC-H Q8 shape: supplier-nation market share of ASIA ECONOMY-part "
+    "volume per order year — 7-table join, every dim broadcast",
+)
+def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # customers in ASIA (filter applied dim-side, so the semi-filter on the
+    # fact side is a broadcast join against an already-reduced dim)
+    cust_asia = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_geo = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_asia), orders.o_custkey == cust_asia.c_custkey)
+        .join(F.broadcast(supp_geo), li.l_suppkey == supp_geo.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.sum(nation_vol), 2).alias("nation_volume"),
+            F.round(F.sum(_rev()), 2).alias("total_volume"),
+        )
+        .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q78 — TPC-H Q15 shape: top supplier(s) by quarterly revenue. The "view"
+# (per-supplier revenue) is aggregated once; its max comes back as a
+# broadcast scalar, not a re-aggregation — one pass over the fact table.
+# --------------------------------------------------------------------------
+@register(
+    "q78_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "TPC-H Q15 shape: argmax over an aggregated revenue view via broadcast "
+    "scalar max (equality on 2-dec-rounded doubles is engine-stable)",
+)
+def q78_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_rev()), 2).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# q79 — TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+# bands. Catalyst extracts the common p_brand IN (...) / p_size range as a
+# pushable filter on the broadcast part side; the residual OR evaluates
+# post-join in codegen.
+# --------------------------------------------------------------------------
+@register(
+    "q79_disjunctive_bands",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    GROUP BY l_returnflag
+    """,
+    "TPC-H Q19 shape: OR-of-ANDs predicate bands over a broadcast part join",
+)
+def q79_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+
+    def band(brand: str, s0: int, s1: int, q0: int, q1: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s0, s1)
+            & (F.col("l_quantity") >= q0)
+            & (F.col("l_quantity") <= q1)
+        )
+
+    cond = (
+        band("Brand#11", 1, 15, 1, 20)
+        | band("Brand#12", 10, 30, 10, 30)
+        | band("Brand#13", 20, 50, 20, 40)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q80 — TPC-H Q11 shape (no partsupp table in the fixture schema, so the
+# "stock value" is lineitem revenue per part): parts whose value exceeds
+# 1.1× the average part value. The global total/count aggregate is a 1-row
+# broadcast; the threshold compare runs on 2-dec-rounded doubles on both
+# engines so summation-order drift can't flip membership.
+# --------------------------------------------------------------------------
+@register(
+    "q80_important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS val
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT SUM(val) AS tot, COUNT(*) AS np FROM v)
+    SELECT l_partkey, ROUND(val, 2) AS part_value
+    FROM v, t
+    WHERE ROUND(val, 2) > ROUND(1.1 * tot / np, 2)
+    """,
+    "TPC-H Q11 shape: per-part value filtered against a broadcast global "
+    "scalar threshold (1.1x the mean part value)",
+)
+def q80_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("val"))
+    t = v.agg(F.sum("val").alias("tot"), F.count(F.lit(1)).alias("np"))
+    threshold = F.round(F.lit(1.1) * F.col("tot") / F.col("np"), 2)
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.round(F.col("val"), 2) > threshold)
+        .select("l_partkey", F.round("val", 2).alias("part_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q81 — TPC-H Q2 shape (no partsupp: supply cost ≈ min observed unit price
+# in lineitem): cheapest supplier per size-25 part. The per-part argmin is
+# MIN over a (price, suppkey) struct — partial-aggregable, no window sort —
+# with suppkey as the deterministic tie-break. MIN/division are exact
+# selections, so no rounding is needed for the compare itself.
+# --------------------------------------------------------------------------
+@register(
+    "q81_min_cost_supplier",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_price,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_price, l_suppkey) AS rnk
+      FROM unit
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name,
+           ROUND(unit_price, 4) AS min_unit_price
+    FROM best
+    JOIN part ON p_partkey = l_partkey AND p_size = 25
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rnk = 1
+    """,
+    "TPC-H Q2 shape: cheapest supplier per part via single-pass "
+    "MIN(struct(price, suppkey)) argmin — no window shuffle-sort",
+)
+def q81_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    best = unit.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_price", "l_suppkey")).alias("m")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 25)
+        .select("p_partkey", "p_name")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), F.col("m.l_suppkey") == supplier.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("m.unit_price"), 4).alias("min_unit_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dq04 — partition-volume anomaly detection: daily order counts vs the
+# table-wide mean/stddev. Mean and variance derive from EXACT integer sums
+# (Σn, Σn²) cast to double, so the z-scores are bit-identical across
+# engines — no stddev_samp summation-order drift, no boundary flakes on
+# the |z| > 2 cut. This is the "did yesterday's load look wrong" check a
+# lake pipeline runs after every ingest.
+# --------------------------------------------------------------------------
+@register(
+    "dq04_partition_volume_anomaly",
+    """
+    WITH d AS (
+      SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS order_day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(n_orders) AS DOUBLE) / COUNT(*) AS mean,
+             CAST(SUM(n_orders * n_orders) AS DOUBLE) / COUNT(*) AS m2
+      FROM d
+    )
+    SELECT order_day, n_orders,
+           ROUND((n_orders - mean) / sqrt(m2 - mean * mean), 3) AS z_score
+    FROM d, s
+    WHERE abs((n_orders - mean) / sqrt(m2 - mean * mean)) > 2
+    """,
+    "data quality: daily ingest-volume outliers via z-score from exact "
+    "integer moment sums (broadcast 1-row stats, bit-stable cut)",
+)
+def dq04_partition_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    s = d.agg(
+        (F.sum("n_orders").cast("double") / F.count(F.lit(1))).alias("mean"),
+        (
+            F.sum(F.col("n_orders") * F.col("n_orders")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    z = (F.col("n_orders") - F.col("mean")) / F.sqrt(
+        F.col("m2") - F.col("mean") * F.col("mean")
+    )
+    return (
+        d.crossJoin(F.broadcast(s))
+        .filter(F.abs(z) > 2)
+        .select("order_day", "n_orders", F.round(z, 3).alias("z_score"))
+    )
+
+
+# --------------------------------------------------------------------------
+# c05 — binary-object ingestion through Spark's built-in ``binaryFile``
+# source: the front door for multimodal corpora (one image/audio file per
+# object in an object store). Objects are materialized executor-side
+# (foreachPartition — no blob transits the driver), then scanned back
+# distributed; doc identity is recovered from the path, and the md5 proves
+# byte-exact round-trip. At 100 TB the same two calls run against s3a://
+# with pathGlobFilter pruning at listing time.
+# --------------------------------------------------------------------------
+@register(
+    "c05_binaryfile_scan",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    "binaryFile source round-trip: executor-side object write -> "
+    "distributed binary scan -> path-derived id + byte length + md5 "
+    "(byte-exact content proof)",
+)
+def c05_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "spark_c05", uuid.uuid4().hex[:8]
+    )
+    write_binary_objects(docs, out_dir, "doc_id", "data")
+    files = read_binary_files(spark, out_dir, glob="obj_*.bin")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"obj_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m08 — REAL MP4 container metadata: structurally genuine ISO-BMFF blobs
+# (ftyp + moov/mvhd + per-track trak/tkhd, big-endian boxes, 16.16 fixed
+# point) parsed back by a real box walker inside mapInPandas. The oracle's
+# closed-form values only match if box sizes, the mvhd layout, and the
+# fixed-point unpack are all exactly right. duration_ms is the same two
+# IEEE ops (int * 1000.0, / timescale) on both engines — no rounding.
+# --------------------------------------------------------------------------
+@register(
+    "m08_mp4_container_metadata",
+    """
+    SELECT doc_id AS id,
+           'isom' AS major_brand,
+           CAST(600 AS INT) AS timescale,
+           CAST((doc_id % 240 + 1) * 60 AS INT) AS duration_ticks,
+           CAST((doc_id % 240 + 1) * 60 AS DOUBLE) * 1000 / 600 AS duration_ms,
+           CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+           CAST(16 * (1 + doc_id % 8) AS INT) AS width,
+           CAST(16 * (1 + doc_id % 6) AS INT) AS height
+    FROM documents
+    """,
+    "REAL video-container decode: genuine ISO-BMFF/MP4 box structure "
+    "(ftyp, moov/mvhd timescale+duration, trak/tkhd 16.16 dimensions) "
+    "walked by a pure-Python parser inside mapInPandas; sample decode "
+    "needs a codec library (absent) and stays out of scope",
+)
+def m08_mp4_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    videos = M.synthesize_mp4_videos(docs, "doc_id")
+    return M.decode_mp4_metadata(videos, "id", "data")
+
+
+# --------------------------------------------------------------------------
+# e03 — embedding classification by label centroid: per-label mean vectors
+# (rounded to 6dp on both engines, killing summation-order drift), then
+# every vector is assigned to its nearest centroid by cosine. The fold
+# order of the Spark-side cosine matches DuckDB's list_cosine_similarity
+# (see operators/similarity.py), so raw scores are bit-identical and the
+# argmax — computed as a single-pass MAX_BY over a (score, -label) struct,
+# no window sort — is deterministic. Output is the label confusion matrix.
+# --------------------------------------------------------------------------
+@register(
+    "e03_centroid_assignment",
+    """
+    WITH ex AS (
+      SELECT label, gs AS pos, CAST(embedding AS DOUBLE[])[gs] AS v
+      FROM embeddings, generate_series(1, 64) g(gs)
+    ),
+    comp AS (
+      SELECT label, pos, ROUND(SUM(v) / COUNT(*), 6) AS v
+      FROM ex GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label AS cand, list(v ORDER BY pos) AS centroid
+      FROM comp GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.cand,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid)
+               AS score
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    best AS (
+      SELECT vec_id, label, cand, score,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cand) AS rnk
+      FROM scored
+    )
+    SELECT label, cand AS assigned_label,
+           COUNT(*) AS n_vectors,
+           ROUND(SUM(score), 4) / COUNT(*) AS avg_score
+    FROM best WHERE rnk = 1
+    GROUP BY label, cand
+    """,
+    "embedding-centroid assignment (nearest-class-mean classification): "
+    "10 broadcast centroids x fact-side vectors, single-pass MAX_BY argmax, "
+    "bit-exact fold-order-matched cosine; output = confusion matrix",
+)
+def e03_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    ex = emb.select("label", F.posexplode("e").alias("pos", "v"))
+    comp = ex.groupBy("label", "pos").agg(
+        F.round(F.sum("v") / F.count(F.lit(1)), 6).alias("v")
+    )
+    cent = comp.groupBy(F.col("label").alias("cand")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("centroid")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "score", SIM.cosine(F.col("e"), F.col("centroid"))
+    )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max_by(
+            F.struct("cand", "score"),
+            F.struct(F.col("score"), (-F.col("cand")).alias("neg_cand")),
+        ).alias("b")
+    )
+    return best.groupBy("label", F.col("b.cand").alias("assigned_label")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.round(F.sum("b.score"), 4) / F.count(F.lit(1))).alias("avg_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# st06 — streaming session windows (the streaming twin of q61, oracle
+# unchanged): a real Structured Streaming execution of
+# F.session_window over the events stream. Append mode only emits a
+# session once the watermark proves it can't grow, and a drained bounded
+# source never advances the watermark past its last event — so a sentinel
+# event 2h past max(ts) (user -1, excluded from output on both sides)
+# flushes the final sessions. On an unbounded stream the same plan runs
+# verbatim without the sentinel.
+# --------------------------------------------------------------------------
+@register(
+    "st06_stream_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 1800 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+             AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "Structured Streaming session_window per user (30min gap, append mode, "
+    "availableNow) — engine-managed dynamic-gap state; oracle is q61's "
+    "batch gaps-and-islands SQL, so stream/batch parity is hash-checked",
+)
+def st06_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        session_window_counts,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    events = _t(spark, sf_dir, "events")
+    max_us = events.agg(F.max(F.unix_micros(F.col("ts")))).collect()[0][0]
+    # sentinel: one event 2h past the last real one, in its own directory
+    # (raw ns-encoded bigint ts, the encoding read_events_stream expects
+    # from a bigint-typed footer). user -1 never reaches the output: its
+    # session can't close (nothing advances the watermark past it).
+    sent_dir = os.path.join(tempfile.gettempdir(), "spark_st06", uuid.uuid4().hex[:8])
+    sentinel_ns = (max_us + 2 * 3600 * 1_000_000) * 1000
+    spark.createDataFrame(
+        [(int(1e9), sentinel_ns, -1, "sentinel", 0.0, None)],
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(sent_dir)
+
+    stream = read_events_stream(spark, path).union(
+        read_events_stream(spark, sent_dir)
+    )
+    sess = session_window_counts(stream, gap="30 minutes", watermark="0 seconds")
+    name = f"st06_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(sess, name, "append")
+    return out.filter(F.col("user_id") >= 0)
+
+
+# --------------------------------------------------------------------------
+# d11 — Bloom-filter decontamination: the compact-membership companion to
+# d09's broadcast semi-join. The m=2^16-bit filter is a relational bitmap
+# (distinct set positions — bounded by m, not benchmark size, so it
+# broadcasts at any corpus scale); membership = all k=4 md5-derived
+# positions set. The exact check runs alongside, so the oracle verifies
+# the FALSE POSITIVES too — the filter's approximation is itself
+# bit-reproducible in DuckDB.
+# --------------------------------------------------------------------------
+from aws_data_engineering_spark.operators import dedup as D  # noqa: E402
+
+_D11_BENCH = ("src0", "src1")
+_D11_IN = "('" + "', '".join(_D11_BENCH) + "')"
+
+
+@register(
+    "d11_bloom_contamination",
+    D.bloom_oracle_sql(_D11_IN, shingle_n=5),
+    "Bloom-filter benchmark decontamination (m=2^16, k=4): bit positions "
+    "as a broadcast relational bitmap, membership as equi-join + count; "
+    "exact semi-join alongside quantifies the false-positive rate, and "
+    "the oracle reproduces the FPs bit-exactly",
+)
+def d11_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench_pred = F.col("source").isin(*_D11_BENCH)
+    out = D.bloom_contamination(
+        docs.filter(~bench_pred), docs.filter(bench_pred), "doc_id", "text", shingle_n=5
+    )
+    return out.withColumnRenamed("id", "doc_id")

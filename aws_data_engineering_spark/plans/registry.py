@@ -52,6 +52,9 @@ def _load_all() -> None:
         relational_queries,
         streaming_queries,
     )
+    # extra_queries registers LAST so its (round-3) additions sort after
+    # earlier rounds' not-yet-driver-checked queries in the sample prefix.
+    from aws_data_engineering_spark.plans import extra_queries  # noqa: F401
 
 
 # Queries already driver-verified in a previous round (green rows in

@@ -86,3 +86,47 @@ def read_xml(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def write_binary_objects(
+    df: DataFrame, out_dir: str, id_col: str, data_col: str, suffix: str = ".bin"
+) -> None:
+    """Materialize one raw binary object per row as ``obj_<id><suffix>`` —
+    the layout multimodal corpora actually ship in (one image/audio file per
+    object in an object store). The write runs executor-side via
+    ``foreachPartition`` so no blob ever transits the driver; on a cluster
+    ``out_dir`` is a shared filesystem / object-store mount (here: local
+    tmp, which local[*] shares across worker threads)."""
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    rows = df.select(
+        df[id_col].alias("id"), df[data_col].cast("binary").alias("data")
+    )
+
+    def _write(it):
+        import os as _os2
+
+        for r in it:
+            tmp = _os2.path.join(out_dir, f".obj_{r['id']}{suffix}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(bytes(r["data"]))
+            # atomic publish so a concurrent binaryFile scan never sees a
+            # half-written object
+            _os2.replace(tmp, _os2.path.join(out_dir, f"obj_{r['id']}{suffix}"))
+
+    rows.foreachPartition(_write)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Spark's built-in ``binaryFile`` source: one row per object with
+    (path, modificationTime, length, content). This is the ingestion front
+    door for multimodal corpora at scale — the scan parallelizes across
+    executors and ``pathGlobFilter`` prunes at file-listing time, before any
+    byte is read."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -4,6 +4,7 @@ from aws_data_engineering_spark.streaming.streams import (  # noqa: F401
     read_events_stream,
     run_to_memory_sink,
     running_user_totals,
+    session_window_counts,
     sessionize_with_state,
     stream_upsert_sink,
     windowed_counts,

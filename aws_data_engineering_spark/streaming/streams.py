@@ -136,6 +136,44 @@ def windowed_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Engine-managed dynamic-gap session windows per user — the streaming
+    form of q61 (and the declarative twin of ``sessionize_with_state``).
+
+    In append mode a session only emits once the watermark passes its end
+    (last event + gap): the engine must prove no further event can extend
+    it. A drained file source never advances the watermark past its own
+    last event, so the final sessions would stay in state forever — callers
+    draining a bounded source must append a sentinel event whose timestamp
+    exceeds ``max(ts) + gap`` (see st06) to flush them. This is inherent to
+    session semantics, not an implementation wart: an unbounded stream has
+    no "final" session.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: inactivity-gap sessionization
 # ---------------------------------------------------------------------------

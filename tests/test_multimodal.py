@@ -196,3 +196,62 @@ def test_jpeg_malformed_rejected():
     good = encode_jpeg(8, 8, [100])
     with pytest.raises(ValueError):
         decode_jpeg(good[:-10] + b"\xff\xd9")
+
+
+def test_mp4_codec_roundtrip():
+    encode_mp4, parse_mp4 = M._mp4_worker_fns()
+    blob = encode_mp4(600, 14400, [(1, 128, 96), (2, 64, 48)])
+    brand, ts, dur, n_trk, w, h = parse_mp4(blob)
+    assert (brand, ts, dur, n_trk) == ("isom", 600, 14400, 2)
+    assert (w, h) == (128, 96)  # first track's 16.16 dims
+
+
+def test_mp4_malformed_rejected():
+    import pytest
+    import struct
+
+    encode_mp4, parse_mp4 = M._mp4_worker_fns()
+    good = encode_mp4(600, 600, [(1, 16, 16)])
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4(good[good.index(b"moov") - 4 :])  # moov only, no ftyp
+    with pytest.raises(ValueError, match="malformed box|trailing"):
+        parse_mp4(good[:-3])  # truncated final box
+    # box size smaller than the 8-byte header must be refused
+    bad = struct.pack(">I", 4) + b"ftyp"
+    with pytest.raises(ValueError, match="malformed box"):
+        parse_mp4(bad)
+    # mvhd version 1 (64-bit fields) is out of contract: refuse, don't
+    # silently misparse the layout
+    v1 = bytearray(good)
+    mvhd = bytes(v1).index(b"mvhd")
+    v1[mvhd + 4] = 1
+    with pytest.raises(ValueError, match="version"):
+        parse_mp4(bytes(v1))
+
+
+def test_binary_objects_roundtrip(spark, tmp_path):
+    from aws_data_engineering_spark.sources.readers import (
+        read_binary_files,
+        write_binary_objects,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"alpha")), (2, bytearray(b"\x00\xffbin")), (3, bytearray(b""))],
+        "id bigint, data binary",
+    )
+    out = str(tmp_path / "objs")
+    write_binary_objects(df, out, "id", "data")
+    got = {
+        int(r["path"].rsplit("obj_", 1)[1].removesuffix(".bin")): bytes(r["content"])
+        for r in read_binary_files(spark, out, glob="obj_*.bin").collect()
+    }
+    # upstream contract: Spark's file index drops zero-length files, so the
+    # empty object is written (exists on disk) but never emitted by the scan
+    assert got == {1: b"alpha", 2: b"\x00\xffbin"}
+    import os
+
+    assert os.path.getsize(os.path.join(out, "obj_3.bin")) == 0
+    # no half-written temp files survive the atomic publish
+    import os
+
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]

@@ -167,3 +167,50 @@ def test_registry_orders_unchecked_queries_first():
     assert any(n in R._DRIVER_CHECKED for n in names)
     assert any(n not in R._DRIVER_CHECKED for n in names)
     assert set(R.oracle_sql()) <= set(names)
+
+
+def test_q76_both_geo_roles_broadcast(spark, sf_dir):
+    plan = _plan(queries()["q76_volume_shipping"](spark, sf_dir))
+    # supplier-geo and customer-geo both broadcast: the fact side shuffles
+    # only for the lineitem⨝orders join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q77_all_dims_broadcast_no_fact_sortmerge(spark, sf_dir):
+    plan = _plan(queries()["q77_market_share"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # part, cust-asia, supp-geo
+    assert "CartesianProduct" not in plan
+
+
+def test_q75_date_filter_pushed(spark, sf_dir):
+    plan = _plan(queries()["q75_promo_revenue_share"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q81_argmin_single_pass_no_window(spark, sf_dir):
+    plan = _plan(queries()["q81_min_cost_supplier"](spark, sf_dir))
+    # per-part argmin is MIN(struct) — partial-aggregable, no window sort
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q81_part_size_filter_pushed(spark, sf_dir):
+    plan = _plan(queries()["q81_min_cost_supplier"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(p_size), EqualTo(p_size,25)" in plan
+
+
+def test_dq04_stats_broadcast_single_scan(spark, sf_dir):
+    plan = _plan(queries()["dq04_partition_volume_anomaly"](spark, sf_dir))
+    # the 1-row moment aggregate joins back via broadcast nested loop (a
+    # true scalar), never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_e03_centroids_broadcast_argmax_no_window(spark, sf_dir):
+    plan = _plan(queries()["e03_centroid_assignment"](spark, sf_dir))
+    # 10 centroids broadcast against the fact side; per-vector argmax is
+    # MAX_BY (partial-aggregable), not a row_number window
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
