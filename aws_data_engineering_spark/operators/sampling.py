@@ -212,3 +212,41 @@ def mixture_sql(
         f"WHEN {key_expr} = '{k}' THEN {int(v * NUM_BUCKETS)}" for k, v in rates.items()
     )
     return f"{b} < (CASE {whens} ELSE {int(default_rate * NUM_BUCKETS)} END)"
+
+
+def stratified_topn(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    n: int,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Class-balanced downsample: keep exactly ``min(n, class size)`` rows
+    per stratum, chosen by deterministic md5 rank over (id, salt) — the
+    class-rebalancing step of a training-data pipeline (cap the dominant
+    class instead of sampling a fraction of it like :func:`mixture_sample`).
+
+    Idempotent under retries and repartitioning (rank depends only on row
+    identity), and engine-portable (the oracle replays the same md5 order).
+    One shuffle keyed on the stratum; per-class parallelism. A single
+    pathological mega-class serializes its own sort — at that skew, cap the
+    class first with a cheap ``hash < threshold`` pre-filter sized from
+    ``n / class_count``, then rank the survivors.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(_as_col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(stratum_col).orderBy(key.asc(), _as_col(id_col).asc())
+    return (
+        df.withColumn("strat_rank", F.row_number().over(w))
+        .filter(F.col("strat_rank") <= n)
+    )
+
+
+def stratified_sql(stratum_expr: str, id_expr: str, n: int, salt: str = "strat-v1") -> str:
+    """DuckDB QUALIFY fragment replaying :func:`stratified_topn`'s order."""
+    key = f"md5(CAST({id_expr} AS VARCHAR) || '{salt}')"
+    return (
+        f"ROW_NUMBER() OVER (PARTITION BY {stratum_expr} "
+        f"ORDER BY {key}, {id_expr}) <= {n}"
+    )

@@ -703,3 +703,189 @@ def d11_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(~bench_pred), docs.filter(bench_pred), "doc_id", "text", shingle_n=5
     )
     return out.withColumnRenamed("id", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# p07 — class-balanced downsample: exactly min(n, class size) rows per
+# label by deterministic md5 rank. The rebalancing step before training on
+# skewed class distributions; idempotent under retries/repartitioning.
+# --------------------------------------------------------------------------
+from aws_data_engineering_spark.operators import sampling as SA  # noqa: E402
+
+_P07_N = 20
+
+
+@register(
+    "p07_stratified_sample",
+    f"""
+    SELECT vec_id, label, strat_rank FROM (
+      SELECT vec_id, label,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || 'strat-v1'), vec_id
+             ) AS INT) AS strat_rank
+      FROM embeddings
+    ) WHERE strat_rank <= {_P07_N}
+    """,
+    "stratified class-balanced sampling: deterministic md5-ranked top-n "
+    "per label (cap the dominant class), idempotent and engine-portable",
+)
+def p07_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return SA.stratified_topn(emb, "label", "vec_id", _P07_N).select(
+        "vec_id", "label", "strat_rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# c06 — custom SINK through the Python Data Source API (the write half of
+# c01/st07's connector story): documents go out through the pyjsonl
+# writer's two-phase task commit and come back through spark.read.json;
+# the md5 over the round-tripped text proves byte-exact serialization.
+# --------------------------------------------------------------------------
+@register(
+    "c06_python_datasource_sink",
+    """
+    SELECT doc_id, lang, source, n_chars, md5(text) AS content_md5
+    FROM documents
+    """,
+    "Python Data Source WRITER: distributed JSON-lines sink with real "
+    "two-phase commit (executor .tmp parts -> driver atomic publish + "
+    "manifest), round-tripped through spark.read.json and md5-checked",
+)
+def c06_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.sources.python_datasource import write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), "spark_c06", uuid.uuid4().hex[:8])
+    write_jsonl(docs, out_dir)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(os.path.join(out_dir, "part-*.jsonl"))
+    return back.select(
+        "doc_id", "lang", "source", "n_chars", F.md5(F.encode("text", "utf-8")).alias("content_md5")
+    )
+
+
+# --------------------------------------------------------------------------
+# t16 — TF-IDF top terms per document: tf and df from one tokenized pass,
+# idf against the full corpus (N and df as broadcast aggregates), top-3
+# terms per doc by (tfidf DESC, token ASC). ln() agrees bit-for-bit across
+# engines on these inputs (t15 precedent); the rank compares bit-identical
+# doubles, and the displayed score is rounded after ranking.
+# --------------------------------------------------------------------------
+@register(
+    "t16_tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token
+      FROM documents
+    ), tfc AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+    ), dfc AS (
+      SELECT token, COUNT(*) AS df FROM tfc GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT t.doc_id, t.token, t.tf,
+             t.tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+      FROM tfc t JOIN dfc USING (token) CROSS JOIN n
+      WHERE t.doc_id < 50
+    )
+    SELECT doc_id, token, tf, ROUND(tfidf, 6) AS tfidf, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, token) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    "TF-IDF top-3 terms per doc: corpus-wide df re-joined on token "
+    "(shuffle equi-join, no driver-side vocabulary), N as a broadcast "
+    "1-row aggregate",
+)
+def t16_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    tfc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tfc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tfc.filter(F.col("doc_id") < 50)
+        .join(dfc, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", F.round("tfidf", 6).alias("tfidf"), "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# st09 — streaming LEFT OUTER interval join: st02's attribution join plus
+# the null-extended unattributed purchases, which the engine may only emit
+# once the click-side watermark proves no qualifying click can still
+# arrive. Sentinel purchase+click events (user -1) past max(ts)+interval
+# flush that tail on the bounded drain; oracle is the batch LEFT JOIN.
+# --------------------------------------------------------------------------
+@register(
+    "st09_stream_outer_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTES
+    """,
+    "stream-stream LEFT OUTER interval join (watermark-gated null "
+    "emission for unattributed purchases), run as a real streaming "
+    "execution and hash-checked against the batch LEFT JOIN",
+)
+def st09_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.streaming import (
+        purchase_click_attribution,
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    events = _t(spark, sf_dir, "events")
+    max_us = events.agg(F.max(F.unix_micros(F.col("ts")))).collect()[0][0]
+    sent_dir = os.path.join(tempfile.gettempdir(), "spark_st09", uuid.uuid4().hex[:8])
+    sentinel_ns = (max_us + 2 * 3600 * 1_000_000) * 1000
+    # one sentinel per branch: each watermark is tracked AFTER the
+    # event_type filter, so both the purchase and click branch need to see
+    # a far-future event to close their state
+    spark.createDataFrame(
+        [
+            (int(1e9), sentinel_ns, -1, "purchase", 0.0, None),
+            (int(1e9) + 1, sentinel_ns, -1, "click", 0.0, None),
+        ],
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(sent_dir)
+
+    stream = read_events_stream(spark, path).union(
+        read_events_stream(spark, sent_dir)
+    )
+    joined = purchase_click_attribution(
+        stream, attribution_minutes=30, watermark="0 seconds", join_type="leftOuter"
+    )
+    name = f"st09_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(joined, name, "append")
+    return out.filter(F.col("user_id") >= 0)

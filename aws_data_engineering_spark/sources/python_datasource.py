@@ -213,3 +213,103 @@ def synthlog_oracle_sql(rows: int) -> str:
            CAST({bucket} AS INT) AS bucket
     FROM generate_series(0, {rows - 1}) t(i)
     """
+
+
+# ---------------------------------------------------------------------------
+# Custom SINK on the Python Data Source API: the write half of the
+# connector surface (c01/st07 cover batch + streaming reads). ``pyjsonl``
+# writes JSON-lines part files with a real two-phase commit: executors
+# write .tmp files and return them as commit messages; the driver-side
+# commit() atomically publishes them and drops a _SUCCESS manifest, and
+# abort() removes the orphans — the same task-commit contract Spark's
+# built-in file sinks implement, visible here in ~40 lines of Python.
+# ---------------------------------------------------------------------------
+
+
+def _make_writer_datasource():
+    """Writer DataSource classes, built in a factory for by-value pickling
+    (same rule as the reader classes above)."""
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _Part(WriterCommitMessage):
+        tmp_path: str
+        rows: int
+
+    class JsonLinesWriter(DataSourceWriter):
+        def __init__(self, options, field_names):
+            self._dir = options["path"]
+            self._names = field_names
+
+        def write(self, iterator):
+            # executor-side: one .tmp part file per task, never visible to
+            # readers until commit publishes it
+            import json
+            import os
+            import uuid as _uuid
+
+            os.makedirs(self._dir, exist_ok=True)
+            tmp = os.path.join(self._dir, f".part-{_uuid.uuid4().hex}.jsonl.tmp")
+            n = 0
+            with open(tmp, "w", encoding="utf-8") as f:
+                for row in iterator:
+                    f.write(json.dumps(dict(zip(self._names, row))) + "\n")
+                    n += 1
+            return _Part(tmp_path=tmp, rows=n)
+
+        def commit(self, messages):
+            # driver-side: atomic publish + manifest. On a cluster this dir
+            # is a shared filesystem/object store, same as the file sinks.
+            import json
+            import os
+
+            finals = []
+            for m in messages:
+                final = m.tmp_path.replace(".jsonl.tmp", ".jsonl").replace(
+                    "/.part-", "/part-"
+                )
+                os.replace(m.tmp_path, final)
+                finals.append({"file": os.path.basename(final), "rows": m.rows})
+            with open(os.path.join(self._dir, "_SUCCESS"), "w") as f:
+                json.dump(finals, f)
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                try:
+                    os.remove(m.tmp_path)
+                except FileNotFoundError:
+                    pass
+
+    class JsonLinesDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pyjsonl"
+
+        def writer(self, schema, overwrite):
+            if overwrite:
+                raise NotImplementedError(
+                    "pyjsonl supports append only; write to a fresh directory"
+                )
+            return JsonLinesWriter(self.options, [f.name for f in schema.fields])
+
+    return JsonLinesDataSource
+
+
+def register_pyjsonl(spark: SparkSession) -> None:
+    """Idempotently register the ``pyjsonl`` sink format on this session."""
+    spark.dataSource.register(_make_writer_datasource())
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Write ``df`` as JSON-lines through the custom ``pyjsonl`` connector
+    (distributed, two-phase task commit)."""
+    register_pyjsonl(df.sparkSession)
+    df.write.format("pyjsonl").option("path", path).mode("append").save()

@@ -397,7 +397,10 @@ def stream_upsert_sink(
 
 
 def purchase_click_attribution(
-    events: DataFrame, attribution_minutes: int = 30, watermark: str = "1 hour"
+    events: DataFrame,
+    attribution_minutes: int = 30,
+    watermark: str = "1 hour",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: every (purchase, click) pair for the
     same user where the click landed within ``attribution_minutes`` before
@@ -407,7 +410,12 @@ def purchase_click_attribution(
     condition lets Spark bound the join state — each side retains only
     watermark + interval of history per user, so state is O(recent events),
     not O(stream). Works identically on a batch DataFrame (condition-only
-    join), which is how the parity test oracles it."""
+    join), which is how the parity test oracles it.
+
+    ``join_type="leftOuter"`` additionally emits unattributed purchases
+    with null click columns — but only once the click-side watermark
+    proves no qualifying click can still arrive (st09); a bounded drain
+    therefore needs sentinel events on BOTH branches to flush the tail."""
     half = events
     is_stream = events.isStreaming
     purchases = half.filter(F.col("event_type") == "purchase").select(
@@ -429,7 +437,7 @@ def purchase_click_attribution(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_minutes} MINUTES"))
     )
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    return purchases.join(clicks, cond, "inner").select(
+    return purchases.join(clicks, cond, join_type).select(
         "purchase_id",
         F.col("p_user").alias("user_id"),
         F.date_format("p_ts", fmt).alias("purchase_ts"),
