@@ -733,3 +733,196 @@ def lsh_topk_oracle_sql(
     SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, CAST(rnk AS INT) AS rnk
     FROM ranked WHERE rnk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    m_sub: int = 8, k_codes: int = 16, subdim: int = 8
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: ``m_sub`` subspaces x ``k_codes`` codewords
+    x ``subdim`` dims. Real systems train codebooks offline with k-means
+    (faiss ``IndexPQ``); like :func:`ivf_fixed_topk`'s quantizer, the
+    codebook here is an *input*, generated from a Knuth-multiplicative
+    integer lattice mapped onto exact dyadic rationals (n/2048 and 0.25 are
+    exact doubles), so the identical values are reproducible inside a SQL
+    oracle with integer arithmetic alone — no RNG, no transcendentals."""
+    cb = []
+    for s in range(m_sub):
+        rows = []
+        for j in range(k_codes):
+            row = []
+            for d in range(subdim):
+                idx = (s * k_codes + j) * subdim + d
+                row.append(((idx * 2654435761) % 1024) / 2048.0 - 0.25)
+            rows.append(row)
+        cb.append(rows)
+    return cb
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_vectors: int = EXACT_PATH_MAX_VECTORS,
+) -> DataFrame:
+    """PQ-ADC top-k: quantize candidates to ``m_sub`` byte codes, score with
+    per-query lookup tables — faiss ``IndexPQ.search`` re-expressed on
+    Spark.
+
+    Plan shape: the (small, guarded) query set becomes per-query LUTs
+    ``lut[s][j] = dist(q_s, codebook[s][j])`` shipped into one
+    ``mapInPandas`` kernel over the candidate table; each Arrow batch
+    encodes candidates (argmin over codewords per subspace, ties -> lower
+    code id), gathers LUT entries, and emits only its per-query top-k —
+    the one shuffle (final window by query id) moves ~k.Q rows per
+    partition and the full-precision vectors never leave the scan. At
+    100 TB the candidate side streams: codes are M bytes per vector vs
+    4D bytes raw (32x compression at D=64, M=8), which is the entire
+    point of PQ. Compose with :func:`ivf_fixed_topk`'s coarse quantizer
+    for IVFPQ when even scanning codes is too much.
+
+    Determinism contract: subspace distances accumulate
+    dimension-sequentially (the module's j-loop IEEE sequence, equal to a
+    left-associative ``+`` chain in SQL), then are floored to integer
+    nano-units (``floor(dist * 1e9)``) BEFORE the cross-subspace sum — so
+    the ADC score is an int64 whose summation order is free, immune to the
+    float-associativity drift that plagues cross-engine aggregation. The
+    oracle (:func:`pq_oracle_sql`) reproduces encode, LUT, and ranking
+    bit-for-bit; ties rank by neighbor_id ascending.
+    """
+    cb = [[[float(x) for x in row] for row in sub] for sub in codebook]
+    m_sub, k_codes, subdim = len(cb), len(cb[0]), len(cb[0][0])
+    kk = int(k)
+    q_proj = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    _guard_exact_path(queries.select(query_id), max_vectors, "pq_topk", "lsh_topk")
+    q_rows = q_proj.collect()
+    q_ids = [r["query_id"] for r in q_rows]
+    q_vecs = [list(r["q_vec"]) for r in q_rows]
+
+    def kernel(batches):
+        import numpy as np_w
+        import pandas as pd_w
+
+        cbm = np_w.asarray(cb, dtype=np_w.float64)  # (M, K, SUB)
+        qid = np_w.asarray(q_ids)
+        qm = np_w.asarray(q_vecs, dtype=np_w.float64)  # (Q, D)
+
+        def subdists(mat, s):
+            # (N, K) squared L2 of subvector s against all codewords,
+            # dimension-sequential accumulation (the bit-exact j-loop)
+            o = s * subdim
+            acc = np_w.zeros((mat.shape[0], k_codes), dtype=np_w.float64)
+            for d in range(subdim):
+                diff = mat[:, o + d : o + d + 1] - cbm[s][None, :, d]
+                acc = acc + diff * diff
+            return acc
+
+        # per-query integer LUTs, built once per task: (Q, M, K) int64
+        ilut = np_w.stack(
+            [
+                np_w.floor(subdists(qm, s) * 1e9).astype(np_w.int64)
+                for s in range(m_sub)
+            ],
+            axis=1,
+        ) if len(qid) else None
+        for pdf in batches:
+            if not len(pdf) or ilut is None:
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            cm = np_w.array(list(pdf["c_vec"]), dtype=np_w.float64)
+            # encode: argmin -> first minimum -> lowest code id on ties
+            codes = np_w.stack(
+                [subdists(cm, s).argmin(axis=1) for s in range(m_sub)], axis=1
+            )  # (B, M)
+            adc = np_w.zeros((len(qid), len(ids)), dtype=np_w.int64)
+            for s in range(m_sub):
+                adc += ilut[:, s, :][:, codes[:, s]]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qid)):
+                mask = ids != qid[qi]
+                c_ids, sc = ids[mask], adc[qi][mask]
+                take = min(kk, c_ids.size)
+                if not take:
+                    continue
+                order = np_w.lexsort((c_ids, sc))[:take]
+                out_q.extend([qid[qi]] * take)
+                out_n.extend(c_ids[order])
+                out_s.extend(sc[order])
+            yield pd_w.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_dist": out_s}
+            )
+
+    spark = candidates.sparkSession
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    scored = c.mapInPandas(
+        kernel, "query_id bigint, neighbor_id bigint, adc_dist bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= kk)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
+def pq_oracle_sql(
+    m_sub: int = 8,
+    k_codes: int = 16,
+    subdim: int = 8,
+    k: int = 5,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB SQL reproducing :func:`pq_topk` with the
+    :func:`pq_codebook` lattice — codebook from integer arithmetic, subspace
+    distances as a left-associative ``+`` chain (the kernel's j-loop IEEE
+    sequence), ADC as an order-free BIGINT sum of floored nano-unit
+    distances, ties by code id then neighbor_id."""
+    terms = " + ".join(
+        f"(v[s*{subdim}+{d + 1}]-cw[{d + 1}])*(v[s*{subdim}+{d + 1}]-cw[{d + 1}])"
+        for d in range(subdim)
+    )
+    return f"""
+    WITH cbook AS (
+      SELECT CAST(s AS INT) AS s, CAST(j AS INT) AS j,
+             list_transform(range({subdim}),
+                            d -> (((s*{k_codes}+j)*{subdim}+d) * 2654435761)
+                                 % 1024 / 2048.0 - 0.25) AS cw
+      FROM range({m_sub}) t1(s), range({k_codes}) t2(j)),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dists AS (
+      SELECT vec_id, s, j, {terms} AS dist
+      FROM vecs, cbook),
+    codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT vec_id, s, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist ASC, j ASC) AS rn
+        FROM dists) WHERE rn = 1),
+    qlut AS (
+      SELECT vec_id AS query_id, s, j, CAST(floor(dist * 1e9) AS BIGINT) AS idist
+      FROM dists WHERE {query_pred}),
+    scores AS (
+      SELECT ql.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(ql.idist) AS BIGINT) AS adc_dist
+      FROM codes c JOIN qlut ql ON ql.s = c.s AND ql.j = c.code
+      WHERE c.vec_id != ql.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+      FROM scores) WHERE rnk <= {k}
+    """

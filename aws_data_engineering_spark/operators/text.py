@@ -328,3 +328,41 @@ def winnowing_sql_cte(k: int = 5, window: int = 4) -> str:
              CAST(hs[p] % CAST({1 << 61} AS HUGEINT) AS BIGINT) AS fp
       FROM (SELECT doc_id, hs, unnest(picks) AS p FROM __wsel)
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, arXiv:2112.11446 §A.1.1):
+# documents fail structural thresholds — word count bounds, mean word
+# length bounds, excessive repetition. Everything below is array HOFs over
+# the per-row token list: per-row compute with NO shuffle at all (the
+# audit of a 100 TB corpus is a single map stage), and every ratio is an
+# exact-int division so the oracle reproduces it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# (min_words, max_words, min_mean_len, max_mean_len, min_distinct_ratio,
+#  max_top_token_fraction) — tuned to the fixture corpus so every rule
+# actually fires on some documents.
+GOPHER_BOUNDS = (50, 100_000, 3.0, 10.0, 0.2, 0.1)
+
+
+def word_lengths_sum(col: str | Column) -> Column:
+    """Total characters across whitespace tokens (exact integer)."""
+    return F.aggregate(
+        F.transform(tokens(col), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def top_token_count(col: str | Column) -> Column:
+    """Occurrences of the most frequent token — the Gopher repetition
+    signal. O(distinct x n) per row via HOFs, which beats explode+groupBy
+    at scale: the mode count never leaves the row, so the whole audit is
+    shuffle-free."""
+    toks = tokens(col)
+    return F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from aws_data_engineering_spark.operators import multimodal as M
 from aws_data_engineering_spark.operators import similarity as SIM
+from aws_data_engineering_spark.operators import text as T
 from aws_data_engineering_spark.plans.registry import register
 from aws_data_engineering_spark.sources.readers import (
     read_binary_files,
@@ -889,3 +890,214 @@ def st09_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     name = f"st09_{uuid.uuid4().hex[:8]}"
     out = run_to_memory_sink(joined, name, "append")
     return out.filter(F.col("user_id") >= 0)
+
+
+# --------------------------------------------------------------------------
+# s07 — product-quantization ADC top-k (faiss IndexPQ shape): candidates
+# compress to M byte codes, queries become integer nano-unit lookup
+# tables, scoring is LUT gathers inside one mapInPandas pass with
+# per-batch partial top-k. The int64 ADC score makes the cross-subspace
+# sum order-free, so even this approximate index is bit-reproducible in
+# the DuckDB oracle. Compose with s06's coarse quantizer for IVFPQ.
+# --------------------------------------------------------------------------
+@register(
+    "s07_ann_pq_topk",
+    SIM.pq_oracle_sql(m_sub=8, k_codes=16, subdim=8, k=5, query_pred="vec_id < 10"),
+    "product quantization + asymmetric distance computation top-k: "
+    "deterministic dyadic-rational codebook, integer-quantized ADC scores, "
+    "32x vector compression on the candidate side",
+)
+def s07_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        SIM.pq_codebook(m_sub=8, k_codes=16, subdim=8),
+        k=5,
+    )
+
+
+# --------------------------------------------------------------------------
+# t17 — Gopher-style quality rule audit (Rae et al. 2021 §A.1.1): word
+# count bounds, mean word length bounds, distinct-token ratio, and
+# max-token repetition, each as a per-document boolean plus the combined
+# keep flag. All array HOFs over the row's own token list — a 100 TB
+# audit is a single shuffle-free map stage — and every ratio is an
+# exact-int division, so the booleans are bit-stable across engines.
+# --------------------------------------------------------------------------
+@register(
+    "t17_gopher_quality_rules",
+    """
+    WITH feats AS (
+      SELECT doc_id, source,
+             string_split_regex(TRIM(text), '\\s+') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             LEN(toks) AS n_words,
+             list_sum(list_transform(toks, t -> LENGTH(t))) AS char_sum,
+             LEN(list_distinct(toks)) AS n_distinct,
+             list_max(list_transform(list_distinct(toks),
+                      t -> LEN(list_filter(toks, x -> x = t)))) AS top_cnt
+      FROM feats
+    )
+    SELECT doc_id, source,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(char_sum AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+           CAST(top_cnt AS DOUBLE) / n_words AS top_token_frac,
+           n_words BETWEEN 50 AND 100000 AS r_word_count,
+           (CAST(char_sum AS DOUBLE) / n_words) BETWEEN 3.0 AND 10.0
+             AS r_mean_len,
+           (CAST(n_distinct AS DOUBLE) / n_words) >= 0.2 AS r_distinct,
+           (CAST(top_cnt AS DOUBLE) / n_words) <= 0.1 AS r_repetition,
+           (n_words BETWEEN 50 AND 100000)
+             AND ((CAST(char_sum AS DOUBLE) / n_words) BETWEEN 3.0 AND 10.0)
+             AND ((CAST(n_distinct AS DOUBLE) / n_words) >= 0.2)
+             AND ((CAST(top_cnt AS DOUBLE) / n_words) <= 0.1) AS keep
+    FROM m
+    """,
+    "Gopher-style quality rule audit: per-document structural thresholds "
+    "(word count / mean word length / distinct ratio / repetition) as a "
+    "shuffle-free map stage with bit-stable exact-int ratios",
+)
+def t17_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo_w, hi_w, lo_ml, hi_ml, min_dr, max_tf = T.GOPHER_BOUNDS
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").alias("n_words"),
+        T.word_lengths_sum("text").alias("char_sum"),
+        F.size(F.array_distinct(T.tokens("text"))).alias("n_distinct"),
+        T.top_token_count("text").alias("top_cnt"),
+    )
+    mean_len = F.col("char_sum").cast("double") / F.col("n_words")
+    dist_ratio = F.col("n_distinct").cast("double") / F.col("n_words")
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_words")
+    r_wc = F.col("n_words").between(lo_w, hi_w)
+    r_ml = mean_len.between(lo_ml, hi_ml)
+    r_dr = dist_ratio >= min_dr
+    r_tf = top_frac <= max_tf
+    return m.select(
+        "doc_id",
+        "source",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        dist_ratio.alias("distinct_ratio"),
+        top_frac.alias("top_token_frac"),
+        r_wc.alias("r_word_count"),
+        r_ml.alias("r_mean_len"),
+        r_dr.alias("r_distinct"),
+        r_tf.alias("r_repetition"),
+        (r_wc & r_ml & r_dr & r_tf).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q82 — TPC-H Q10 shape: top-20 customers by revenue lost to returned
+# items in a quarter. Fact side filters (returnflag + order date window)
+# push to the scans; customer/nation fold dim-side and broadcast, so the
+# only fact shuffle is lineitem⨝orders on orderkey; top-20 runs as
+# TakeOrderedAndProject, never a global sort.
+# --------------------------------------------------------------------------
+@register(
+    "q82_returned_item_revenue",
+    """
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(MAX(c_acctbal), 2) AS c_acctbal
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape: top-20 customers by returned-item revenue — "
+    "pushed-down flag+date filters, dim-side geo fold, TakeOrdered top-k",
+)
+def q82_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_geo = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "c_acctbal")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_geo), orders.o_custkey == cust_geo.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# dq05 — freshness/completeness audit: generate the expected hour spine
+# between the observed min and max event time (sequence(), no driver
+# loop), left-join actual per-hour arrival counts, and report every hour
+# whose volume is zero or below threshold. The spine is O(hours), tiny
+# next to the fact table at any scale; the per-hour counts are one
+# partial-aggregated groupBy over a column-pruned scan.
+# --------------------------------------------------------------------------
+@register(
+    "dq05_freshness_gaps",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ), actual AS (
+      SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(s.hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.n_events, 0) = 0 AS is_gap,
+           COALESCE(a.n_events, 0) < 5 AS below_threshold
+    FROM spine s LEFT JOIN actual a ON s.hour_start = a.hour_start
+    """,
+    "freshness/completeness audit: expected hour spine vs actual arrival "
+    "counts — flags silent gaps and under-delivering hours",
+)
+def dq05_freshness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    n = F.coalesce(F.col("n_events"), F.lit(0))
+    return (
+        spine.join(actual, "hour_start", "left")
+        .select(
+            F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            n.alias("n_events"),
+            (n == 0).alias("is_gap"),
+            (n < 5).alias("below_threshold"),
+        )
+    )
