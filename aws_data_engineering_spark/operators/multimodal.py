@@ -1149,3 +1149,81 @@ def decode_mp4_metadata(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
 
     src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
     return src.mapInPandas(features, MP4_METADATA_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Spectral analysis over real WAV clips: pure integer-bin sine tones, FFT
+# peak via numpy rfft inside the same Arrow-batched worker that decodes the
+# RIFF container. Tones land exactly on FFT bin k (n a power of two, k
+# integer cycles), so the argmax bin — and therefore dominant_hz =
+# k * rate / n — is closed-form in the oracle while the kernel genuinely
+# runs encode → RIFF parse → int16 decode → FFT → argmax.
+# ---------------------------------------------------------------------------
+
+TONE_N_SAMPLES = 512  # power of two; one FFT frame per clip
+TONE_AMPLITUDE = 12000  # well above int16 rounding noise
+
+AUDIO_SPECTRAL_DDL = (
+    "id bigint, sample_rate int, n_samples int, peak_bin int, dominant_hz double"
+)
+
+
+def synthesize_tone_wavs(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic pure-tone REAL WAVs: rate from the FAUD lattice,
+    ``k = 5 + id % 32`` integer cycles across ``TONE_N_SAMPLES`` samples —
+    an exact-bin sinusoid whose spectrum is a single dominant line."""
+    encode_wav, _ = _wav_worker_fns()
+    n_samp, amp = TONE_N_SAMPLES, TONE_AMPLITUDE
+
+    def gen(batches):
+        import math
+
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids = list(pdf["id"])
+            blobs = []
+            for i in ids:
+                sr = 8000 + (int(i) % 4) * 4000
+                k = 5 + int(i) % 32
+                samples = [
+                    int(round(amp * math.sin(2 * math.pi * k * t / n_samp)))
+                    for t in range(n_samp)
+                ]
+                blobs.append(encode_wav(sr, samples))
+            yield pd_w.DataFrame({"id": ids, "data": blobs, "mime": "audio/wav"})
+
+    src = df.select(F.col(id_col).alias("id"))
+    return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+def spectral_peak_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """Real spectral feature extraction: RIFF decode → ``numpy.fft.rfft`` →
+    dominant non-DC bin → frequency in Hz. The heavy O(n log n) transform
+    runs columnar per Arrow batch; only 5 scalars per clip cross the
+    pipeline afterwards (at 100 TB of audio the FFT never shuffles — it is
+    a map stage over the blob scan, exactly like the image codecs)."""
+    _, decode_wav = _wav_worker_fns()
+
+    def features(batches):
+        import numpy as np_w
+        import pandas as pd_w
+
+        out_cols = ("id", "sample_rate", "n_samples", "peak_bin", "dominant_hz")
+        for pdf in batches:
+            out = {k: [] for k in out_cols}
+            for i, data in zip(pdf["id"], pdf["data"]):
+                sr, _nch, samples = decode_wav(bytes(data))
+                arr = np_w.asarray(samples, dtype=np_w.float64)
+                n = arr.size
+                spec = np_w.abs(np_w.fft.rfft(arr))
+                peak = int(spec[1:].argmax()) + 1  # skip DC
+                out["id"].append(i)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["peak_bin"].append(peak)
+                out["dominant_hz"].append(peak * sr / float(n))
+            yield pd_w.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(features, AUDIO_SPECTRAL_DDL)

@@ -1101,3 +1101,96 @@ def dq05_freshness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n < 5).alias("below_threshold"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# m09 — audio spectral analysis: real RIFF/PCM16 clips carrying exact-bin
+# sine tones, decoded and FFT'd (numpy rfft) inside one Arrow map stage;
+# dominant_hz = k * rate / n is closed-form because the tone sits exactly
+# on bin k. Proves a genuine O(n log n) DSP kernel runs shuffle-free over
+# binary columns with only 5 scalars per clip leaving the stage.
+# --------------------------------------------------------------------------
+@register(
+    "m09_audio_spectral_peak",
+    """
+    SELECT doc_id AS id,
+           CAST(8000 + doc_id % 4 * 4000 AS INT) AS sample_rate,
+           CAST(512 AS INT) AS n_samples,
+           CAST(5 + doc_id % 32 AS INT) AS peak_bin,
+           (5 + doc_id % 32) * (8000 + doc_id % 4 * 4000) / 512.0 AS dominant_hz
+    FROM documents
+    """,
+    "REAL spectral feature extraction: RIFF decode + numpy rfft + argmax "
+    "inside one Arrow map stage; exact-bin tones make the dominant "
+    "frequency closed-form for the oracle",
+)
+def m09_audio_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    clips = M.synthesize_tone_wavs(docs, "doc_id")
+    return M.spectral_peak_features(clips, "id", "data")
+
+
+# --------------------------------------------------------------------------
+# d12 — per-document duplicate-shingle fraction (the RefinedWeb/CCNet
+# "fraction of the document seen elsewhere" audit): build the corpus
+# inverted shingle index (explode + count per shingle — one shuffle,
+# map-side combined), re-join each document's shingles against it (second
+# shuffle, equi-join on shingle — never all-pairs), and report what
+# fraction of each document's distinct 3-gram shingles occur in at least
+# one other document. Exact-int counts and division → bit-stable.
+# --------------------------------------------------------------------------
+@register(
+    "d12_duplicate_shingle_fraction",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                      FOR i IN generate_series(1, len(t) - 2)])
+             END AS sh
+      FROM toks
+    ), exploded AS (
+      SELECT doc_id, UNNEST(sh) AS shingle FROM grams
+    ), freq AS (
+      SELECT shingle, COUNT(*) AS ndocs FROM exploded GROUP BY 1
+    )
+    SELECT e.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_shingles,
+           CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_frac,
+           (CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*)) >= 0.5 AS mostly_duplicated
+    FROM exploded e JOIN freq f ON e.shingle = f.shingle
+    GROUP BY e.doc_id
+    """,
+    "per-document duplicate-shingle fraction via the corpus inverted "
+    "shingle index — two shuffles, equi-joins only, exact-int ratios",
+)
+def d12_duplicate_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    # shingles() emits each doc's DISTINCT shingle set, so per-shingle
+    # COUNT(*) over the exploded rows == number of docs containing it
+    sh = docs.select(
+        "doc_id", F.explode(D.shingles("text", 3)).alias("shingle")
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndocs"))
+    dup = F.sum((F.col("ndocs") >= 2).cast("int")).cast("bigint")
+    frac = dup.cast("double") / F.count(F.lit(1))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            dup.alias("n_dup_shingles"),
+            frac.alias("dup_frac"),
+            (frac >= 0.5).alias("mostly_duplicated"),
+        )
+    )
