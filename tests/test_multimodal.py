@@ -255,3 +255,18 @@ def test_binary_objects_roundtrip(spark, tmp_path):
     import os
 
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_spectral_peak_matches_tone_bin(spark):
+    """The FFT peak of each synthesized clip must be the tone's exact bin
+    k = 5 + id % 32, and dominant_hz the closed-form k * rate / n."""
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    clips = M.synthesize_tone_wavs(docs, "doc_id")
+    feats = {r["id"]: r for r in M.spectral_peak_features(clips, "id", "data").collect()}
+    assert len(feats) == 40
+    for i, r in feats.items():
+        k = 5 + i % 32
+        sr = 8000 + (i % 4) * 4000
+        assert r["peak_bin"] == k
+        assert r["n_samples"] == M.TONE_N_SAMPLES
+        assert r["dominant_hz"] == k * sr / float(M.TONE_N_SAMPLES)

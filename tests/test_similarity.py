@@ -151,3 +151,53 @@ def test_connected_components_chain_and_islands(spark):
     assert out[20] == out[21] == 20
     # only nodes that appear in pairs are labeled
     assert set(out) == {2, 9, 4, 7, 11, 12, 20, 21}
+
+
+def test_pq_codebook_exact_dyadic_values():
+    """Codebook values must be exact dyadic rationals (n/2048 - 0.25) so the
+    SQL oracle's integer arithmetic reproduces them bit-for-bit."""
+    cb = S.pq_codebook(m_sub=8, k_codes=16, subdim=8)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    for s in range(8):
+        for j in range(16):
+            for d in range(8):
+                v = cb[s][j][d]
+                idx = (s * 16 + j) * 8 + d
+                assert v == ((idx * 2654435761) % 1024) / 2048.0 - 0.25
+                # dyadic: representable exactly as k/2048
+                assert v * 2048 == round(v * 2048)
+
+
+def test_pq_topk_recall_and_guard(spark, sf_dir):
+    """PQ-ADC ranking is approximate, but with 16 codewords per 8-dim
+    subspace it must place the true nearest neighbor (exact L2) inside its
+    top-5 for most queries; and the exact-path guard must fire."""
+    import numpy as np
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = S.pq_codebook()
+    got = S.pq_topk(queries, emb, cb, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert len(by_q) == 10 and all(len(v) == 5 for v in by_q.values())
+    # exact L2 top-5 per query (numpy reference). The fixture codebook is a
+    # data-agnostic lattice (real deployments supply trained codebooks), so
+    # the honest bar is overlap far above chance — random top-5 picks from
+    # N=500 would overlap the exact top-5 by ~0.05 on average.
+    rows = emb.select("vec_id", F.col("embedding").cast("array<double>")).collect()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows])
+    overlap = []
+    for q in sorted(by_q):
+        qv = V[ids == q][0]
+        d2 = ((V - qv) ** 2).sum(axis=1)
+        d2[ids == q] = np.inf
+        exact5 = set(ids[np.argsort(d2)[:5]].tolist())
+        overlap.append(len(exact5 & set(by_q[q])))
+    mean_ov = sum(overlap) / len(overlap)
+    assert mean_ov >= 0.3, f"PQ top-5 overlap vs exact barely beats chance: {mean_ov}"
+    with pytest.raises(S.ExactPathScaleError, match="lsh_topk"):
+        S.pq_topk(queries, emb, cb, k=5, max_vectors=3)
