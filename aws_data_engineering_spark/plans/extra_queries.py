@@ -1194,3 +1194,198 @@ def d12_duplicate_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFram
             (frac >= 0.5).alias("mostly_duplicated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t18 — bigram-LM cross-entropy (the KenLM-style upgrade of t15's unigram
+# scorer): bigrams form JVM-side inside each row (transform over an index
+# sequence — no positional self-join), corpus bigram and prefix-unigram
+# counts are shuffle equi-joins on the gram itself, the vocabulary size
+# rides a 1-task window over the already-aggregated vocab, and add-k
+# smoothing keeps unseen transitions finite. No driver-side model state
+# anywhere — the LM "fits" in the cluster, not the driver, at any corpus
+# size.
+# --------------------------------------------------------------------------
+@register(
+    "t18_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS token FROM toks
+    ), vocab AS (
+      SELECT token, COUNT(*) AS cnt1 FROM uni GROUP BY token
+    ), vsize AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+    bg AS (
+      SELECT doc_id, source,
+             unnest([t[i] || ' ' || t[i+1]
+                     FOR i IN generate_series(1, len(t) - 1)]) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ), bgc AS (
+      SELECT bigram, COUNT(*) AS cnt2 FROM bg GROUP BY bigram
+    ), scored AS (
+      SELECT bg.doc_id, bg.source,
+             -ln((bgc.cnt2 + 0.5) / (vocab.cnt1 + 0.5 * vsize.v)) AS nll
+      FROM bg
+      JOIN bgc ON bg.bigram = bgc.bigram
+      JOIN vocab ON string_split(bg.bigram, ' ')[1] = vocab.token
+      CROSS JOIN vsize
+    ), doc_scores AS (
+      SELECT doc_id, source, AVG(nll) AS ce FROM scored GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(ce), 3) AS avg_cross_entropy,
+           ROUND(MIN(ce), 3) AS min_cross_entropy,
+           ROUND(MAX(ce), 3) AS max_cross_entropy
+    FROM doc_scores GROUP BY source
+    """,
+    "bigram-LM cross-entropy per source with add-k smoothing: in-row "
+    "bigram formation, count tables re-joined on the gram (no driver-side "
+    "LM), vocabulary size as a 1-task window",
+)
+def t18_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        ).alias("t"),
+    )
+    uni = toks.select(F.explode("t").alias("token"))
+    vocab = uni.groupBy("token").agg(F.count(F.lit(1)).alias("cnt1"))
+    # vocab size via the t15 pattern: a 1-task window over the aggregated
+    # vocab instead of a second full-corpus agg branch
+    vocab = vocab.withColumn(
+        "v", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).cast("double")
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i + 1), F.element_at("t", i + 2)
+                    ),
+                )
+            ).alias("bigram"),
+        )
+        .withColumn("prefix", F.split(F.col("bigram"), " ").getItem(0))
+    )
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt2"))
+    scored = (
+        bg.join(bgc, "bigram")
+        .join(vocab, bg.prefix == vocab.token)
+        .select(
+            "doc_id",
+            "source",
+            (
+                -F.log(
+                    (F.col("cnt2") + 0.5) / (F.col("cnt1") + 0.5 * F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    doc_scores = scored.groupBy("doc_id", "source").agg(F.avg("nll").alias("ce"))
+    return doc_scores.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ce"), 3).alias("avg_cross_entropy"),
+        F.round(F.min("ce"), 3).alias("min_cross_entropy"),
+        F.round(F.max("ce"), 3).alias("max_cross_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# c07 — schema evolution on read: two landing batches written with
+# different schemas (batch 2 adds a column), scanned as ONE dataset with
+# parquet mergeSchema. Spark reconciles the footer schemas at listing
+# time and null-fills the missing column — the lake-table upgrade path
+# the reference's config-driven loader implies (schema changes between
+# daily drops; FInal/load_script.py:42-54 rebuilds the schema from config
+# each run). Oracle reproduces the union-by-name + NULL-fill semantics.
+# --------------------------------------------------------------------------
+@register(
+    "c07_mergeschema_evolution",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority,
+           CAST(1 AS INT) AS batch
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority, CAST(2 AS INT) AS batch
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 2 = 1
+    """,
+    "parquet mergeSchema evolution: a later batch adds a column, one scan "
+    "reconciles both footers and null-fills the old batch",
+)
+def c07_mergeschema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_c07", uuid.uuid4().hex[:8]
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+    # partition-column type inference is disabled engine-wide (reference
+    # semantics keep dt a string), so the batch= partition value needs an
+    # explicit cast back to int
+    return spark.read.option("mergeSchema", "true").parquet(base).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.col("batch").cast("int").alias("batch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q83 — TPC-H Q4 shape: order-priority distribution of orders that had at
+# least one late line (shipped >90 days after the order date). The EXISTS
+# decorrelates into a LEFT SEMI join whose condition references BOTH
+# sides (orderkey equality + the date comparison) — the equality part
+# drives the hash join, the date predicate rides along as a join filter,
+# and semi-join semantics stop probing an order after its first late
+# line. The quarter filter on orders pushes to the scan.
+# --------------------------------------------------------------------------
+@register(
+    "q83_late_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: priority counts of orders with any late-shipped line "
+    "— EXISTS as a left-semi hash join with a compound correlated "
+    "condition, quarter filter pushed to the scan",
+)
+def q83_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

@@ -60,6 +60,12 @@ HEADLINE = [
     # round-3: the streaming CDC upsert (foreachBatch MERGE — the streaming
     # twin of the reference's W5) gets a round-over-round number.
     "st08_stream_cdc_upsert",
+    # round-3 families: PQ-ADC search (LUT-gather kernel), the Gopher rule
+    # audit (shuffle-free HOF map stage), and the inverted-index
+    # duplicate-shingle fraction — one representative per new family.
+    "s07_ann_pq_topk",
+    "t17_gopher_quality_rules",
+    "d12_duplicate_shingle_fraction",
 ]
 
 
