@@ -926,3 +926,234 @@ def pq_oracle_sql(
                                    ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
       FROM scores) WHERE rnk <= {k}
     """
+
+
+def _pq_dist_fns(codebook):
+    """Factory for the PQ subspace-distance kernel (pickled by value into
+    worker closures, like :func:`_seq_cosine_fns`). Returns
+    ``subdists(mat, s) -> (N, K)`` squared-L2 distances of subvector ``s``
+    against all codewords, accumulated dimension-sequentially — the exact
+    IEEE sequence of the oracle's left-associative ``+`` chain."""
+    import numpy as np
+
+    cbm = np.asarray(codebook, dtype=np.float64)  # (M, K, SUB)
+    k_codes, subdim = cbm.shape[1], cbm.shape[2]
+
+    def subdists(mat, s):
+        o = s * subdim
+        acc = np.zeros((mat.shape[0], k_codes), dtype=np.float64)
+        for d in range(subdim):
+            diff = mat[:, o + d : o + d + 1] - cbm[s][None, :, d]
+            acc = acc + diff * diff
+        return acc
+
+    return subdists
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ top-k (faiss ``IVFx,PQy`` with ``by_residual=False``): coarse
+    quantizer prunes WHICH candidates are scored (probed inverted lists
+    only), PQ-ADC decides HOW each survivor is scored (integer LUT
+    gathers over 8-byte codes). The two indexes this composes —
+    :func:`ivf_fixed_topk`'s max-cosine assignment and :func:`pq_topk`'s
+    nano-unit ADC — are each bit-exact against their oracles, so the
+    composition is too.
+
+    Plan shape: one Arrow pass over candidates emits (id, list_id, codes)
+    — the full-precision vector dies at the scan, M bytes of code per
+    vector afterwards; queries expand to ``n_probe`` (id, vec, list) rows;
+    scoring is ``groupBy(list_id).applyInPandas`` — an equi-join on list
+    id, never a cross product, with each group building its queries' LUTs
+    locally (8x16 doubles per query — nothing broadcast, nothing
+    driver-side). At 100 TB this is the faiss billion-scale recipe
+    verbatim: prune lists, scan codes.
+    """
+    cents_list = [[float(x) for x in c] for c in centroids]
+    cb = [[[float(x) for x in row] for row in sub] for sub in codebook]
+    m_sub = len(cb)
+    np_probe, kk = int(n_probe), int(k)
+    seq_cos = _seq_cosine_fns()
+    pq_dists = _pq_dist_fns(cb)
+
+    def assign_encode_kernel(batches):
+        import numpy as np_w
+        import pandas as pd_w
+
+        cents = np_w.asarray(cents_list, dtype=np_w.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np_w.array(list(pdf["v"]), dtype=np_w.float64)
+            sims = seq_cos(m, cents)
+            codes = np_w.stack(
+                [pq_dists(m, s).argmin(axis=1) for s in range(m_sub)], axis=1
+            )
+            yield pd_w.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "list_id": sims.argmax(axis=1).astype(int),
+                    "codes": list(codes),
+                }
+            )
+
+    def probe_kernel(batches):
+        import numpy as np_w
+        import pandas as pd_w
+
+        cents = np_w.asarray(cents_list, dtype=np_w.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np_w.array(list(pdf["v"]), dtype=np_w.float64)
+            sims = seq_cos(m, cents)
+            ids, vs, lids = [], [], []
+            for i in range(len(pdf)):
+                order = np_w.lexsort((np_w.arange(sims.shape[1]), -sims[i]))[
+                    :np_probe
+                ]
+                for lid in order:
+                    ids.append(pdf["id"].iloc[i])
+                    vs.append(pdf["v"].iloc[i])
+                    lids.append(int(lid))
+            yield pd_w.DataFrame({"id": ids, "v": vs, "list_id": lids})
+
+    def score_group(pdf):
+        import numpy as np_w
+        import pandas as pd_w
+
+        qs = pdf[pdf["side"] == "q"]
+        cs = pdf[pdf["side"] == "c"]
+        empty = pd_w.DataFrame(
+            {"query_id": [], "neighbor_id": [], "adc_dist": []}
+        ).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "adc_dist": "int64"}
+        )
+        if qs.empty or cs.empty:
+            return empty
+        qm = np_w.array(list(qs["v"]), dtype=np_w.float64)
+        codes = np_w.array(list(cs["codes"]), dtype=np_w.int64)
+        qids = qs["id"].to_numpy()
+        cids = cs["id"].to_numpy()
+        ilut = np_w.stack(
+            [
+                np_w.floor(pq_dists(qm, s) * 1e9).astype(np_w.int64)
+                for s in range(m_sub)
+            ],
+            axis=1,
+        )
+        adc = np_w.zeros((len(qids), len(cids)), dtype=np_w.int64)
+        for s in range(m_sub):
+            adc += ilut[:, s, :][:, codes[:, s]]
+        keep_q, keep_c = np_w.nonzero(qids[:, None] != cids[None, :])
+        return pd_w.DataFrame(
+            {
+                "query_id": qids[keep_q],
+                "neighbor_id": cids[keep_c],
+                "adc_dist": adc[keep_q, keep_c],
+            }
+        )
+
+    spark = candidates.sparkSession
+    c = (
+        candidates.select(
+            F.col(cand_id).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            assign_encode_kernel, "id bigint, list_id int, codes array<int>"
+        )
+    )
+    q = queries.select(
+        F.col(query_id).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).mapInPandas(probe_kernel, "id bigint, v array<double>, list_id int")
+    tagged = q.withColumn("side", F.lit("q")).withColumn(
+        "codes", F.lit(None).cast("array<int>")
+    ).unionByName(
+        c.withColumn("side", F.lit("c")).withColumn(
+            "v", F.lit(None).cast("array<double>")
+        )
+    )
+    scored = tagged.groupBy("list_id").applyInPandas(
+        score_group, "query_id bigint, neighbor_id bigint, adc_dist bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= kk)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
+def ivfpq_oracle_sql(
+    centroids: list[list[float]],
+    m_sub: int = 8,
+    k_codes: int = 16,
+    subdim: int = 8,
+    k: int = 5,
+    n_probe: int = 4,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB SQL reproducing :func:`ivfpq_topk`: the ivf_fixed assignment
+    CTEs (literal centroids, max-cosine, cid tie-break) restrict which
+    pairs the pq CTEs (lattice codebook, nano-unit integer ADC) score."""
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(centroids)
+    )
+    terms = " + ".join(
+        f"(v[s*{subdim}+{d + 1}]-cw[{d + 1}])*(v[s*{subdim}+{d + 1}]-cw[{d + 1}])"
+        for d in range(subdim)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents(cid, c) AS (VALUES {cent_rows}),
+    ass AS (
+      SELECT vec_id, v, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY list_cosine_similarity(v, c) DESC, cid)
+               AS rk
+      FROM v CROSS JOIN cents),
+    cand_list AS (SELECT vec_id, cid FROM ass WHERE rk = 1),
+    probe AS (SELECT vec_id, cid FROM ass WHERE rk <= {n_probe} AND {query_pred}),
+    cbook AS (
+      SELECT CAST(s AS INT) AS s, CAST(j AS INT) AS j,
+             list_transform(range({subdim}),
+                            d -> (((s*{k_codes}+j)*{subdim}+d) * 2654435761)
+                                 % 1024 / 2048.0 - 0.25) AS cw
+      FROM range({m_sub}) t1(s), range({k_codes}) t2(j)),
+    dists AS (SELECT vec_id, s, j, {terms} AS dist FROM v, cbook),
+    codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT vec_id, s, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist ASC, j ASC) AS rn
+        FROM dists) WHERE rn = 1),
+    qlut AS (
+      SELECT vec_id AS query_id, s, j, CAST(floor(dist*1e9) AS BIGINT) AS idist
+      FROM dists WHERE {query_pred}),
+    pairs AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probe p JOIN cand_list cl ON p.cid = cl.cid AND p.vec_id <> cl.vec_id),
+    scores AS (
+      SELECT pr.query_id, pr.neighbor_id, CAST(SUM(ql.idist) AS BIGINT) AS adc_dist
+      FROM pairs pr
+      JOIN codes c ON c.vec_id = pr.neighbor_id
+      JOIN qlut ql ON ql.query_id = pr.query_id AND ql.s = c.s AND ql.j = c.code
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+      FROM scores) WHERE rnk <= {k}
+    """

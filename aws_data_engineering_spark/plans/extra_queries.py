@@ -1389,3 +1389,36 @@ def q83_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# --------------------------------------------------------------------------
+# s08 — IVFPQ top-k (faiss IVF16,PQ8 with by_residual=False): s06's coarse
+# quantizer prunes WHICH candidates are scored (probed inverted lists
+# only), s07's PQ-ADC decides HOW (integer LUT gathers over 8-byte
+# codes). Both halves are individually bit-exact against their oracles,
+# so the composition is too — this is the billion-scale ANN recipe:
+# prune lists, scan codes, never touch full vectors after the scan.
+# --------------------------------------------------------------------------
+_S08_CENTROIDS = SIM._hyperplanes(dim=64, n_planes=16, seed=7)
+
+
+@register(
+    "s08_ann_ivfpq_topk",
+    SIM.ivfpq_oracle_sql(
+        _S08_CENTROIDS, m_sub=8, k_codes=16, subdim=8, k=5, n_probe=4,
+        query_pred="vec_id < 10",
+    ),
+    "IVFPQ: coarse inverted-list pruning composed with PQ-ADC integer "
+    "scoring — candidates carry 8-byte codes after the scan, queries "
+    "build per-list LUTs locally; oracle-checked bit-exactly",
+)
+def s08_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        _S08_CENTROIDS,
+        SIM.pq_codebook(m_sub=8, k_codes=16, subdim=8),
+        k=5,
+        n_probe=4,
+    )
