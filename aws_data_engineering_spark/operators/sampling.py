@@ -250,3 +250,91 @@ def stratified_sql(stratum_expr: str, id_expr: str, n: int, salt: str = "strat-v
         f"ROW_NUMBER() OVER (PARTITION BY {stratum_expr} "
         f"ORDER BY {key}, {id_expr}) <= {n}"
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    target_rows: int,
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-scaled source mixture (T=2, the multilingual-corpus
+    rebalancing rule: sample source s with probability proportional to
+    ``n_s^(1/2)``, so small corpora are upweighted without letting any
+    corpus dominate).
+
+    Unlike :func:`mixture_sample`, the rates are DERIVED FROM THE DATA, so
+    cross-engine determinism needs care: ``sqrt`` is IEEE-exact in every
+    engine, but a float normalizer would make integer thresholds flip on
+    ulp boundaries. So weights quantize to integer milli-units FIRST
+    (``floor(sqrt(n_s) * 1000)``), the normalizer is an order-free integer
+    SUM, and each per-source keep threshold is pure integer arithmetic:
+    ``(target * w_s * 256) DIV (W * n_s)``, capped at 256. Rows keep by
+    md5-bucket < threshold — deterministic, idempotent under retries, and
+    reproducible bit-for-bit in the oracle.
+
+    Plan shape: per-source counts are one partial-aggregated pass; the
+    threshold table is O(sources) and broadcast back; the keep filter is a
+    map-side probe. Zero driver-side state.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = F.floor(F.sqrt(F.col("__n")) * 1000).cast("bigint")
+    weights = counts.select(key_col, "__n", w.alias("__w"))
+    from pyspark.sql import Window
+
+    # NB: SQL identifiers in expr() are case-insensitive — the normalizer
+    # must not be named "__W" or it collides with "__w"
+    weights = weights.withColumn(
+        "__wsum", F.sum("__w").over(Window.partitionBy(F.lit(1)))
+    )
+    thresh = F.least(
+        F.expr(f"({int(target_rows)} * __w * {NUM_BUCKETS}) DIV (__wsum * __n)"),
+        F.lit(NUM_BUCKETS).cast("bigint"),
+    )
+    thresholds = weights.select(key_col, "__n", thresh.alias("__thresh"))
+    kept = df.join(F.broadcast(thresholds), on=key_col).filter(
+        hash_bucket(id_col, salt) < F.col("__thresh")
+    )
+    return (
+        kept.groupBy(key_col, "__n", "__thresh")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select(
+            F.col(key_col),
+            F.col("__n").alias("n_total"),
+            F.col("__thresh").cast("int").alias("keep_threshold"),
+            "n_kept",
+        )
+    )
+
+
+def temperature_mixture_sql(
+    id_expr: str,
+    key_expr: str,
+    target_rows: int,
+    salt: str = "temp-v1",
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL reproducing :func:`temperature_mixture` exactly — same
+    integer milli-unit weights, order-free integer normalizer, DIV
+    thresholds, and md5 buckets."""
+    b = bucket_sql(id_expr, salt)
+    return f"""
+    WITH counts AS (
+      SELECT {key_expr} AS k, COUNT(*) AS n FROM {table} GROUP BY 1
+    ), weights AS (
+      SELECT k, n, CAST(floor(sqrt(n) * 1000) AS BIGINT) AS w FROM counts
+    ), norm AS (SELECT SUM(w) AS wsum FROM weights),
+    thresholds AS (
+      SELECT k, n,
+             LEAST(({int(target_rows)} * w * {NUM_BUCKETS}) // (norm.wsum * n),
+                   {NUM_BUCKETS}) AS thresh
+      FROM weights CROSS JOIN norm
+    )
+    SELECT t.{key_expr} AS {key_expr}, th.n AS n_total,
+           CAST(th.thresh AS INT) AS keep_threshold,
+           COUNT(*) AS n_kept
+    FROM {table} t JOIN thresholds th ON t.{key_expr} = th.k
+    WHERE {b} < th.thresh
+    GROUP BY 1, 2, 3
+    """

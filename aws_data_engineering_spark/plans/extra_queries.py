@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from aws_data_engineering_spark.operators import multimodal as M
 from aws_data_engineering_spark.operators import similarity as SIM
+from aws_data_engineering_spark.operators import sampling as SAMP
 from aws_data_engineering_spark.operators import text as T
 from aws_data_engineering_spark.plans.registry import register
 from aws_data_engineering_spark.sources.readers import (
@@ -1422,3 +1423,181 @@ def s08_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probe=4,
     )
+
+
+# --------------------------------------------------------------------------
+# c08 — malformed-row handling on CSV ingest (the failure mode the
+# reference's CSV loader meets daily and silently mis-parses): a feed
+# where every 7th record is corrupted (too few columns / non-numeric
+# junk) is read in PERMISSIVE mode with columnNameOfCorruptRecord —
+# valid rows parse typed, corrupt rows land whole in the quarantine
+# column with NULL data fields, and nothing is dropped. The audit output
+# proves the classification: per-batch counts of clean vs quarantined
+# plus the recoverable key range. Scale: schema-on-read with a corrupt
+# column is the same single map-stage scan as a clean read.
+# --------------------------------------------------------------------------
+@register(
+    "c08_csv_corrupt_quarantine",
+    """
+    WITH feed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 3 THEN NULL
+                  ELSE ROUND(o_totalprice, 2) END AS o_totalprice,
+             o_orderpriority,
+             o_orderkey % 7 = 3 AS is_corrupt
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT is_corrupt,
+           COUNT(*) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS parsed_total
+    FROM feed GROUP BY is_corrupt
+    """,
+    "PERMISSIVE CSV ingest with a quarantine column: corrupt records keep "
+    "their raw line, clean records parse typed, nothing is dropped; audit "
+    "counts prove the classification",
+)
+def c08_csv_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "spark_c08", uuid.uuid4().hex[:8])
+    # build the dirty feed: every o_orderkey % 7 == 3 line is written with a
+    # junk price ("N/A") that cannot parse as double; clean lines carry the
+    # 2dp-rounded price in shortest-repr decimal form, which parses back to
+    # the identical double (the oracle applies the same ROUND(., 2))
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey"),
+                F.when(F.col("o_orderkey") % 7 == 3, F.lit("N/A")).otherwise(
+                    F.round(F.col("o_totalprice"), 2).cast("string")
+                ),
+                F.col("o_orderpriority"),
+            ).alias("value")
+        )
+    )
+    src.write.mode("overwrite").text(base)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(base)
+    )
+    is_corrupt = F.col("_corrupt_record").isNotNull()
+    # corrupt rows keep the raw line; the key is still recoverable from it
+    key = F.when(
+        is_corrupt, F.split(F.col("_corrupt_record"), ",").getItem(0).cast("bigint")
+    ).otherwise(F.col("o_orderkey"))
+    return (
+        parsed.select(
+            is_corrupt.alias("is_corrupt"),
+            key.alias("key"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("is_corrupt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("key").cast("bigint").alias("min_key"),
+            F.max("key").cast("bigint").alias("max_key"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+                "parsed_total"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# e04 — symmetric int8 quantization of the embedding column (the
+# serving/storage prep step: 4x smaller vectors for ANN serving): per
+# vector, scale = 127 / max|v|, code_i = trunc(v_i * scale). Entirely
+# JVM array expressions — no kernel, no shuffle, 4 bytes -> 1 byte per
+# dim at any scale. Integer outputs make the audit bit-stable; Spark's
+# ANSI double->int cast truncates toward zero, mirrored by the oracle's
+# explicit trunc() (DuckDB CAST rounds — the documented trap).
+# --------------------------------------------------------------------------
+@register(
+    "e04_int8_quantization",
+    """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, label,
+             CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+                  ELSE 127.0 / list_max(list_transform(e, x -> abs(x)))
+             END AS scale, e
+      FROM v
+    ), codes AS (
+      SELECT vec_id, label, scale,
+             list_transform(e, x -> CAST(trunc(x * scale) AS INT)) AS q
+      FROM scaled
+    )
+    SELECT vec_id, label, scale,
+           CAST(list_sum(q) AS BIGINT) AS sum_codes,
+           CAST(list_min(q) AS INT) AS min_code,
+           CAST(list_max(q) AS INT) AS max_code,
+           CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_saturated
+    FROM codes
+    """,
+    "symmetric int8 embedding quantization: per-vector scale, truncating "
+    "cast, saturation audit — pure JVM array expressions, shuffle-free",
+)
+def e04_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.when(max_abs == 0, F.lit(1.0)).otherwise(F.lit(127.0) / max_abs)
+    scaled = emb.select("vec_id", "label", e.alias("e"), scale.alias("scale"))
+    q = F.transform(
+        F.col("e"), lambda x: (x * F.col("scale")).cast("int")
+    )
+    codes = scaled.select("vec_id", "label", "scale", q.alias("q"))
+    return codes.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.aggregate(F.col("q"), F.lit(0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("sum_codes"),
+        F.array_min("q").alias("min_code"),
+        F.array_max("q").alias("max_code"),
+        F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127)).alias(
+            "n_saturated"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# p08 — temperature-scaled mixture (T=2): keep-rates DERIVED from the
+# per-source counts (sqrt upweighting of small corpora), made
+# cross-engine-deterministic by quantizing weights to integer milli-units
+# before an order-free integer normalizer and DIV thresholds. Broadcast
+# threshold probe, md5-bucket keep filter, zero driver-side state.
+# --------------------------------------------------------------------------
+@register(
+    "p08_temperature_mixture",
+    SAMP.temperature_mixture_sql("doc_id", "source", target_rows=240),
+    "temperature-scaled (T=2) source rebalancing with data-derived "
+    "integer-exact keep thresholds and deterministic md5-bucket sampling",
+)
+def p08_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SAMP.temperature_mixture(docs, "doc_id", "source", target_rows=240)
