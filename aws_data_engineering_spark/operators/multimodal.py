@@ -1227,3 +1227,63 @@ def spectral_peak_features(df: DataFrame, id_col: str, data_col: str) -> DataFra
 
     src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
     return src.mapInPandas(features, AUDIO_SPECTRAL_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Scene-change detection over the FIMG fake-video stream: mean absolute
+# pixel difference between consecutive frames, cut when MAD exceeds a
+# threshold. The real-format twin (pyav frame diff) is the same kernel
+# shape; the FIMG walk + uint8 diff here is genuine byte-level work.
+# ---------------------------------------------------------------------------
+
+SCENE_CHANGE_DDL = (
+    "id bigint, frame_idx int, sum_abs_diff bigint, n_pixels int, "
+    "mad double, is_cut boolean"
+)
+
+
+def scene_changes(
+    df: DataFrame, id_col: str, data_col: str, mad_threshold: float = 12.0
+) -> DataFrame:
+    """Per consecutive frame pair: integer sum of absolute pixel diffs,
+    MAD = sum / n_pixels, and the cut flag. The flag compares integers
+    (``10 * sum > threshold*10 * n_pixels``) so no float threshold can
+    flip across engines; MAD itself is one exact-int division. Frames
+    never leave the worker — ~6 scalars per pair do."""
+    _, decode_fimg = _fimg_worker_fns()
+    # integer threshold in tenths: sum * 10 > thr10 * npix  <=>  mad > thr
+    thr10 = int(round(mad_threshold * 10))
+
+    def kernel(batches):
+        import numpy as np_w
+        import pandas as pd_w
+        import struct as _struct
+
+        cols = ("id", "frame_idx", "sum_abs_diff", "n_pixels", "mad", "is_cut")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for i, data in zip(pdf["id"], pdf["data"]):
+                blob = bytes(data)
+                pos, frames = 0, []
+                while pos < len(blob):
+                    w, h = _struct.unpack(">II", blob[pos + 4 : pos + 12])
+                    size = 12 + w * h
+                    frames.append(
+                        np_w.frombuffer(
+                            blob[pos + 12 : pos + size], dtype=np_w.uint8
+                        ).astype(np_w.int64)
+                    )
+                    pos += size
+                for f in range(len(frames) - 1):
+                    sad = int(np_w.abs(frames[f + 1] - frames[f]).sum())
+                    npix = frames[f].size
+                    out["id"].append(i)
+                    out["frame_idx"].append(f)
+                    out["sum_abs_diff"].append(sad)
+                    out["n_pixels"].append(npix)
+                    out["mad"].append(sad / npix)
+                    out["is_cut"].append(sad * 10 > thr10 * npix)
+            yield pd_w.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(kernel, SCENE_CHANGE_DDL)

@@ -1601,3 +1601,110 @@ def e04_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p08_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return SAMP.temperature_mixture(docs, "doc_id", "source", target_rows=240)
+
+
+# --------------------------------------------------------------------------
+# g02 — triangle counting over the embedding near-dup graph (the cluster
+# cohesion signal g01's PageRank complements (threshold 0.35 — the near-dup graph is
+# triangle-sparse above it): triangles distinguish
+# tight duplicate cliques from hub-and-spoke false positives). Canonical
+# a<b<c edge orientation means each triangle materializes exactly once
+# from two equi-joins on node id — the standard distributed formulation
+# (no per-node adjacency collection); per-node participation then sums
+# each triangle into its three corners via one explode.
+# --------------------------------------------------------------------------
+_G02_EDGES_CTE = """edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+        ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.35)"""
+
+
+@register(
+    "g02_triangle_count",
+    f"""
+    WITH {_G02_EDGES_CTE},
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.dst = e2.src
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM corners GROUP BY node
+    """,
+    "triangle counting over the near-dup graph: canonical a<b<c "
+    "orientation, two equi-joins per triangle, per-node participation "
+    "via corner explode — no adjacency lists, no driver-side graph",
+)
+def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = SIM.exact_neardup_pairs(emb, threshold=0.35).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --------------------------------------------------------------------------
+# m10 — scene-change detection: consecutive-frame mean-absolute-difference
+# over the concatenated-frame video stream, cut flag from an
+# integer-exact threshold comparison. The oracle reproduces the
+# deterministic frame pixels ((seed + j) * 31 mod 256, seed = id + f) so
+# the byte-walking diff kernel is fully checkable.
+# --------------------------------------------------------------------------
+@register(
+    "m10_scene_change_detection",
+    """
+    WITH vids AS (
+      SELECT doc_id AS id,
+             CAST(4 + doc_id % 4 AS INT) * 4 AS npix,
+             CAST(2 + doc_id % 8 AS INT) AS n_frames
+      FROM documents
+    ), pairs AS (
+      SELECT id, npix, UNNEST(generate_series(0, n_frames - 2)) AS f
+      FROM vids
+    ), diffs AS (
+      SELECT id, CAST(f AS INT) AS frame_idx, npix,
+             CAST(list_sum([abs((id + f + 1 + j) * 31 % 256
+                              - (id + f + j) * 31 % 256)
+                            FOR j IN generate_series(0, npix - 1)]) AS BIGINT)
+               AS sum_abs_diff
+      FROM pairs
+    )
+    SELECT id, frame_idx, sum_abs_diff, npix AS n_pixels,
+           CAST(sum_abs_diff AS DOUBLE) / npix AS mad,
+           sum_abs_diff * 10 > 120 * npix AS is_cut
+    FROM diffs
+    """,
+    "scene-change detection: per consecutive frame pair, integer "
+    "absolute-pixel-diff sums and an integer-exact cut threshold — the "
+    "frame bytes never leave the Arrow worker",
+)
+def m10_scene_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    vids = M.synthesize_fake_videos(docs, "doc_id")
+    return M.scene_changes(vids, "id", "data", mad_threshold=12.0)
