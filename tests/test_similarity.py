@@ -201,3 +201,61 @@ def test_pq_topk_recall_and_guard(spark, sf_dir):
     assert mean_ov >= 0.3, f"PQ top-5 overlap vs exact barely beats chance: {mean_ov}"
     with pytest.raises(S.ExactPathScaleError, match="lsh_topk"):
         S.pq_topk(queries, emb, cb, k=5, max_vectors=3)
+
+
+def test_triangle_count_known_graph(spark):
+    """Triangle counting on a hand-built graph: K4 minus one edge has
+    exactly 2 triangles; each of the shared-edge nodes sits in both."""
+    from aws_data_engineering_spark.plans.extra_queries import (  # noqa: F401
+        g02_triangle_count,
+    )
+    import pyspark.sql.functions as F2
+
+    edges = spark.createDataFrame(
+        # K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and (1,2,4)
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)],
+        "src bigint, dst bigint",
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F2.col("e1.dst") == F2.col("e2.src"))
+        .join(
+            e3,
+            (F2.col("e3.src") == F2.col("e1.src"))
+            & (F2.col("e3.dst") == F2.col("e2.dst")),
+        )
+        .select(
+            F2.col("e1.src").alias("a"),
+            F2.col("e1.dst").alias("b"),
+            F2.col("e2.dst").alias("c"),
+        )
+    )
+    got = {(r["a"], r["b"], r["c"]) for r in tri.collect()}
+    assert got == {(1, 2, 3), (1, 2, 4)}
+
+
+def test_ivfpq_subset_of_pq_scores(spark, sf_dir):
+    """Every (query, neighbor, adc) IVFPQ emits must carry the identical
+    integer ADC score PQ computes for that pair — the coarse quantizer only
+    prunes, never rescores."""
+    from aws_data_engineering_spark.operators.similarity import (
+        _hyperplanes,
+        ivfpq_topk,
+        pq_codebook,
+        pq_topk,
+    )
+    from aws_data_engineering_spark.sources.tables import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cb = pq_codebook()
+    cents = _hyperplanes(dim=64, n_planes=16, seed=7)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in pq_topk(q, emb, cb, k=500).collect()
+    }
+    pruned = ivfpq_topk(q, emb, cents, cb, k=5, n_probe=4).collect()
+    assert len(pruned) > 0
+    for r in pruned:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in full and full[key] == r["adc_dist"], key
