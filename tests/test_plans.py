@@ -214,3 +214,36 @@ def test_e03_centroids_broadcast_argmax_no_window(spark, sf_dir):
     # MAX_BY (partial-aggregable), not a row_number window
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_t17_gopher_audit_shuffle_free(spark, sf_dir):
+    # the whole quality audit is per-row HOFs: no Exchange anywhere
+    plan = _plan(queries()["t17_gopher_quality_rules"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_q82_takeordered_and_broadcast_geo(spark, sf_dir):
+    plan = _plan(queries()["q82_returned_item_revenue"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # returnflag filter must reach the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q83_exists_is_left_semi_join(spark, sf_dir):
+    plan = _plan(queries()["q83_late_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_e04_quantization_shuffle_free(spark, sf_dir):
+    plan = _plan(queries()["e04_int8_quantization"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_p08_threshold_probe_broadcast(spark, sf_dir):
+    # thresholds table joins back broadcast; only agg exchanges remain
+    plan = _plan(queries()["p08_temperature_mixture"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
