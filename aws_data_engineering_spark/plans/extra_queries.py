@@ -1708,3 +1708,140 @@ def m10_scene_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     vids = M.synthesize_fake_videos(docs, "doc_id")
     return M.scene_changes(vids, "id", "data", mad_threshold=12.0)
+
+
+# --------------------------------------------------------------------------
+# d13 — MinHash estimation accuracy audit: for every banded candidate
+# pair, the estimated Jaccard (matching signature components / 32) next
+# to the exact shingle-set Jaccard, plus the absolute estimation error.
+# Integer match counts and exact-int set sizes keep every column
+# bit-stable; the estimate/exact spread is the evidence that banding
+# parameters (b=8, r=4) sit at the right similarity threshold.
+# --------------------------------------------------------------------------
+def _d13_oracle() -> str:
+    from aws_data_engineering_spark.operators.dedup import minhash_oracle_sql
+
+    est_sql = minhash_oracle_sql(num_hashes=32, num_bands=8)
+    return f"""
+    WITH est AS ({est_sql}),
+    toks2 AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), grams2 AS (
+      SELECT doc_id,
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                      FOR i IN generate_series(1, len(t) - 2)])
+             END AS sh
+      FROM toks2
+    ), sized AS (SELECT doc_id, sh, len(sh) AS sh_size FROM grams2),
+    exploded AS (SELECT doc_id, sh_size, UNNEST(sh) AS shingle FROM sized),
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(COUNT(*) / (a.sh_size + b.sh_size - COUNT(*)), 4) AS exact_jaccard
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, a.sh_size, b.sh_size
+    )
+    SELECT est.id_a, est.id_b, est.est_jaccard,
+           COALESCE(exact.exact_jaccard, 0.0) AS exact_jaccard,
+           ROUND(ABS(est.est_jaccard - COALESCE(exact.exact_jaccard, 0.0)), 4)
+             AS abs_error
+    FROM est LEFT JOIN exact
+      ON est.id_a = exact.id_a AND est.id_b = exact.id_b
+    """
+
+
+# --------------------------------------------------------------------------
+# (continued) d13 joins the banded MinHash candidates against the exact
+# inverted-index Jaccard — candidates that collide on a band without
+# sharing a single shingle surface with exact_jaccard 0.0 via the left
+# join, quantifying the banding false-positive rate alongside the
+# estimator spread.
+# --------------------------------------------------------------------------
+@register(
+    "d13_minhash_estimate_accuracy",
+    _d13_oracle(),
+    "MinHash estimation accuracy audit: per candidate pair, signature "
+    "estimate vs exact shingle-set Jaccard and the absolute error — the "
+    "evidence that b=8/r=4 banding sits at the right threshold",
+)
+def d13_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    est = D.minhash_candidate_pairs(docs, "doc_id", "text")
+    exact = D.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, min_jaccard=0.0)
+    exact = exact.select("id_a", "id_b", F.col("jaccard").alias("exact_jaccard"))
+    joined = est.join(exact, ["id_a", "id_b"], "left")
+    ex = F.coalesce(F.col("exact_jaccard"), F.lit(0.0))
+    return joined.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        ex.alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - ex), 4).alias("abs_error"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t19 — lexical diversity audit per source: vocabulary size, hapax
+# fraction (tokens seen once — the Zipf tail), and the corpus share of
+# the 10 most frequent tokens (the Zipf head). One explode + one
+# (source, token) count, then a per-source window rank — all counts
+# integer-exact, head ties broken by token text so the rank-10 cut is
+# deterministic in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "t19_lexical_diversity",
+    """
+    WITH tok AS (
+      SELECT source, lower(unnest(string_split_regex(TRIM(text), '\\s+'))) AS token
+      FROM documents
+    ), t2 AS (SELECT * FROM tok WHERE token <> ''),
+    counts AS (
+      SELECT source, token, COUNT(*) AS cnt FROM t2 GROUP BY 1, 2
+    ), ranked AS (
+      SELECT source, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, token ASC) AS rk
+      FROM counts
+    )
+    SELECT source,
+           COUNT(*) AS vocab_size,
+           CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS hapax_frac,
+           CAST(SUM(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS DOUBLE)
+             / SUM(cnt) AS head10_share
+    FROM ranked GROUP BY source
+    """,
+    "lexical diversity per source: vocabulary size, hapax fraction (Zipf "
+    "tail) and top-10-token share (Zipf head) — integer-exact counts, "
+    "deterministic rank cut",
+)
+def t19_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
+        )
+        .select("source", F.lower(F.col("raw")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    hapax = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    head = F.sum(F.when(F.col("rk") <= 10, F.col("cnt")).otherwise(0))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        hapax.cast("bigint").alias("n_hapax"),
+        (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_frac"),
+        (head.cast("double") / F.sum("cnt")).alias("head10_share"),
+    )
