@@ -259,3 +259,22 @@ def test_ivfpq_subset_of_pq_scores(spark, sf_dir):
     for r in pruned:
         key = (r["query_id"], r["neighbor_id"])
         assert key in full and full[key] == r["adc_dist"], key
+
+
+def test_topk_kernels_partition_invariant(spark, sf_dir):
+    """The per-batch partial-top-k kernels (brute force, PQ) must return
+    IDENTICAL results regardless of how candidates are partitioned — the
+    batch-local top-k is only a shuffle reducer, never a semantics
+    change."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base_bf = rows(S.brute_force_topk(q, emb, k=5))
+    base_pq = rows(S.pq_topk(q, emb, S.pq_codebook(), k=5))
+    for parts in (1, 7):
+        skewed = emb.repartition(parts)
+        assert rows(S.brute_force_topk(q, skewed, k=5)) == base_bf, parts
+        assert rows(S.pq_topk(q, skewed, S.pq_codebook(), k=5)) == base_pq, parts
