@@ -383,6 +383,44 @@ def simhash_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document DISTINCT shingle sets, already exploded to
+    ``(id, sh_size, shingle)`` rows.
+
+    Shingling runs as Arrow-batched Python (see minhash_candidate_pairs for
+    why: interpreted JVM HOFs are the slow path — the JVM ``shingles()``
+    column measured ~6x slower at sf0.1); downstream joins/aggregations
+    stay JVM-side so plans — and oracle matches — are unchanged. Python
+    output is already exploded, skipping the JVM explode."""
+    spark = df.sparkSession
+    shingle_set, _ = _shingle_worker_fns(shingle_n)
+
+    def explode_kernel(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids: list[int] = []
+            sizes: list[int] = []
+            grams: list[str] = []
+            for doc_id, text in zip(pdf["id"], pdf["text"]):
+                sh = shingle_set(text)
+                ids.extend([doc_id] * len(sh))
+                sizes.extend([len(sh)] * len(sh))
+                grams.extend(sh)
+            yield pd_w.DataFrame({"id": ids, "sh_size": sizes, "shingle": grams})
+
+    # fan out (single-file scans are one task); no persist — see
+    # minhash_candidate_pairs for why recompute beats a leaked cache here
+    fanout = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return fanout.mapInPandas(
+        explode_kernel, "id bigint, sh_size int, shingle string"
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -408,37 +446,7 @@ def jaccard_pairs(
     oracle-checked behavior. The df-count adds one aggregation that
     shuffles on the same shingle key as the join, so AQE co-plans them.
     """
-    spark = df.sparkSession
-
-    # Shingling runs as Arrow-batched Python (see minhash_candidate_pairs for
-    # why: interpreted JVM HOFs are the slow path); the inverted-index join,
-    # aggregation, and rounding stay JVM-side so the plan — and the oracle
-    # match — is unchanged. Python output is already exploded (id, sh_size,
-    # shingle), skipping the JVM explode.
-    shingle_set, _ = _shingle_worker_fns(shingle_n)
-
-    def explode_shingles(batches):
-        import pandas as pd_w
-
-        for pdf in batches:
-            ids: list[int] = []
-            sizes: list[int] = []
-            grams: list[str] = []
-            for doc_id, text in zip(pdf["id"], pdf["text"]):
-                sh = shingle_set(text)
-                ids.extend([doc_id] * len(sh))
-                sizes.extend([len(sh)] * len(sh))
-                grams.extend(sh)
-            yield pd_w.DataFrame({"id": ids, "sh_size": sizes, "shingle": grams})
-
-    # fan out (single-file scans are one task); no persist — see
-    # minhash_candidate_pairs for why recompute beats a leaked cache here
-    fanout = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).repartition(spark.sparkContext.defaultParallelism)
-    exploded = fanout.mapInPandas(
-        explode_shingles, "id bigint, sh_size int, shingle string"
-    )
+    exploded = exploded_shingles(df, id_col, text_col, shingle_n)
     if max_df is not None:
         from pyspark.sql import Window
 

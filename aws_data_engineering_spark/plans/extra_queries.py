@@ -1177,10 +1177,11 @@ def d12_duplicate_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFram
     from aws_data_engineering_spark.operators import dedup as D
 
     docs = _t(spark, sf_dir, "documents")
-    # shingles() emits each doc's DISTINCT shingle set, so per-shingle
-    # COUNT(*) over the exploded rows == number of docs containing it
-    sh = docs.select(
-        "doc_id", F.explode(D.shingles("text", 3)).alias("shingle")
+    # Arrow shingle kernel (interpreted JVM HOF shingling measured ~6x
+    # slower at sf0.1); sets are per-doc DISTINCT, so per-shingle COUNT(*)
+    # over the exploded rows == number of docs containing it
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3).select(
+        F.col("id").alias("doc_id"), "shingle"
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndocs"))
     dup = F.sum((F.col("ndocs") >= 2).cast("int")).cast("bigint")
