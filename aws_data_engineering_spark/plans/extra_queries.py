@@ -965,14 +965,9 @@ def s07_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t17_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_w, hi_w, lo_ml, hi_ml, min_dr, max_tf = T.GOPHER_BOUNDS
     docs = _t(spark, sf_dir, "documents")
-    m = docs.select(
-        "doc_id",
-        "source",
-        T.token_count("text").alias("n_words"),
-        T.word_lengths_sum("text").alias("char_sum"),
-        F.size(F.array_distinct(T.tokens("text"))).alias("n_distinct"),
-        T.top_token_count("text").alias("top_cnt"),
-    )
+    # O(n)-per-row Arrow kernel (the JVM HOF mode count is O(distinct x n)
+    # interpreted — quadratic on long documents); identical integer outputs
+    m = T.gopher_metrics(docs, ("doc_id", "source"), "text")
     mean_len = F.col("char_sum").cast("double") / F.col("n_words")
     dist_ratio = F.col("n_distinct").cast("double") / F.col("n_words")
     top_frac = F.col("top_cnt").cast("double") / F.col("n_words")

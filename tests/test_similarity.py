@@ -278,3 +278,26 @@ def test_topk_kernels_partition_invariant(spark, sf_dir):
         skewed = emb.repartition(parts)
         assert rows(S.brute_force_topk(q, skewed, k=5)) == base_bf, parts
         assert rows(S.pq_topk(q, skewed, S.pq_codebook(), k=5)) == base_pq, parts
+
+
+def test_gopher_metrics_kernel_matches_jvm_hofs(spark, sf_dir):
+    """The O(n) Arrow kernel must produce the exact integers the JVM HOF
+    columns define — same tokenization, same counts."""
+    from aws_data_engineering_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    jvm = {
+        r["doc_id"]: (r["n_words"], r["char_sum"], r["n_distinct"], r["top_cnt"])
+        for r in docs.select(
+            "doc_id",
+            T.token_count("text").alias("n_words"),
+            T.word_lengths_sum("text").alias("char_sum"),
+            F.size(F.array_distinct(T.tokens("text"))).alias("n_distinct"),
+            T.top_token_count("text").alias("top_cnt"),
+        ).collect()
+    }
+    kern = {
+        r["doc_id"]: (r["n_words"], r["char_sum"], r["n_distinct"], r["top_cnt"])
+        for r in T.gopher_metrics(docs, ("doc_id",), "text").collect()
+    }
+    assert kern == jvm
