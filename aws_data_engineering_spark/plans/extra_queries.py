@@ -1841,3 +1841,77 @@ def t19_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_frac"),
         (head.cast("double") / F.sum("cnt")).alias("head10_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# dq06 — fact-to-fact reconciliation: each order's header total vs the
+# sum of its line amounts, compared in integer cents (the documented FP
+# rule: never compare raw doubles against aggregate-derived values —
+# quantize both sides first). LEFT join keeps headerless/lineless orders
+# visible; the audit rolls up mismatch counts and the worst absolute
+# drift per order status. One shuffle (the orderkey join/agg) at any
+# scale.
+# --------------------------------------------------------------------------
+@register(
+    "dq06_order_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ), recon AS (
+      SELECT o.o_orderstatus,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+             COALESCE(li.line_cents, 0) AS line_cents,
+             li.l_orderkey IS NULL AS lineless
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN lineless THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lineless,
+           CAST(SUM(CASE WHEN NOT lineless
+                          AND header_cents <> line_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(MAX(CASE WHEN lineless THEN 0
+                         ELSE abs(header_cents - line_cents) END) AS BIGINT)
+             AS max_drift_cents
+    FROM recon GROUP BY o_orderstatus
+    """,
+    "fact-to-fact reconciliation: order header totals vs summed line "
+    "amounts in integer cents — mismatch counts and worst drift per "
+    "status, one orderkey shuffle",
+)
+def dq06_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = lambda c: F.floor(c * 100).cast("bigint")  # noqa: E731
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("bigint")
+            .alias("line_cents")
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", cents(F.col("o_totalprice")).alias("header_cents")
+    )
+    recon = orders.join(li, orders.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderstatus",
+        "header_cents",
+        F.coalesce(F.col("line_cents"), F.lit(0)).alias("line_cents"),
+        F.col("l_orderkey").isNull().alias("lineless"),
+    )
+    mism = F.when(
+        (~F.col("lineless")) & (F.col("header_cents") != F.col("line_cents")), 1
+    ).otherwise(0)
+    drift = F.when(F.col("lineless"), F.lit(0)).otherwise(
+        F.abs(F.col("header_cents") - F.col("line_cents"))
+    )
+    return recon.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("lineless").cast("int")).cast("bigint").alias("n_lineless"),
+        F.sum(mism).cast("bigint").alias("n_mismatched"),
+        F.max(drift).cast("bigint").alias("max_drift_cents"),
+    )
