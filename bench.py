@@ -66,6 +66,9 @@ HEADLINE = [
     "s07_ann_pq_topk",
     "t17_gopher_quality_rules",
     "d12_duplicate_shingle_fraction",
+    # the composed IVFPQ index (prune lists, scan codes) — the flagship
+    # billion-scale ANN shape gets its own round-over-round number.
+    "s08_ann_ivfpq_topk",
 ]
 
 
