@@ -667,3 +667,67 @@ def test_incremental_rollup_refresh_filter_pushes_down(spark, sf_dir, tmp_path):
     filtered = events.filter(F.col("ts") >= F.to_timestamp(F.lit(hwm)))
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(ts" in plan, plan[:800]
+
+
+def test_cli_entry_runs_full_load(spark, tmp_path):
+    """python -m aws_data_engineering_spark drives one config-driven load
+    end-to-end through the same CLI contract as the reference's
+    spark-submit wrapper (key parsing, config-vs-key guard, v2 path
+    layout)."""
+    import json
+
+    from aws_data_engineering_spark.__main__ import main
+
+    root = tmp_path / "lake"
+    inbound_dir = root / "inbound" / "crm" / "people"
+    inbound_dir.mkdir(parents=True)
+    (inbound_dir / "people_20240115.csv").write_text(
+        "id,name\n2,bob\n1,alice\n"
+    )
+    cfg = {
+        "table_name": "people",
+        "schema": {"id": "int", "name": "string"},
+        "primary_key": ["id"],
+        "select_columns": ["id", "name"],
+        "sort_columns": ["id"],
+        "landing_load_strategy": "append",
+        "curated_load_strategy": "append",
+    }
+    cfg_path = tmp_path / "people_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    rc = main(
+        [
+            "--inbound-key",
+            "inbound/crm/people/people_20240115.csv",
+            "--config",
+            str(cfg_path),
+            "--landing-root",
+            str(root),
+            "--curated-root",
+            str(root / "curated"),
+        ]
+    )
+    assert rc == 0
+    curated = spark.read.parquet(str(root / "curated" / "crm" / "people"))
+    rows = {(r["id"], r["name"], r["dt"]) for r in curated.collect()}
+    assert rows == {(1, "alice", "2024-01-15"), (2, "bob", "2024-01-15")}
+
+    # config naming a different table than the key must refuse to run
+    import pytest as _pytest
+
+    cfg["table_name"] = "other"
+    cfg_path.write_text(json.dumps(cfg))
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "--inbound-key",
+                "inbound/crm/people/people_20240115.csv",
+                "--config",
+                str(cfg_path),
+                "--landing-root",
+                str(root),
+                "--curated-root",
+                str(root / "curated"),
+            ]
+        )
