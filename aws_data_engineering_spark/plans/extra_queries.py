@@ -1915,3 +1915,112 @@ def dq06_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(mism).cast("bigint").alias("n_mismatched"),
         F.max(drift).cast("bigint").alias("max_drift_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q84 — TPC-H Q16 shape: supplier diversity per part type, excluding a
+# supplier blocklist via NOT IN. Expressed through the SQL front door
+# because NOT IN (subquery) is the one anti-join Spark must plan
+# null-aware (NullAwareAntiJoin): if the blocklist ever contained a NULL
+# key, NOT IN returns no rows — semantics a plain left_anti join cannot
+# express. COUNT(DISTINCT) rides the standard two-phase expand.
+# --------------------------------------------------------------------------
+@register(
+    "q84_supplier_diversity_naaj",
+    """
+    SELECT p_type,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+           COUNT(*) AS n_lines
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size >= 10
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%3%')
+    GROUP BY p_type
+    """,
+    "TPC-H Q16 shape: NOT IN blocklist as a null-aware anti join plus "
+    "COUNT(DISTINCT) supplier diversity per part type",
+)
+def q84_supplier_diversity_naaj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("part", "lineitem", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q84v_{t}")
+    return spark.sql(
+        """
+        SELECT p_type,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+               COUNT(*) AS n_lines
+        FROM q84v_part JOIN q84v_lineitem ON p_partkey = l_partkey
+        WHERE p_size >= 10
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM q84v_supplier
+                                WHERE s_name LIKE '%3%')
+        GROUP BY p_type
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# c09 — bucketed co-located join: orders and lineitem written as managed
+# tables bucketed by orderkey into the same bucket count, then joined.
+# Bucket metadata in the catalog lets Catalyst plan the fact-fact join
+# with NO exchange on either side — bucketing is paid once at write
+# time, and every recurring join afterwards skips both shuffles. The
+# exchange-free property is asserted in the plan itself here, not just
+# in unit tests; the oracle checks the joined result.
+# --------------------------------------------------------------------------
+@register(
+    "c09_bucketed_colocated_join",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    "bucketed managed tables joined with zero exchanges on the join key "
+    "(asserted in-plan) — the co-location recipe for recurring fact-fact "
+    "joins",
+)
+def c09_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.sources.writers import write_bucketed_table
+
+    tag = uuid.uuid4().hex[:8]
+    to, tl = f"c09_orders_{tag}", f"c09_lineitem_{tag}"
+    write_bucketed_table(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        to,
+        ["o_orderkey"],
+        n_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed_table(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        tl,
+        ["l_orderkey"],
+        n_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    # hint("merge") pins the sort-merge strategy: at fixture scale Spark
+    # would otherwise broadcast the small side, which is right but proves
+    # nothing — the bucketed payoff is the SMJ with NO exchange on either
+    # join key, which is what a big-big join would plan unaided
+    joined = (
+        spark.table(to)
+        .hint("merge")
+        .join(spark.table(tl), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if (
+        "SortMergeJoin" not in plan
+        or "Exchange hashpartitioning(o_orderkey" in plan
+        or "Exchange hashpartitioning(l_orderkey" in plan
+    ):
+        raise AssertionError(f"bucketed join is not exchange-free:\n{plan}")
+    return joined
