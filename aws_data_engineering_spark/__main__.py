@@ -6,13 +6,13 @@ wrapper that parsed the landed S3 key (``Script.sh:10-24``;
 ``FInal/script.sh:10-30``). This module gives the package the same front
 door::
 
-    spark-submit -m aws_data_engineering_spark \
+    spark-submit /path/to/aws_data_engineering_spark/__main__.py \
         --inbound-key inbound/crm/customer/customer_20240115.gz \
         --config /path/to/customer_config.json \
         --landing-root s3a://landing --curated-root s3a://curated
 
 or, equivalently, ``python -m aws_data_engineering_spark ...`` for local
-runs. Paths compose exactly like the reference's v2 layout:
+runs (spark-submit takes an application file path — it has no ``-m``). Paths compose exactly like the reference's v2 layout:
 ``<root>/<source_system>/<table_name>`` (``FInal/load_script.py:180``),
 with the inbound file read from ``<landing-root>/<inbound_key>`` unless
 ``--inbound-path`` overrides it.

@@ -288,8 +288,15 @@ def temperature_mixture(
     weights = weights.withColumn(
         "__wsum", F.sum("__w").over(Window.partitionBy(F.lit(1)))
     )
+    # DECIMAL(38,0) arithmetic: target * w * 256 overflows int64 once
+    # per-source counts reach ~1e12 rows (ANSI mode would throw); exact
+    # integer division in 38-digit decimals matches DuckDB's HUGEINT twin
     thresh = F.least(
-        F.expr(f"({int(target_rows)} * __w * {NUM_BUCKETS}) DIV (__wsum * __n)"),
+        F.expr(
+            f"CAST((CAST({int(target_rows)} AS DECIMAL(38,0)) * __w * "
+            f"{NUM_BUCKETS}) DIV (CAST(__wsum AS DECIMAL(38,0)) * __n) "
+            "AS BIGINT)"
+        ),
         F.lit(NUM_BUCKETS).cast("bigint"),
     )
     thresholds = weights.select(key_col, "__n", thresh.alias("__thresh"))
@@ -327,7 +334,8 @@ def temperature_mixture_sql(
     ), norm AS (SELECT SUM(w) AS wsum FROM weights),
     thresholds AS (
       SELECT k, n,
-             LEAST(({int(target_rows)} * w * {NUM_BUCKETS}) // (norm.wsum * n),
+             LEAST(CAST((CAST({int(target_rows)} AS HUGEINT) * w * {NUM_BUCKETS})
+                        // (CAST(norm.wsum AS HUGEINT) * n) AS BIGINT),
                    {NUM_BUCKETS}) AS thresh
       FROM weights CROSS JOIN norm
     )

@@ -799,7 +799,7 @@ def pq_topk(
     bit-for-bit; ties rank by neighbor_id ascending.
     """
     cb = [[[float(x) for x in row] for row in sub] for sub in codebook]
-    m_sub, k_codes, subdim = len(cb), len(cb[0]), len(cb[0][0])
+    m_sub = len(cb)
     kk = int(k)
     q_proj = queries.select(
         F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
@@ -808,24 +808,14 @@ def pq_topk(
     q_rows = q_proj.collect()
     q_ids = [r["query_id"] for r in q_rows]
     q_vecs = [list(r["q_vec"]) for r in q_rows]
+    subdists = _pq_dist_fns(cb)  # the ONE bit-exact subspace-distance kernel
 
     def kernel(batches):
         import numpy as np_w
         import pandas as pd_w
 
-        cbm = np_w.asarray(cb, dtype=np_w.float64)  # (M, K, SUB)
         qid = np_w.asarray(q_ids)
         qm = np_w.asarray(q_vecs, dtype=np_w.float64)  # (Q, D)
-
-        def subdists(mat, s):
-            # (N, K) squared L2 of subvector s against all codewords,
-            # dimension-sequential accumulation (the bit-exact j-loop)
-            o = s * subdim
-            acc = np_w.zeros((mat.shape[0], k_codes), dtype=np_w.float64)
-            for d in range(subdim):
-                diff = mat[:, o + d : o + d + 1] - cbm[s][None, :, d]
-                acc = acc + diff * diff
-            return acc
 
         # per-query integer LUTs, built once per task: (Q, M, K) int64
         ilut = np_w.stack(

@@ -397,10 +397,20 @@ def gopher_metrics(
             nw, cs, nd, tc = [], [], [], []
             for row in pdf.itertuples(index=False):
                 d = row._asdict()
-                toks = ws.split(str(d[text_col]).strip())
-                counts = Counter(toks)
                 for c in ids:
                     out[c].append(d[c])
+                text = d[text_col]
+                if text is None:
+                    # JVM: size(split(trim(NULL))) is NULL in Spark 4
+                    nw.append(None); cs.append(None)
+                    nd.append(None); tc.append(None)
+                    continue
+                # JVM F.trim strips SPACES only (not \t/\n/unicode ws) —
+                # same deliberate choice as _shingle_worker_fns; a Python
+                # .strip() here would silently diverge from the oracle on
+                # text with leading/trailing non-space whitespace
+                toks = ws.split(str(text).strip(" "))
+                counts = Counter(toks)
                 nw.append(len(toks))
                 cs.append(sum(len(t) for t in toks))
                 nd.append(len(counts))

@@ -1643,6 +1643,10 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = SIM.exact_neardup_pairs(emb, threshold=0.35).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
+    # three self-join branches would replay the O(N^2 D) cosine scan three
+    # times; eager localCheckpoint materializes the (tiny) edge set once
+    # and truncates the lineage — the same pattern as pagerank/CC
+    edges = edges.localCheckpoint(eager=True)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
