@@ -301,3 +301,38 @@ def test_gopher_metrics_kernel_matches_jvm_hofs(spark, sf_dir):
         for r in T.gopher_metrics(docs, ("doc_id",), "text").collect()
     }
     assert kern == jvm
+
+
+def test_gopher_metrics_kernel_edge_whitespace_and_null(spark):
+    """The corner the fixture corpus can't exercise: JVM trim() strips
+    SPACES only, so trailing tabs/newlines produce an empty token that
+    the kernel must count too; NULL text must yield NULL metrics, not the
+    tokenized string 'None'."""
+    from aws_data_engineering_spark.operators import text as T
+
+    rows = [
+        (1, "foo bar\n"),   # trailing newline -> tokens ['foo','bar','']
+        (2, "  foo bar  "), # leading/trailing SPACES do trim away
+        (3, None),
+        (4, "\tfoo"),       # leading tab survives trim -> tokens ['', 'foo']
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    jvm = {
+        r["doc_id"]: (r["n_words"], r["char_sum"], r["n_distinct"], r["top_cnt"])
+        for r in df.select(
+            "doc_id",
+            T.token_count("text").alias("n_words"),
+            T.word_lengths_sum("text").alias("char_sum"),
+            F.size(F.array_distinct(T.tokens("text"))).alias("n_distinct"),
+            T.top_token_count("text").alias("top_cnt"),
+        ).collect()
+    }
+    kern = {
+        r["doc_id"]: (r["n_words"], r["char_sum"], r["n_distinct"], r["top_cnt"])
+        for r in T.gopher_metrics(df, ("doc_id",), "text").collect()
+    }
+    # null text: JVM size(NULL) conventions differ from the kernel's NULL
+    # contract — compare non-null rows exactly, null row must be all-NULL
+    assert kern[3] == (None, None, None, None)
+    for k in (1, 2, 4):
+        assert kern[k] == jvm[k], (k, kern[k], jvm[k])
