@@ -134,7 +134,7 @@ def decode_images(df: DataFrame, id_col: str, data_col: str, mime_col: str) -> D
     (pure-Python zlib+numpy decoder — see _png_worker_fns); JPEG stays
     stubbed (needs PIL)."""
     _, decode_fimg = _fimg_worker_fns()
-    _, decode_png = _png_worker_fns()
+    _, decode_png, _ = _png_worker_fns()
 
     def features(batches):
         import pandas as pd_w
@@ -382,8 +382,16 @@ def _png_worker_fns():
             + _struct.pack(">I", _zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    def encode_png(width: int, height: int, pixels: bytes, filter_type: int = 0) -> bytes:
-        """8-bit grayscale PNG; every scanline uses ``filter_type`` (0..4)."""
+    def encode_png(
+        width: int,
+        height: int,
+        pixels: bytes,
+        filter_type: int = 0,
+        text_meta=None,
+    ) -> bytes:
+        """8-bit grayscale PNG; every scanline uses ``filter_type`` (0..4).
+        ``text_meta``: optional [(keyword, value)] Latin-1 pairs emitted as
+        spec-conformant tEXt chunks between IHDR and IDAT."""
         raw = bytearray()
         for y in range(height):
             row = pixels[y * width : (y + 1) * width]
@@ -408,9 +416,14 @@ def _png_worker_fns():
                     v = b - pr
                 raw.append(v % 256)
         ihdr = _struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        texts = b"".join(
+            _chunk(b"tEXt", k.encode("latin-1") + b"\0" + v.encode("latin-1"))
+            for k, v in (text_meta or [])
+        )
         return (
             magic
             + _chunk(b"IHDR", ihdr)
+            + texts
             + _chunk(b"IDAT", _zlib.compress(bytes(raw)))
             + _chunk(b"IEND", b"")
         )
@@ -443,6 +456,7 @@ def _png_worker_fns():
                 idat += payload
             elif tag == b"IEND":
                 break
+            # ancillary chunks (tEXt etc.) are CRC-verified above and skipped
         if w is None or h is None or color_type is None:
             # malformed stream (no IHDR, or truncated before it): keep the
             # ValueError contract instead of an opaque TypeError downstream
@@ -483,7 +497,28 @@ def _png_worker_fns():
                     cur[x] = v % 256
         return w, h, ch, out.astype(np_w.uint8).tobytes()
 
-    return encode_png, decode_png
+    def png_text_chunks(data: bytes) -> list:
+        """CRC-verified walk collecting tEXt (keyword, value) pairs."""
+        if data[:8] != magic:
+            raise ValueError("not a PNG")
+        pos, out = 8, []
+        while pos < len(data):
+            (ln,) = _struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            payload = data[pos + 8 : pos + 8 + ln]
+            if _struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])[0] != (
+                _zlib.crc32(tag + payload) & 0xFFFFFFFF
+            ):
+                raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+            pos += 12 + ln
+            if tag == b"tEXt":
+                k, _, v = payload.partition(b"\0")
+                out.append((k.decode("latin-1"), v.decode("latin-1")))
+            elif tag == b"IEND":
+                break
+        return out
+
+    return encode_png, decode_png, png_text_chunks
 
 
 def synthesize_png_images(
@@ -492,7 +527,7 @@ def synthesize_png_images(
     """Deterministic REAL PNGs keyed by id — same dims and pixel formula as
     the FIMG generator ((id + k) * 31 % 256), so closed-form oracles carry
     over; the filter type cycles per id to exercise every unfilter path."""
-    encode_png, _ = _png_worker_fns()
+    encode_png, _, _ = _png_worker_fns()
     wm, hm = width_mod, height_mod
 
     def gen(batches):
@@ -1287,3 +1322,57 @@ def scene_changes(
 
     src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
     return src.mapInPandas(kernel, SCENE_CHANGE_DDL)
+
+
+# ---------------------------------------------------------------------------
+# PNG textual metadata (tEXt chunks): the EXIF-shaped metadata-extraction
+# op — synthesize spec-conformant tagged PNGs, then recover the
+# (keyword, value) pairs with the CRC-verified chunk walker. Real format,
+# real parser; only the tiny metadata rows leave the worker.
+# ---------------------------------------------------------------------------
+
+
+def synthesize_tagged_pngs(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic 4x4 gradient PNGs carrying three tEXt chunks keyed by
+    id (Title/Author/Software) — closed-form for the oracle."""
+    encode_png, _, _ = _png_worker_fns()
+
+    def gen(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids = list(pdf["id"])
+            blobs = []
+            for i in ids:
+                px = bytes(((int(i) + k) * 31) % 256 for k in range(16))
+                meta = [
+                    ("Title", f"doc-{int(i)}"),
+                    ("Author", f"src{int(i) % 20}"),
+                    ("Software", "spark-graft"),
+                ]
+                blobs.append(encode_png(4, 4, px, filter_type=0, text_meta=meta))
+            yield pd_w.DataFrame({"id": ids, "data": blobs, "mime": "image/png"})
+
+    src = df.select(F.col(id_col).alias("id"))
+    return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+def png_text_metadata(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """Extract tEXt (keyword, value) pairs from PNG blobs — one output row
+    per chunk, CRC-verified; the image bytes never leave the worker."""
+    _, _, png_text_chunks = _png_worker_fns()
+
+    def kernel(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            out_i, out_k, out_v = [], [], []
+            for i, data in zip(pdf["id"], pdf["data"]):
+                for k, v in png_text_chunks(bytes(data)):
+                    out_i.append(i)
+                    out_k.append(k)
+                    out_v.append(v)
+            yield pd_w.DataFrame({"id": out_i, "key": out_k, "value": out_v})
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(kernel, "id bigint, key string, value string")

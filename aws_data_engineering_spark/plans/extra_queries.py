@@ -2028,3 +2028,29 @@ def c09_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         raise AssertionError(f"bucketed join is not exchange-free:\n{plan}")
     return joined
+
+
+# --------------------------------------------------------------------------
+# m11 — image metadata extraction (the EXIF-shaped op): PNGs carrying
+# spec-conformant tEXt chunks, recovered by the CRC-verified chunk
+# walker. The decode stays a shuffle-free map stage; only (id, key,
+# value) rows leave the worker; oracle regenerates the closed-form tags.
+# --------------------------------------------------------------------------
+@register(
+    "m11_png_text_metadata",
+    """
+    SELECT doc_id AS id, 'Title' AS key, 'doc-' || doc_id AS value
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'Author', 'src' || (doc_id % 20) FROM documents
+    UNION ALL
+    SELECT doc_id, 'Software', 'spark-graft' FROM documents
+    """,
+    "PNG tEXt metadata extraction: spec-conformant ancillary chunks "
+    "written and recovered through the real CRC-verified codec — one "
+    "row per (image, keyword)",
+)
+def m11_png_text_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tagged = M.synthesize_tagged_pngs(docs, "doc_id")
+    return M.png_text_metadata(tagged, "id", "data")
