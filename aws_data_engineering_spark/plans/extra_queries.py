@@ -2054,3 +2054,58 @@ def m11_png_text_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tagged = M.synthesize_tagged_pngs(docs, "doc_id")
     return M.png_text_metadata(tagged, "id", "data")
+
+
+# --------------------------------------------------------------------------
+# st10 — streaming transactional FILE sink: events stream -> parquet lake
+# directory with the sink's _spark_metadata exactly-once log. Run twice
+# from the SAME checkpoint: the restart resumes at the recorded offset
+# and emits nothing new, so the read-back (resolved THROUGH the metadata
+# log) equals the batch table exactly once — the file-sink twin of
+# st03's state-store dedup. Oracle is the batch projection.
+# --------------------------------------------------------------------------
+@register(
+    "st10_stream_file_sink",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+           value
+    FROM events
+    """,
+    "streaming exactly-once parquet file sink (_spark_metadata log): "
+    "availableNow drain + idempotent restart from the same checkpoint, "
+    "read-back hash-checked against the batch table",
+)
+def st10_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.streaming import (
+        read_events_stream,
+        run_to_file_sink,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "spark_st10", uuid.uuid4().hex[:8])
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = read_events_stream(spark, path).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
+        "value",
+    )
+    run_to_file_sink(stream, out_dir, ckpt)
+    # idempotent restart: same checkpoint -> offsets already committed ->
+    # second drain emits zero files; a naive (non-transactional) sink
+    # would double every row here
+    run_to_file_sink(
+        read_events_stream(spark, path).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
+            "value",
+        ),
+        out_dir,
+        ckpt,
+    )
+    return spark.read.parquet(out_dir)

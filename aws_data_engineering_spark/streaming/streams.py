@@ -506,3 +506,25 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+def run_to_file_sink(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, fmt: str = "parquet"
+) -> None:
+    """Drain a streaming DataFrame into Spark's transactional file sink.
+
+    The file sink is the streaming path to a lake table with EXACTLY-ONCE
+    output: every micro-batch's files are recorded in the sink's
+    ``_spark_metadata`` log, and readers resolve the directory THROUGH
+    that log — files from a failed/duplicated batch attempt are never
+    visible, the same idempotence contract a Delta txn log provides.
+    Restarting from the same checkpoint resumes without re-emitting."""
+    q = (
+        df.writeStream.format(fmt)
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
