@@ -2109,3 +2109,51 @@ def st10_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt,
     )
     return spark.read.parquet(out_dir)
+
+
+# --------------------------------------------------------------------------
+# q85 — forward fill (LOCF): click events carry no value, so each takes
+# the user's most recent non-null reading — LAST_VALUE ... IGNORE NULLS
+# over a running frame, the sensor-gap-repair idiom. One window sort per
+# user partition; leading nulls (no prior reading) stay NULL in both
+# engines; values pass through untouched so no rounding is needed.
+# --------------------------------------------------------------------------
+@register(
+    "q85_forward_fill",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+           v AS raw_value,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM base
+    """,
+    "forward fill / last-observation-carried-forward: LAST_VALUE IGNORE "
+    "NULLS over a running per-user frame — the window twin of the q49 "
+    "spine-join gapfill",
+)
+def q85_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
+        v.alias("raw_value"),
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )
