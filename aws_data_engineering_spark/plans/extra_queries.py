@@ -2157,3 +2157,64 @@ def q85_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("raw_value"),
         F.last(v, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# c10 — small-file compaction as a maintenance query: a dt-partitioned
+# table deliberately written as 8 shuffled files per partition is
+# rewritten to 1 file per partition by compact_table (staging hop +
+# dynamic partition overwrite), with the file-count collapse asserted
+# in-query and the data proven byte-identical by the aggregation oracle.
+# The reference's append-only loader accumulates exactly this small-file
+# debt (SURVEY §4); at 100 TB the same op runs per recent partition on a
+# schedule.
+# --------------------------------------------------------------------------
+@register(
+    "c10_small_file_compaction",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    "small-file compaction: 8 files/partition rewritten to 1 via staging "
+    "+ dynamic partition overwrite, file collapse asserted in-query, "
+    "data equality proven by the oracle",
+)
+def c10_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from aws_data_engineering_spark.sources.writers import compact_table
+
+    base = os.path.join(tempfile.gettempdir(), "spark_c10", uuid.uuid4().hex[:8])
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+    )
+    # deliberate small-file debt: 8 shuffled files land in every partition
+    ev.repartition(8).write.partitionBy("dt").mode("overwrite").parquet(base)
+
+    def files_per_part():
+        parts = [p for p in _glob.glob(os.path.join(base, "dt=*")) if os.path.isdir(p)]
+        return {
+            p: len(_glob.glob(os.path.join(p, "*.parquet"))) for p in parts
+        }
+
+    before = files_per_part()
+    if not before or min(before.values()) < 2:
+        raise AssertionError(f"fixture did not create small files: {before}")
+    compact_table(spark, base, "dt", target_files_per_partition=1)
+    after = files_per_part()
+    if set(after.values()) != {1}:
+        raise AssertionError(f"compaction left multiple files: {after}")
+    # a plain session (the driver's) infers the dt partition value as a
+    # DATE; cast back to the string contract (same trap as c07)
+    return (
+        spark.read.parquet(base)
+        .groupBy(F.col("dt").cast("string").alias("dt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
