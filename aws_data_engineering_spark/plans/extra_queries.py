@@ -2218,3 +2218,70 @@ def c10_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e05 — Matryoshka-style truncated-dimension retrieval audit: top-5 by
+# full 64-dim cosine vs top-5 using only the first 16 dims (the MRL
+# deployment question — how much ranking survives a 4x cheaper index?).
+# Both rankings reuse the bit-exact brute-force kernel; the output is
+# the per-query overlap plus both neighbor sets as sorted arrays, all
+# integer/exact so the oracle hash-matches. At scale the truncated
+# ranking is the candidate generator and the full ranking the reranker.
+# --------------------------------------------------------------------------
+@register(
+    "e05_matryoshka_overlap",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             CAST(embedding[1:16] AS DOUBLE[]) AS e16
+      FROM embeddings
+    ),
+    full_rank AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.e, c.e) DESC,
+                                         c.vec_id) AS rnk
+      FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+    trunc_rank AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.e16, c.e16) DESC,
+                                         c.vec_id) AS rnk
+      FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+    f5 AS (SELECT query_id, list_sort(list(neighbor_id)) AS full_top5
+           FROM full_rank WHERE rnk <= 5 GROUP BY query_id),
+    t5 AS (SELECT query_id, list_sort(list(neighbor_id)) AS trunc_top5
+           FROM trunc_rank WHERE rnk <= 5 GROUP BY query_id)
+    SELECT f5.query_id, full_top5, trunc_top5,
+           CAST(len(list_intersect(full_top5, trunc_top5)) AS INT) AS n_overlap
+    FROM f5 JOIN t5 ON f5.query_id = t5.query_id
+    """,
+    "Matryoshka truncated-dim retrieval audit: top-5 overlap between "
+    "full 64-dim and first-16-dim cosine rankings — the candidate-"
+    "generator-vs-reranker calibration",
+)
+def e05_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    full5 = SIM.brute_force_topk(q, emb, k=5)
+    trunc = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    trunc5 = SIM.brute_force_topk(
+        trunc.filter(F.col("vec_id") < 10), trunc, k=5
+    )
+    f5 = full5.groupBy("query_id").agg(
+        F.sort_array(F.collect_list("neighbor_id")).alias("full_top5")
+    )
+    t5 = trunc5.groupBy("query_id").agg(
+        F.sort_array(F.collect_list("neighbor_id")).alias("trunc_top5")
+    )
+    return f5.join(t5, "query_id").select(
+        "query_id",
+        "full_top5",
+        "trunc_top5",
+        F.size(F.array_intersect(F.col("full_top5"), F.col("trunc_top5"))).alias(
+            "n_overlap"
+        ),
+    )
