@@ -2285,3 +2285,455 @@ def e05_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_overlap"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q86 — interval join via bucket decomposition: the 100 TB scale path for
+# point-in-interval joins. q19 plans a broadcast nested-loop (fine while the
+# interval side fits in one broadcast); with millions of intervals BNLJ is
+# O(points x intervals) and dies. Decomposition: points carry their hour
+# bucket, intervals EXPLODE into the hour buckets they cover
+# (sequence()), and the join becomes a plain shuffled EQUI-join on bucket
+# followed by an exact containment re-check. A point falls in exactly one
+# bucket and each interval covers that bucket at most once, so no dedup
+# step is needed. Both sides scale linearly; skewed buckets fall to AQE.
+# --------------------------------------------------------------------------
+_INCIDENT_WINDOWS = [
+    ("w1", "2024-01-02 06:00:00", "2024-01-02 18:00:00"),
+    ("w2", "2024-01-05 00:00:00", "2024-01-06 12:00:00"),
+    ("w3", "2024-01-09 20:00:00", "2024-01-10 02:00:00"),
+    ("w4", "2024-01-14 00:00:00", "2024-01-17 00:00:00"),
+    ("w5", "2024-01-20 12:00:00", "2024-01-20 13:00:00"),
+    ("w6", "2024-01-25 03:30:00", "2024-01-26 09:45:00"),
+    # w7 nests inside w4: proves overlapping intervals each get their rows
+    ("w7", "2024-01-15 00:00:00", "2024-01-15 06:00:00"),
+]
+
+
+def _q86_oracle() -> str:
+    vals = ",\n             ".join(
+        f"('{w}', TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+        for w, lo, hi in _INCIDENT_WINDOWS
+    )
+    return f"""
+    WITH iv(w, lo, hi) AS (
+      VALUES {vals}
+    )
+    SELECT w,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN iv ON ts >= lo AND ts < hi
+    GROUP BY w
+    """
+
+
+@register(
+    "q86_interval_bucket_join",
+    _q86_oracle(),
+    "point-in-interval join via hour-bucket decomposition: intervals "
+    "explode into covered buckets, points equi-join on their own bucket, "
+    "exact containment re-checked — the shuffle-parallel scale path that "
+    "replaces q19's broadcast nested-loop when the interval side is large",
+)
+def q86_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bucket"), "ts", "value"
+    )
+    iv = spark.createDataFrame(
+        _INCIDENT_WINDOWS, "w string, lo string, hi string"
+    ).select(
+        "w", F.col("lo").cast("timestamp"), F.col("hi").cast("timestamp")
+    )
+    # sequence() is inclusive of the trunc'd hi endpoint; the extra bucket a
+    # half-open interval doesn't actually cover is removed by the exact
+    # containment filter below.
+    buckets = iv.select(
+        "w",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "lo"),
+                F.date_trunc("hour", "hi"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        events.join(buckets, "bucket")
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q87 — TPC-H Q5 exact shape (local supplier volume): the 6-table join whose
+# distinguishing feature is the SECOND equi-condition c_nationkey =
+# s_nationkey between two already-joined fact-side branches. Plan: lineitem
+# is the only fact; orders carries the pushed-down year filter; customer,
+# supplier, nation, region are all broadcast dims, so the whole query is one
+# shuffle-free scan + broadcast-hash-join chain ending in a 25-group agg.
+# --------------------------------------------------------------------------
+@register(
+    "q87_local_supplier_volume",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 shape: 6-table star join with the customer-supplier "
+    "same-nation condition; all dims broadcast, year filter pushed to the "
+    "orders scan",
+)
+def q87_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# e06 — SemDeDup (semantic dedup, Abbas et al. 2023): cluster embeddings
+# with a fixed coarse quantizer, then find near-duplicate pairs ONLY within
+# each cluster and drop the higher-id member of each pair. The cluster
+# restriction is the scale trick: all-pairs O(N^2) becomes sum of per-
+# cluster squares, shuffle-parallel by cluster id — the same approximation
+# SemDeDup runs on LAION. Deterministic LCG centroids + fold-order-matched
+# cosine make even the approximate path bit-exactly oracle-checkable
+# (e01 is the exact all-pairs baseline at the same 0.45 threshold).
+# --------------------------------------------------------------------------
+_E06_CENTROIDS = SIM._hyperplanes(dim=64, n_planes=8, seed=11)
+_E06_THRESHOLD = 0.45
+
+
+def _e06_centroid_values_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT {i} AS cand, {c}::DOUBLE[] AS centroid"
+        for i, c in enumerate(_E06_CENTROIDS)
+    )
+
+
+def _e06_oracle() -> str:
+    return f"""
+    WITH cent AS ({_e06_centroid_values_sql()}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+      SELECT v.vec_id, cent.cand,
+             list_cosine_similarity(v.e, cent.centroid) AS score
+      FROM v CROSS JOIN cent),
+    best AS (
+      SELECT vec_id, cand,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cand) AS rnk
+      FROM scored),
+    assigned AS (
+      SELECT b.vec_id, b.cand, v.e FROM best b JOIN v USING (vec_id)
+      WHERE rnk = 1),
+    pairs AS (
+      SELECT a.cand, a.vec_id AS id_keep, b.vec_id AS id_drop
+      FROM assigned a JOIN assigned b
+        ON a.cand = b.cand AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= {_E06_THRESHOLD}),
+    dropped AS (
+      SELECT cand, COUNT(*) AS n_dup_pairs,
+             COUNT(DISTINCT id_drop) AS n_dropped
+      FROM pairs GROUP BY cand)
+    SELECT a.cand AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COALESCE(MAX(d.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(MAX(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COALESCE(MAX(d.n_dropped), 0) AS BIGINT) AS n_kept
+    FROM assigned a LEFT JOIN dropped d ON a.cand = d.cand
+    GROUP BY a.cand
+    """
+
+
+@register(
+    "e06_semdedup",
+    _e06_oracle(),
+    "SemDeDup: fixed-quantizer cluster assignment, then near-dup pruning "
+    "(cos >= 0.45) restricted to cluster-local pairs — per-cluster keep/"
+    "drop accounting; the all-pairs quadratic dies, compare work shards by "
+    "cluster id",
+)
+def e06_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_E06_CENTROIDS)],
+        "cand int, centroid array<double>",
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "score", SIM.cosine(F.col("e"), F.col("centroid"))
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cand"),
+            F.struct(F.col("score"), (-F.col("cand")).alias("neg_cand")),
+        ).alias("cand"),
+        F.first("e").alias("e"),
+    )
+    a = assigned.select(
+        F.col("cand"), F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+    )
+    b = assigned.select(
+        F.col("cand"), F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
+    )
+    pairs = (
+        a.join(b, "cand")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(SIM.cosine(F.col("ea"), F.col("eb")) >= F.lit(_E06_THRESHOLD))
+    )
+    dropped = pairs.groupBy("cand").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+    )
+    return (
+        assigned.groupBy("cand")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(F.broadcast(dropped), "cand", "left")
+        .select(
+            F.col("cand").alias("cluster_id"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# e07 — k-means Lloyd iterations on DataFrames: 2 rounds of
+# assign(argmax cosine) -> recompute(per-dim mean) from a fixed LCG init,
+# then report the converged cluster occupancy. Each round is ONE broadcast
+# cross-join (k rows) + ONE shuffle agg — the shape that clusters a 100 TB
+# embedding corpus (centroids stay k x d, never the data). Per-dim means
+# are rounded to 6dp before re-use so both engines score iteration 2 from
+# bit-identical centroids (e03 precedent); the oracle un-rolls the same two
+# iterations as chained CTEs, like g01's PageRank.
+# --------------------------------------------------------------------------
+_E07_INIT = SIM._hyperplanes(dim=64, n_planes=4, seed=13)
+_E07_ITERS = 2
+
+
+def _e07_oracle() -> str:
+    init_vals = " UNION ALL ".join(
+        f"SELECT {i} AS cand, {c}::DOUBLE[] AS centroid"
+        for i, c in enumerate(_E07_INIT)
+    )
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"cent0 AS ({init_vals})",
+    ]
+    for it in range(1, _E07_ITERS + 1):
+        prev = f"cent{it - 1}"
+        ctes.append(f"""s{it} AS (
+      SELECT v.vec_id, c.cand,
+             list_cosine_similarity(v.e, c.centroid) AS score
+      FROM v CROSS JOIN {prev} c)""")
+        ctes.append(f"""b{it} AS (
+      SELECT vec_id, cand, score,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cand) AS rnk
+      FROM s{it})""")
+        ctes.append(f"""a{it} AS (
+      SELECT b.vec_id, b.cand, b.score, v.e
+      FROM b{it} b JOIN v USING (vec_id) WHERE rnk = 1)""")
+        if it < _E07_ITERS:
+            ctes.append(f"""ex{it} AS (
+      SELECT cand, gs AS pos, e[gs] AS val
+      FROM a{it}, generate_series(1, 64) g(gs))""")
+            ctes.append(f"""cm{it} AS (
+      SELECT cand, pos, ROUND(SUM(val) / COUNT(*), 6) AS val
+      FROM ex{it} GROUP BY cand, pos)""")
+            ctes.append(f"""cent{it} AS (
+      SELECT cand, list(val ORDER BY pos) AS centroid
+      FROM cm{it} GROUP BY cand)""")
+    last = f"a{_E07_ITERS}"
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT cand AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(SUM(score), 4) / COUNT(*) AS avg_score
+    FROM {last} GROUP BY cand
+    """
+    )
+
+
+@register(
+    "e07_kmeans_lloyd",
+    _e07_oracle(),
+    "k-means (2 Lloyd iterations, fixed deterministic init): per round one "
+    "k-row broadcast join + one shuffle agg; 6dp-rounded centroid means "
+    "keep both engines bit-aligned across iterations; oracle un-rolls the "
+    "loop as chained CTEs",
+)
+def e07_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_E07_INIT)],
+        "cand int, centroid array<double>",
+    )
+    assigned = None
+    for it in range(1, _E07_ITERS + 1):
+        scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+            "score", SIM.cosine(F.col("e"), F.col("centroid"))
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.max_by(
+                F.struct("cand", "score"),
+                F.struct(F.col("score"), (-F.col("cand")).alias("neg_cand")),
+            ).alias("b"),
+            F.first("e").alias("e"),
+        )
+        assigned = best.select(
+            "vec_id",
+            F.col("b.cand").alias("cand"),
+            F.col("b.score").alias("score"),
+            "e",
+        )
+        if it < _E07_ITERS:
+            ex = assigned.select("cand", F.posexplode("e").alias("pos", "val"))
+            cm = ex.groupBy("cand", "pos").agg(
+                F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("val")
+            )
+            cent = cm.groupBy("cand").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("centroid")
+            )
+    return assigned.groupBy("cand").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+        .cast("bigint").alias("n_vectors"),
+        (F.round(F.sum("score"), 4) / F.count(F.lit(1))).alias("avg_score"),
+    ).select(
+        F.col("cand").alias("cluster_id"), "n_vectors", "avg_score"
+    )
+
+
+# --------------------------------------------------------------------------
+# t20 — DSIR-style importance weighting (Xie et al. 2023): per-doc mean
+# log-ratio of a smoothed target unigram LM (docs from the target corpus
+# slice) vs the raw-pool LM. All LM state lives in VOCAB-sized tables: the
+# raw and target count tables left-join at the vocab level, the three
+# normalization constants (N_raw, N_target, |V|) attach via one-task
+# windows over that small table, and the corpus re-join is a single
+# shuffle equi-join on token — no driver-side LM, no second corpus scan.
+# Smoothed ratio stays in integer space ((c+1)*(N+V) products are exact
+# in float64) so both engines take ln() of bit-identical inputs.
+# --------------------------------------------------------------------------
+@register(
+    "t20_dsir_importance",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             lower(unnest(string_split_regex(TRIM(text), '\\s+'))) AS token
+      FROM documents
+    ), t2 AS (SELECT * FROM tok WHERE token <> ''),
+    rc AS (SELECT token, COUNT(*) AS cr FROM t2 GROUP BY token),
+    tc AS (SELECT token, COUNT(*) AS ct FROM t2 WHERE source = 'src0'
+           GROUP BY token),
+    voc AS (
+      SELECT rc.token, rc.cr, COALESCE(tc.ct, 0) AS ct,
+             SUM(rc.cr) OVER () AS nr,
+             COUNT(*) OVER () AS vsz,
+             SUM(COALESCE(tc.ct, 0)) OVER () AS nt
+      FROM rc LEFT JOIN tc USING (token)),
+    doc_w AS (
+      SELECT t2.doc_id, t2.source,
+             AVG(ln((voc.ct + 1) * (voc.nr + voc.vsz))
+               - ln((voc.cr + 1) * (voc.nt + voc.vsz))) AS w
+      FROM t2 JOIN voc USING (token)
+      GROUP BY t2.doc_id, t2.source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(w), 3) AS avg_logratio,
+           ROUND(MIN(w), 3) AS min_logratio,
+           ROUND(MAX(w), 3) AS max_logratio
+    FROM doc_w GROUP BY source
+    """,
+    "DSIR importance weights: smoothed target-vs-raw unigram LM log-ratio "
+    "per doc (target = src0 slice), aggregated per source — the "
+    "importance-resampling signal for targeted pretraining data selection",
+)
+def t20_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw"),
+        )
+        .select("doc_id", "source", F.lower(F.col("raw")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    rc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cr"))
+    tc = (
+        toks.filter(F.col("source") == "src0")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    w1 = Window.partitionBy(F.lit(1))
+    voc = (
+        rc.join(tc, "token", "left")
+        .select("token", "cr", F.coalesce("ct", F.lit(0)).alias("ct"))
+        .withColumn("nr", F.sum("cr").over(w1))
+        .withColumn("vsz", F.count(F.lit(1)).over(w1))
+        .withColumn("nt", F.sum("ct").over(w1))
+    )
+    scored = toks.join(voc, "token").select(
+        "doc_id", "source",
+        (
+            F.log((F.col("ct") + 1) * (F.col("nr") + F.col("vsz")))
+            - F.log((F.col("cr") + 1) * (F.col("nt") + F.col("vsz")))
+        ).alias("lr"),
+    )
+    doc_w = scored.groupBy("doc_id", "source").agg(F.avg("lr").alias("w"))
+    return doc_w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("w"), 3).alias("avg_logratio"),
+        F.round(F.min("w"), 3).alias("min_logratio"),
+        F.round(F.max("w"), 3).alias("max_logratio"),
+    )
