@@ -1,0 +1,884 @@
+"""Round-3 second batch: exact-substring span dedup, merge-table (BPE-style)
+segmentation, RAG chunking, weighted priority sampling, power-iteration PCA,
+label propagation, incremental join-view maintenance, and winsorized stats.
+
+This module registers AFTER ``extra_queries`` (see ``registry._load_all``) so
+these land at the very tail of the driver's not-yet-checked sample prefix —
+earlier rounds' unchecked queries keep rotation priority.
+
+Hash-match rules as the registry docstring: identical aliases both sides,
+ROUND on float aggregates, integer outputs CAST to BIGINT on the DuckDB side
+(SUM(int) is HUGEINT there), ``+ 0.0`` after ROUND where a near-zero value
+could round to IEEE ``-0.0`` on one side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_data_engineering_spark.operators import similarity as SIM
+from aws_data_engineering_spark.plans.registry import register
+from aws_data_engineering_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# d14 — exact-substring duplicate SPANS (the deduplicate-text-datasets
+# output shape, approximated at gram granularity): build an inverted index
+# of 8-token grams, keep grams seen in >=2 distinct docs, then merge each
+# doc's duplicated gram positions into maximal spans (gaps-and-islands over
+# the position column). Scale: the index is a shuffle equi-join on the gram
+# string — no all-pairs doc comparison anywhere — and span merging is a
+# per-doc window, so the whole plan is embarrassingly key-parallel at 100 TB.
+# Mirrors the span-level output of suffix-array dedup (reference has no such
+# operator; this is the LLM-pipeline breadth the brief asks for).
+# --------------------------------------------------------------------------
+_D14_GRAM = 8
+
+
+@register(
+    "d14_duplicate_span_merge",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, len(t) - {_D14_GRAM})) AS pos,
+             t
+      FROM toks WHERE len(t) >= {_D14_GRAM}
+    ), g2 AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             array_to_string(list_slice(t, pos + 1, pos + {_D14_GRAM}), ' ') AS gram
+      FROM grams
+    ), dup AS (
+      SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_D14_GRAM} THEN 0 ELSE 1 END AS is_break
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(is_break) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, island, MIN(pos) AS span_start,
+             MAX(pos) + {_D14_GRAM} AS span_end
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end - span_start) AS BIGINT) AS dup_tokens,
+           CAST(MIN(span_start) AS BIGINT) AS first_span_start
+    FROM spans GROUP BY doc_id
+    """,
+    "exact-substring duplicate span merging: 8-gram inverted index (equi-join, "
+    "no all-pairs), per-doc gaps-and-islands window merges overlapping gram "
+    "hits into maximal duplicated spans",
+)
+def d14_duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    g = _D14_GRAM
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= g
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - g),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, g)),
+            )
+        ).alias("pos", "gram"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = hits.withColumn(
+        "is_break",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= g, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = brk.withColumn(
+        "island", F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + g).alias("span_end"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+        F.min("span_start").alias("first_span_start"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t20 — merge-table segmentation (the BPE apply step): text is lowered to a
+# separator-framed symbol stream ('_t_h_e_|_f_a_s_t_' — '_' between symbols,
+# '|' at word boundaries), then an ORDERED merge table is applied as literal
+# replaces of '_x_y_' -> '_xy_'. Because every symbol is flanked by '_' on
+# both sides, a rule can only ever merge two complete symbols (no suffix or
+# prefix false matches), and left-to-right non-rescanning replace() gives the
+# standard "merge all current occurrences, then next rule" BPE-apply
+# semantics — identically in Spark and DuckDB. Everything is JVM-side string
+# expressions (regexp_replace/replace/split): no UDF, shuffle only for the
+# final symbol count.
+# --------------------------------------------------------------------------
+_T20_MERGES = [
+    ("s", "t"),
+    ("t", "h"),
+    ("th", "e"),
+    ("o", "r"),
+    ("a", "n"),
+    ("e", "y"),
+    ("k", "ey"),
+    ("j", "o"),
+    ("i", "n"),
+    ("jo", "in"),
+    ("s", "p"),
+    ("sp", "a"),
+]
+
+
+def _t20_oracle() -> str:
+    expr = "'_' || regexp_replace(replace(text, ' ', '|'), '(.)', '\\1_', 'g')"
+    for a, b in _T20_MERGES:
+        expr = f"replace({expr}, '_{a}_{b}_', '_{a}{b}_')"
+    return f"""
+    WITH sym AS (
+      SELECT UNNEST(string_split({expr}, '_')) AS symbol FROM documents
+    )
+    SELECT symbol, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM sym WHERE symbol NOT IN ('', '|')
+    GROUP BY symbol ORDER BY cnt DESC, symbol LIMIT 20
+    """
+
+
+@register(
+    "t22_bpe_merge_segment",
+    _t20_oracle(),
+    "BPE merge-table application as pure string expressions: separator-framed "
+    "symbol stream + ordered '_x_y_'->'_xy_' replaces (boundary-exact, no "
+    "UDF), then a top-20 symbol count",
+)
+def t22_bpe_merge_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = F.concat(
+        F.lit("_"),
+        F.regexp_replace(F.replace(F.col("text"), F.lit(" "), F.lit("|")), "(.)", "$1_"),
+    )
+    for a, b in _T20_MERGES:
+        s = F.replace(s, F.lit(f"_{a}_{b}_"), F.lit(f"_{a}{b}_"))
+    sym = docs.select(F.explode(F.split(s, "_")).alias("symbol")).filter(
+        ~F.col("symbol").isin("", "|")
+    )
+    return (
+        sym.groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("symbol"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# t21 — RAG document chunking: fixed 32-token windows with stride 16
+# (50% overlap), one output row per chunk with a stable md5 fingerprint.
+# The chunk spine comes from sequence() + posexplode per row — purely
+# columnar, no UDF, and embarrassingly row-parallel (each doc expands
+# independently; no shuffle at all until a downstream consumer needs one).
+# --------------------------------------------------------------------------
+_T21_WIN, _T21_STRIDE = 32, 16
+
+
+@register(
+    "t21_doc_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(0, len(toks) - 1, {_T21_STRIDE})) AS start
+      FROM t
+    ), c AS (
+      SELECT doc_id, CAST(start AS BIGINT) AS start,
+             list_slice(toks, start + 1, start + {_T21_WIN}) AS chunk
+      FROM s
+    )
+    SELECT doc_id, start // {_T21_STRIDE} AS chunk_idx, start,
+           CAST(len(chunk) AS BIGINT) AS chunk_len,
+           chunk[1] AS first_tok,
+           substr(md5(array_to_string(chunk, ' ')), 1, 8) AS fp
+    FROM c
+    """,
+    "RAG chunking: 32-token windows, stride 16, per-chunk md5 fingerprint — "
+    "sequence()+posexplode columnar expansion, zero shuffle",
+)
+def t21_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_T21_STRIDE))
+        ).alias("start"),
+    ).withColumn("start", F.col("start").cast("long"))
+    chunk = F.slice("toks", F.col("start") + 1, _T21_WIN)
+    return s.select(
+        "doc_id",
+        F.expr(f"CAST(start DIV {_T21_STRIDE} AS BIGINT)").alias("chunk_idx"),
+        "start",
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.element_at("toks", (F.col("start") + 1).cast("int")).alias("first_tok"),
+        F.substring(F.md5(F.concat_ws(" ", chunk)), 1, 8).alias("fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# p09 — deterministic weighted priority sampling: each doc draws a uniform
+# 32-bit integer from md5(doc_id) and its priority is u / weight, so heavier
+# (longer) docs systematically sort earlier — a seedable, retry-idempotent
+# weighted sample (the same md5-bucket determinism as p01/p06, extended with
+# per-row weights). Per-source top-30 via one window; selection is exact on
+# integer-derived doubles, so Spark and DuckDB pick identical rows.
+# --------------------------------------------------------------------------
+@register(
+    "p09_weighted_priority_sample",
+    """
+    WITH pri AS (
+      SELECT source, doc_id, n_chars,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS DOUBLE) / n_chars AS priority
+      FROM documents
+    ), rk AS (
+      SELECT source, doc_id, n_chars, priority,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY priority, doc_id) AS rn
+      FROM pri
+    )
+    SELECT source, doc_id, n_chars, CAST(rn AS INT) AS rn,
+           ROUND(priority, 6) AS priority
+    FROM rk WHERE rn <= 30
+    """,
+    "weighted priority sampling: md5-derived uniform / weight priority, "
+    "per-source top-30 window — deterministic and idempotent under retries",
+)
+def p09_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    pri = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (u.cast("double") / F.col("n_chars")).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.col("rn").cast("int").alias("rn"),
+            F.round("priority", 6).alias("priority"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# e08 — distributed PCA top component via power iteration (2 unrolled
+# iterations from the uniform unit vector): each iteration is two partial-agg
+# shuffles — dot_i = <x_i, v> (group by row) then w_j = Σ_i x_ij·dot_i
+# (group by dimension, 64 groups) — i.e. the Gram-matrix-free A^T(Av)
+# product, never materializing A^T A. v is a 64-row DataFrame joined back by
+# broadcast, so nothing vector-sized ever leaves the executors; at 100 TB the
+# plan is two map-side-combine aggregations per iteration over the exploded
+# (row, dim, value) relation. Output is ROUND(...,4)+0.0 so near-zero
+# components can't hash-split on IEEE -0.0.
+# --------------------------------------------------------------------------
+@register(
+    "e08_power_iteration_pca",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), x AS (
+      SELECT vec_id, generate_subscripts(emb, 1) AS j,
+             UNNEST(emb) AS val
+      FROM e
+    ), d1 AS (
+      SELECT vec_id, SUM(val) * 0.125 AS dot FROM x GROUP BY vec_id
+    ), w1 AS (
+      SELECT j, SUM(x.val * d1.dot) AS w FROM x JOIN d1 USING (vec_id) GROUP BY j
+    ), n1 AS (
+      SELECT sqrt(SUM(w * w)) AS nrm FROM w1
+    ), v1 AS (
+      SELECT j, w / nrm AS v FROM w1, n1
+    ), d2 AS (
+      SELECT vec_id, SUM(x.val * v1.v) AS dot FROM x JOIN v1 USING (j)
+      GROUP BY vec_id
+    ), w2 AS (
+      SELECT j, SUM(x.val * d2.dot) AS w FROM x JOIN d2 USING (vec_id) GROUP BY j
+    ), n2 AS (
+      SELECT sqrt(SUM(w * w)) AS nrm FROM w2
+    )
+    SELECT CAST(j - 1 AS INT) AS dim,
+           ROUND(w / n2.nrm, 4) + 0.0 AS component,
+           ROUND(n2.nrm, 2) AS eigval
+    FROM w2, n2
+    """,
+    "top principal component by matrix-free power iteration: per-iteration "
+    "A^T(Av) as two partial-agg shuffles over the exploded (row,dim,val) "
+    "relation; v stays a broadcast 64-row DataFrame",
+)
+def e08_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "val"),
+    )
+    # iteration 1: v0 = (1/8, ..., 1/8) (unit for dim 64), so <x, v0> folds
+    # to 0.125 * sum(x)
+    d1 = x.groupBy("vec_id").agg((F.sum("val") * F.lit(0.125)).alias("dot"))
+    w1 = (
+        x.join(d1, "vec_id")
+        .groupBy("j")
+        .agg(F.sum(F.col("val") * F.col("dot")).alias("w"))
+    )
+    n1 = w1.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    v1 = w1.crossJoin(F.broadcast(n1)).select(
+        "j", (F.col("w") / F.col("nrm")).alias("v")
+    )
+    # iteration 2: full <x_i, v1> via broadcast join on the dimension index
+    d2 = (
+        x.join(F.broadcast(v1), "j")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("val") * F.col("v")).alias("dot"))
+    )
+    w2 = (
+        x.join(d2, "vec_id")
+        .groupBy("j")
+        .agg(F.sum(F.col("val") * F.col("dot")).alias("w"))
+    )
+    n2 = w2.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return w2.crossJoin(F.broadcast(n2)).select(
+        F.col("j").cast("int").alias("dim"),
+        (F.round(F.col("w") / F.col("nrm"), 4) + F.lit(0.0)).alias("component"),
+        F.round("nrm", 2).alias("eigval"),
+    )
+
+
+# --------------------------------------------------------------------------
+# g03 — synchronous label propagation (2 unrolled rounds) over the same
+# exact-near-dup graph as g02's triangles: labels start as node ids; each
+# round every node adopts its most frequent neighbor label (ties -> smallest
+# label), which is one groupBy(node,label) count plus one row_number window —
+# both shuffle-parallel on node id. The edge set is eager-checkpointed once
+# (same pattern as g01/g02/CC) so the O(N^2 D) cosine scan never replays.
+# Deterministic: integer labels, total-order tie-break.
+# --------------------------------------------------------------------------
+_G03_EDGES_CTE = """edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+        ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.35)"""
+
+
+@register(
+    "g03_label_propagation",
+    f"""
+    WITH {_G03_EDGES_CTE},
+    und AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM und
+    ), c1 AS (
+      SELECT u.src AS node, l.lbl, COUNT(*) AS c
+      FROM und u JOIN l0 l ON u.dst = l.node GROUP BY u.src, l.lbl
+    ), l1 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM c1) WHERE rn = 1
+    ), c2 AS (
+      SELECT u.src AS node, l.lbl, COUNT(*) AS c
+      FROM und u JOIN l1 l ON u.dst = l.node GROUP BY u.src, l.lbl
+    ), l2 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM c2) WHERE rn = 1
+    )
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM l2 GROUP BY lbl
+    """,
+    "synchronous label propagation, 2 rounds, most-frequent-neighbor-label "
+    "update with min-label tie-break — groupBy+window per round, "
+    "eager-checkpointed edge set",
+)
+def g03_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = (
+        SIM.exact_neardup_pairs(emb, threshold=0.35)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(2):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        cnt = msgs.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_node"),
+    )
+
+
+# --------------------------------------------------------------------------
+# c11 — incremental view maintenance for a join-aggregate: the monthly
+# revenue view over orders⨝lineitem is maintained as base(o_orderdate <
+# cutoff) plus delta(o_orderdate >= cutoff), then the two partial aggregates
+# merge by month — the standard IVM decomposition (join distributes over
+# union, SUM/COUNT re-aggregate losslessly). The oracle recomputes the view
+# from scratch; a green hash is the proof the incremental plan equals full
+# recomputation. Scale: the delta branch's o_orderdate >= cutoff predicate is
+# sargable, so a partitioned lake only scans new partitions — the same
+# high-water-mark shape as c04's rollup refresh.
+# --------------------------------------------------------------------------
+_C11_CUTOFF = "1997-01-01"
+
+
+@register(
+    "c11_incremental_view_maintenance",
+    f"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY order_month
+    """,
+    "incremental join-view maintenance: base(<cutoff) + delta(>=cutoff) "
+    "partial aggregates merged by month; oracle recomputes from scratch, so "
+    "the hash match proves incremental == full recompute",
+)
+def c11_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def partial(orders_slice: DataFrame) -> DataFrame:
+        return (
+            orders_slice.join(
+                lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+            )
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+            .agg(F.sum(rev).alias("rev_part"), F.count(F.lit(1)).alias("cnt_part"))
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < F.lit(_C11_CUTOFF)))
+    delta = partial(orders.filter(F.col("o_orderdate") >= F.lit(_C11_CUTOFF)))
+    return (
+        base.unionByName(delta)
+        .groupBy("order_month")
+        .agg(
+            F.round(F.sum("rev_part"), 2).alias("revenue"),
+            F.sum("cnt_part").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dq07 — winsorized statistics: per-segment p01/p99 exact percentiles of
+# customer balance, then mean/stddev before vs after clipping to that band —
+# the outlier-robust feature-scaling audit. Percentiles come from one
+# groupBy agg over 5 segments (exact interpolated percentile == DuckDB
+# quantile_cont), re-joined by broadcast; everything else is plain
+# partial-agg arithmetic.
+# --------------------------------------------------------------------------
+@register(
+    "dq07_winsorized_stats",
+    """
+    WITH q AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.01) AS p01,
+             quantile_cont(c_acctbal, 0.99) AS p99
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(MIN(q.p01), 2) AS p01,
+           ROUND(MIN(q.p99), 2) AS p99,
+           ROUND(AVG(c_acctbal), 2) AS avg_raw,
+           ROUND(AVG(LEAST(GREATEST(c_acctbal, q.p01), q.p99)), 2) AS avg_winsor,
+           ROUND(stddev_samp(c_acctbal), 2) AS std_raw,
+           ROUND(stddev_samp(LEAST(GREATEST(c_acctbal, q.p01), q.p99)), 2)
+             AS std_winsor
+    FROM customer c JOIN q USING (c_mktsegment)
+    GROUP BY c.c_mktsegment
+    """,
+    "winsorized stats: exact per-segment p01/p99 clip band, mean/stddev "
+    "before vs after clipping — percentile agg + broadcast re-join",
+)
+def dq07_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    q = cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", 0.01).alias("p01"),
+        F.percentile("c_acctbal", 0.99).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.col("p01")), F.col("p99"))
+    return (
+        cust.join(F.broadcast(q), "c_mktsegment")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("p01"), 2).alias("p01"),
+            F.round(F.min("p99"), 2).alias("p99"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_raw"),
+            F.round(F.avg(clipped), 2).alias("avg_winsor"),
+            F.round(F.stddev_samp("c_acctbal"), 2).alias("std_raw"),
+            F.round(F.stddev_samp(clipped), 2).alias("std_winsor"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q88 — event transition matrix (first-order Markov estimate): per-user lag
+# window over the event stream gives (prev_type, event_type) pairs; counts
+# plus a row-normalized transition probability. One shuffle for the window
+# (partitioned by user — fully parallel), one partial-agg shuffle for the
+# matrix. The probability divides exact integers, so both engines emit
+# bit-identical doubles before the ROUND.
+# --------------------------------------------------------------------------
+@register(
+    "q88_event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS curr_type, COUNT(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, curr_type, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(CAST(cnt AS DOUBLE)
+                 / SUM(cnt) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM pairs
+    """,
+    "first-order Markov transition matrix over the event stream: per-user "
+    "lag window + pair counts, row-normalized on exact integers",
+)
+def q88_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wprev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "curr_type",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.sum("cnt").over(wprev), 6).alias(
+            "prob"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# e10 — simplified silhouette score per label cluster: centroids are the
+# per-label mean vectors (computed distributed over the exploded relation,
+# like e03), a(i) = distance to own centroid, b(i) = min distance to any
+# other centroid, s = (b-a)/max(a,b). Two partial-agg shuffles (centroid,
+# per-(vector,candidate) distance) — the candidate set is |labels| wide, so
+# the "cross" join is a bounded fan-out, never an all-pairs. The standard
+# cluster-quality audit for the k-means / SemDeDup family (e06/e07).
+# --------------------------------------------------------------------------
+@register(
+    "e09_silhouette_by_label",
+    """
+    WITH x AS (
+      SELECT vec_id, label, gs AS j, CAST(embedding AS DOUBLE[])[gs] AS val
+      FROM embeddings, generate_series(1, 64) g(gs)
+    ), cent AS (
+      SELECT label AS clabel, j, ROUND(SUM(val) / COUNT(*), 6) AS c
+      FROM x GROUP BY label, j
+    ), d AS (
+      SELECT x.vec_id, x.label, cent.clabel,
+             SUM((x.val - cent.c) * (x.val - cent.c)) AS d2
+      FROM x JOIN cent USING (j)
+      GROUP BY x.vec_id, x.label, cent.clabel
+    ), s AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN sqrt(d2) END) AS a,
+             MIN(CASE WHEN clabel <> label THEN sqrt(d2) END) AS b
+      FROM d GROUP BY vec_id, label
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG((b - a) / GREATEST(a, b)), 4) AS avg_silhouette
+    FROM s GROUP BY label
+    """,
+    "simplified silhouette per label: 6dp-rounded mean centroids (drift-"
+    "killed like e03), own-vs-nearest-other centroid distance, bounded "
+    "|labels| fan-out — no all-pairs",
+)
+def e09_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j0", "val"),
+    ).withColumn("j", F.col("j0") + 1)
+    cent = x.groupBy(F.col("label").alias("clabel"), "j").agg(
+        F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("c")
+    )
+    d = (
+        x.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))).alias("d2"))
+    )
+    s = d.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.sqrt("d2"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.sqrt("d2"))
+        ).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(sil), 4).alias("avg_silhouette"),
+    )
+
+
+# --------------------------------------------------------------------------
+# p10 — deterministic k-fold assignment: fold = md5(doc_id) 32-bit prefix
+# mod k, the same seedable bucketing as p01's splits, so folds are disjoint,
+# exhaustive, and idempotent under retries — rerunning assignment on a
+# 100 TB corpus reproduces byte-identical folds with zero coordination.
+# Output is the per-fold census the training loop consumes.
+# --------------------------------------------------------------------------
+_P10_K = 5
+
+
+@register(
+    "p10_kfold_assignment",
+    f"""
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % {_P10_K} AS fold
+      FROM documents
+    )
+    SELECT CAST(fold AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM f GROUP BY fold
+    """,
+    "deterministic k-fold split: md5-prefix mod k bucketing (disjoint, "
+    "exhaustive, retry-idempotent), per-fold census",
+)
+def p10_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _P10_K
+    )
+    return (
+        docs.withColumn("fold", fold)
+        .groupBy(F.col("fold").cast("int").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# s09 — MMR-diversified retrieval (k=3, lambda=0.5) from a 12-candidate
+# relevance pool: greedy argmax of 0.5*rel - 0.5*max_sim_to_selected,
+# unrolled. Every cosine uses the fold-order-matched SIM.cosine (bit-equal
+# to DuckDB list_cosine_similarity, the e03 precedent), and every argmax
+# tie-breaks on vec_id, so both engines select identical rows. The selected
+# set stays a <=2-row broadcast; the candidate pool is the only scan. Scale
+# path: swap the brute-force pool for the s02/s06 ANN candidates — the MMR
+# re-rank itself is O(k * pool) regardless of corpus size.
+# --------------------------------------------------------------------------
+_S09_POOL, _S09_LAMBDA = 12, 0.5
+
+
+@register(
+    "s09_mmr_diversified_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT e AS qe FROM v WHERE vec_id = 0
+    ), cand0 AS (
+      SELECT c.vec_id, c.e, list_cosine_similarity(c.e, q.qe) AS rel
+      FROM v c, q WHERE c.vec_id <> 0
+    ), cand AS (
+      SELECT vec_id, e, rel FROM (
+        SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id) AS rn
+        FROM cand0) WHERE rn <= {_S09_POOL}
+    ), s1 AS (
+      SELECT vec_id, e, rel FROM (
+        SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id) AS rn
+        FROM cand) WHERE rn = 1
+    ), c2 AS (
+      SELECT c.vec_id, c.e, c.rel,
+             {_S09_LAMBDA} * c.rel
+               - {1 - _S09_LAMBDA} * list_cosine_similarity(c.e, s1.e) AS score
+      FROM cand c, s1 WHERE c.vec_id <> s1.vec_id
+    ), s2 AS (
+      SELECT vec_id, e, rel, score FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+        FROM c2) WHERE rn = 1
+    ), c3 AS (
+      SELECT c.vec_id, c.rel,
+             {_S09_LAMBDA} * c.rel
+               - {1 - _S09_LAMBDA} * GREATEST(
+                   list_cosine_similarity(c.e, s1.e),
+                   list_cosine_similarity(c.e, s2.e)) AS score
+      FROM cand c, s1, s2
+      WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id
+    ), s3 AS (
+      SELECT vec_id, rel, score FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+        FROM c3) WHERE rn = 1
+    )
+    SELECT CAST(1 AS INT) AS rank, vec_id, ROUND(rel, 6) AS relevance,
+           ROUND(rel, 6) AS mmr_score FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), vec_id, ROUND(rel, 6), ROUND(score, 6) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INT), vec_id, ROUND(rel, 6), ROUND(score, 6) FROM s3
+    """,
+    "MMR diversified top-3 from a 12-candidate pool: greedy "
+    "0.5*rel - 0.5*max-sim-to-selected, bit-parity cosine, vec_id "
+    "tie-breaks — selected set stays a broadcast",
+)
+def s09_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    cand0 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("rel", SIM.cosine(F.col("e"), F.col("qe")))
+        .select("vec_id", "e", "rel")
+    )
+    w_rel = Window.orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        cand0.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= _S09_POOL)
+        .drop("rn")
+    )
+    lam = _S09_LAMBDA
+
+    s1 = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("s1_id"), F.col("e").alias("s1_e"),
+            F.col("rel").alias("s1_rel"),
+        )
+    )
+    w_score = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    c2 = (
+        cand.crossJoin(F.broadcast(s1))
+        .filter(F.col("vec_id") != F.col("s1_id"))
+        .withColumn(
+            "score",
+            lam * F.col("rel") - (1 - lam) * SIM.cosine(F.col("e"), F.col("s1_e")),
+        )
+    )
+    s2 = (
+        c2.withColumn("rn", F.row_number().over(w_score))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("s2_id"), F.col("e").alias("s2_e"),
+            F.col("rel").alias("s2_rel"), F.col("score").alias("s2_score"),
+        )
+    )
+    c3 = (
+        cand.crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(s2))
+        .filter((F.col("vec_id") != F.col("s1_id")) & (F.col("vec_id") != F.col("s2_id")))
+        .withColumn(
+            "score",
+            lam * F.col("rel")
+            - (1 - lam)
+            * F.greatest(
+                SIM.cosine(F.col("e"), F.col("s1_e")),
+                SIM.cosine(F.col("e"), F.col("s2_e")),
+            ),
+        )
+    )
+    s3 = (
+        c3.withColumn("rn", F.row_number().over(w_score))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("rel").alias("s3_rel"), F.col("score").alias("s3_score"))
+    )
+
+    spark_s1 = s1.select(
+        F.lit(1).cast("int").alias("rank"),
+        F.col("s1_id").alias("vec_id"),
+        F.round("s1_rel", 6).alias("relevance"),
+        F.round("s1_rel", 6).alias("mmr_score"),
+    )
+    spark_s2 = s2.select(
+        F.lit(2).cast("int").alias("rank"),
+        F.col("s2_id").alias("vec_id"),
+        F.round("s2_rel", 6).alias("relevance"),
+        F.round("s2_score", 6).alias("mmr_score"),
+    )
+    spark_s3 = s3.select(
+        F.lit(3).cast("int").alias("rank"),
+        F.col("vec_id"),
+        F.round("s3_rel", 6).alias("relevance"),
+        F.round("s3_score", 6).alias("mmr_score"),
+    )
+    return spark_s1.unionByName(spark_s2).unionByName(spark_s3)

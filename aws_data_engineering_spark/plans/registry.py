@@ -56,6 +56,10 @@ def _load_all() -> None:
     # earlier rounds' not-yet-driver-checked queries in the sample prefix.
     from aws_data_engineering_spark.plans import extra_queries  # noqa: F401
 
+    # breadth_queries registers after extra_queries for the same reason:
+    # its (round-3 second-batch) additions sort at the very tail.
+    from aws_data_engineering_spark.plans import breadth_queries  # noqa: F401
+
 
 # Queries already driver-verified in a previous round (green rows in
 # CORRECTNESS_r01.json). The driver samples a prefix of the registry each

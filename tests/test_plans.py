@@ -247,3 +247,35 @@ def test_p08_threshold_probe_broadcast(spark, sf_dir):
     plan = _plan(queries()["p08_temperature_mixture"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_t21_chunking_shuffle_free(spark, sf_dir):
+    # chunk expansion is a per-row Generate; nothing may shuffle
+    plan = _plan(queries()["t21_doc_chunking"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_d14_span_merge_no_cartesian(spark, sf_dir):
+    # inverted-index dedup: gram equi-join only, never a cross product
+    plan = _plan(queries()["d14_duplicate_span_merge"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_e08_power_iteration_broadcasts_v(spark, sf_dir):
+    # the 64-row v vector joins back broadcast; the exploded relation must
+    # never sort-merge against it
+    plan = _plan(queries()["e08_power_iteration_pca"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dq07_winsorize_broadcasts_quantiles(spark, sf_dir):
+    plan = _plan(queries()["dq07_winsorized_stats"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_c11_delta_filter_pushed(spark, sf_dir):
+    # the IVM delta branch's cutoff predicate must reach the orders scan
+    plan = _plan(queries()["c11_incremental_view_maintenance"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
