@@ -907,3 +907,54 @@ def bloom_oracle_sql(bench_in: str, shingle_n: int = 5) -> str:
            bloom_hits - exact_hits AS false_positives
     FROM hits JOIN per_doc USING (id)
     """
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate SPANS at gram granularity (the
+    deduplicate-text-datasets output shape): inverted index of ``gram``-token
+    shingles -> keep grams in >=2 distinct docs -> merge each doc's
+    duplicated positions into maximal spans via gaps-and-islands.
+
+    Returns (id_col, span_start, span_end) with token-index bounds,
+    span_end exclusive. Scale: one shuffle equi-join on the gram string (no
+    all-pairs), one per-doc window — key-parallel at 100 TB.
+    """
+    toks = docs.select(id_col, F.split(text_col, " ").alias("__t")).filter(
+        F.size("__t") >= gram
+    )
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - gram),
+                lambda i: F.concat_ws(" ", F.slice("__t", i + 1, gram)),
+            )
+        ).alias("pos", "gram"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = hits.withColumn(
+        "is_break",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= gram, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = brk.withColumn(
+        "island",
+        F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + gram).alias("span_end"),
+    ).drop("island")

@@ -1147,3 +1147,86 @@ def ivfpq_oracle_sql(
                                    ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
       FROM scores) WHERE rnk <= {k}
     """
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 3,
+    lam: float = 0.5,
+    pool: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k: greedily select
+    argmax lam*rel(c) - (1-lam)*max_{s in selected} cos(c, s) from a
+    ``pool``-sized relevance candidate set.
+
+    Returns (rank, vec_id, relevance, mmr_score) with RAW doubles (callers
+    round). Every cosine is the fold-order-matched :func:`cosine` (bit-equal
+    to DuckDB ``list_cosine_similarity``) and every argmax tie-breaks on
+    vec_id, so the selection is deterministic across engines.
+
+    Scale: the selected set stays a <=k-row broadcast; the only corpus-wide
+    work is the candidate pool. Here the pool is brute-force relevance
+    (baseline); at 100 TB swap in the s02/s06 ANN candidates — the MMR
+    re-rank itself is O(k * pool) regardless of corpus size.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    qv = v.filter(F.col("vec_id") == query_vec_id).select(F.col("e").alias("qe"))
+    w_rel = Window.orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        v.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("rel", cosine(F.col("e"), F.col("qe")))
+        .withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= pool)
+        .select("vec_id", "e", "rel")
+    )
+    w_score = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    first = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit(1).cast("int").alias("rank"),
+            "vec_id",
+            "e",
+            "rel",
+            F.col("rel").alias("score"),
+        )
+    )
+    selected = first
+    for step in range(2, k + 1):
+        sel_e = selected.select(
+            F.col("vec_id").alias("s_id"), F.col("e").alias("s_e")
+        )
+        pen = (
+            cand.join(sel_e.select("s_id"), cand["vec_id"] == F.col("s_id"), "left_anti")
+            .crossJoin(F.broadcast(sel_e))
+            .withColumn("sim", cosine(F.col("e"), F.col("s_e")))
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("pen"))
+        )
+        nxt = (
+            cand.join(pen, "vec_id")
+            .withColumn("score", lam * F.col("rel") - (1 - lam) * F.col("pen"))
+            .withColumn("rn", F.row_number().over(w_score))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.lit(step).cast("int").alias("rank"),
+                "vec_id",
+                "e",
+                "rel",
+                "score",
+            )
+        )
+        selected = selected.unionByName(nxt)
+    return selected.select(
+        "rank",
+        "vec_id",
+        F.col("rel").alias("relevance"),
+        F.col("score").alias("mmr_score"),
+    )

@@ -429,3 +429,45 @@ def gopher_metrics(
         kernel,
         f"{id_ddl}, n_words int, char_sum int, n_distinct int, top_cnt int",
     )
+
+
+def bpe_apply(text: "F.col", merges: list[tuple[str, str]]) -> "F.col":
+    """Apply an ordered BPE merge table to whitespace text, returning the
+    merged separator-framed symbol stream ('_th_e_|_f_ast_...').
+
+    Representation: '_' between symbols, '|' at word boundaries, leading
+    '_'. A rule (x, y) is the literal replace '_x_y_' -> '_xy_': because
+    every symbol is flanked by '_' on both sides, a rule can only merge two
+    COMPLETE symbols (no prefix/suffix false matches), and left-to-right
+    non-rescanning replace() gives the standard "merge all current
+    occurrences, then next rule" BPE-apply semantics. Pure JVM string
+    expressions — no UDF; split('_') downstream recovers the symbols.
+    """
+    s = F.concat(
+        F.lit("_"),
+        F.regexp_replace(
+            F.replace(text, F.lit(" "), F.lit("|")), "(.)", "$1_"
+        ),
+    )
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"_{a}_{b}_"), F.lit(f"_{a}{b}_"))
+    return s
+
+
+def bpe_apply_model(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python reference model for ``bpe_apply`` on a single word:
+    greedy left-to-right single-pass merge per rule (no rescan within a
+    rule — a merge's output can't feed the SAME rule's later matches)."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

@@ -17,7 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aws_data_engineering_spark.operators import dedup as DD
 from aws_data_engineering_spark.operators import similarity as SIM
+from aws_data_engineering_spark.operators import text as T
 from aws_data_engineering_spark.plans.registry import register
 from aws_data_engineering_spark.sources.tables import load_table
 
@@ -85,40 +87,7 @@ _D14_GRAM = 8
 )
 def d14_duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    g = _D14_GRAM
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= g
-    )
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - g),
-                lambda i: F.concat_ws(" ", F.slice("t", i + 1, g)),
-            )
-        ).alias("pos", "gram"),
-    ).withColumn("pos", F.col("pos").cast("long"))
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    hits = grams.join(dup, "gram", "left_semi")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    brk = hits.withColumn(
-        "is_break",
-        F.when(F.col("pos") - F.lag("pos").over(w) <= g, F.lit(0)).otherwise(
-            F.lit(1)
-        ),
-    )
-    isl = brk.withColumn(
-        "island", F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + g).alias("span_end"),
-    )
+    spans = DD.duplicate_spans(docs, "doc_id", "text", gram=_D14_GRAM)
     return spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
@@ -177,12 +146,7 @@ def _t20_oracle() -> str:
 )
 def t22_bpe_merge_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    s = F.concat(
-        F.lit("_"),
-        F.regexp_replace(F.replace(F.col("text"), F.lit(" "), F.lit("|")), "(.)", "$1_"),
-    )
-    for a, b in _T20_MERGES:
-        s = F.replace(s, F.lit(f"_{a}_{b}_"), F.lit(f"_{a}{b}_"))
+    s = T.bpe_apply(F.col("text"), _T20_MERGES)
     sym = docs.select(F.explode(F.split(s, "_")).alias("symbol")).filter(
         ~F.col("symbol").isin("", "|")
     )
@@ -800,85 +764,13 @@ _S09_POOL, _S09_LAMBDA = 12, 0.5
     "tie-breaks — selected set stays a broadcast",
 )
 def s09_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    emb = _t(spark, sf_dir, "embeddings")
+    sel = SIM.mmr_topk(
+        emb, query_vec_id=0, k=3, lam=_S09_LAMBDA, pool=_S09_POOL
     )
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
-    cand0 = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qv))
-        .withColumn("rel", SIM.cosine(F.col("e"), F.col("qe")))
-        .select("vec_id", "e", "rel")
+    return sel.select(
+        "rank",
+        "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
     )
-    w_rel = Window.orderBy(F.desc("rel"), F.asc("vec_id"))
-    cand = (
-        cand0.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") <= _S09_POOL)
-        .drop("rn")
-    )
-    lam = _S09_LAMBDA
-
-    s1 = (
-        cand.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("vec_id").alias("s1_id"), F.col("e").alias("s1_e"),
-            F.col("rel").alias("s1_rel"),
-        )
-    )
-    w_score = Window.orderBy(F.desc("score"), F.asc("vec_id"))
-    c2 = (
-        cand.crossJoin(F.broadcast(s1))
-        .filter(F.col("vec_id") != F.col("s1_id"))
-        .withColumn(
-            "score",
-            lam * F.col("rel") - (1 - lam) * SIM.cosine(F.col("e"), F.col("s1_e")),
-        )
-    )
-    s2 = (
-        c2.withColumn("rn", F.row_number().over(w_score))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("vec_id").alias("s2_id"), F.col("e").alias("s2_e"),
-            F.col("rel").alias("s2_rel"), F.col("score").alias("s2_score"),
-        )
-    )
-    c3 = (
-        cand.crossJoin(F.broadcast(s1))
-        .crossJoin(F.broadcast(s2))
-        .filter((F.col("vec_id") != F.col("s1_id")) & (F.col("vec_id") != F.col("s2_id")))
-        .withColumn(
-            "score",
-            lam * F.col("rel")
-            - (1 - lam)
-            * F.greatest(
-                SIM.cosine(F.col("e"), F.col("s1_e")),
-                SIM.cosine(F.col("e"), F.col("s2_e")),
-            ),
-        )
-    )
-    s3 = (
-        c3.withColumn("rn", F.row_number().over(w_score))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("rel").alias("s3_rel"), F.col("score").alias("s3_score"))
-    )
-
-    spark_s1 = s1.select(
-        F.lit(1).cast("int").alias("rank"),
-        F.col("s1_id").alias("vec_id"),
-        F.round("s1_rel", 6).alias("relevance"),
-        F.round("s1_rel", 6).alias("mmr_score"),
-    )
-    spark_s2 = s2.select(
-        F.lit(2).cast("int").alias("rank"),
-        F.col("s2_id").alias("vec_id"),
-        F.round("s2_rel", 6).alias("relevance"),
-        F.round("s2_score", 6).alias("mmr_score"),
-    )
-    spark_s3 = s3.select(
-        F.lit(3).cast("int").alias("rank"),
-        F.col("vec_id"),
-        F.round("s3_rel", 6).alias("relevance"),
-        F.round("s3_score", 6).alias("mmr_score"),
-    )
-    return spark_s1.unionByName(spark_s2).unionByName(spark_s3)

@@ -316,3 +316,82 @@ def test_pagerank_matches_reference_impl(spark, edges):
     assert set(got) == set(ranks)
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (d14): Spark result == pure-Python brute-force span model
+# ---------------------------------------------------------------------------
+def _span_model(docs: dict[int, str], gram: int):
+    grams = {}
+    for did, text in docs.items():
+        t = text.split(" ")
+        for i in range(len(t) - gram + 1):
+            grams.setdefault(" ".join(t[i : i + gram]), set()).add(did)
+    out = []
+    for did, text in docs.items():
+        t = text.split(" ")
+        hits = [
+            i
+            for i in range(len(t) - gram + 1)
+            if len(grams[" ".join(t[i : i + gram])]) >= 2
+        ]
+        spans = []
+        for p in hits:
+            # merge with the open span iff this hit is within `gram` of the
+            # previous hit (last hit position == span_end - gram)
+            if spans and p - (spans[-1][1] - gram) <= gram:
+                spans[-1] = (spans[-1][0], p + gram)
+            else:
+                spans.append((p, p + gram))
+        for s, e in spans:
+            out.append((did, s, e))
+    return sorted(out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=4, max_size=14).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_duplicate_spans_equals_model(spark, texts):
+    from aws_data_engineering_spark.operators.dedup import duplicate_spans
+
+    gram = 4
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, gram=gram).collect()
+    )
+    assert got == _span_model(docs, gram)
+
+
+# ---------------------------------------------------------------------------
+# bpe_apply (t22): Spark string-expression pipeline == per-word Python model
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1,
+        max_size=5,
+    ).map(" ".join)
+)
+def test_bpe_apply_equals_model(spark, text):
+    from aws_data_engineering_spark.operators.text import (
+        bpe_apply,
+        bpe_apply_model,
+    )
+
+    merges = [("a", "b"), ("a", "a"), ("aa", "c"), ("b", "c"), ("ab", "c")]
+    df = spark.createDataFrame([(text,)], "text string")
+    stream = df.select(bpe_apply(F.col("text"), merges).alias("s")).first().s
+    words = [w for w in stream.split("|") if w.strip("_")]
+    got = [[sym for sym in w.split("_") if sym] for w in words]
+    want = [bpe_apply_model(w, merges) for w in text.split(" ") if w]
+    assert got == want

@@ -336,3 +336,49 @@ def test_gopher_metrics_kernel_edge_whitespace_and_null(spark):
     assert kern[3] == (None, None, None, None)
     for k in (1, 2, 4):
         assert kern[k] == jvm[k], (k, kern[k], jvm[k])
+
+
+def test_mmr_topk_equals_numpy_model(spark, sf_dir):
+    """mmr_topk's greedy selection must match a dense numpy MMR reference."""
+    import numpy as np
+
+    from aws_data_engineering_spark.operators.similarity import mmr_topk
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, lam, pool = 4, 0.5, 10
+    got = [
+        (r.rank, r.vec_id)
+        for r in mmr_topk(emb, query_vec_id=0, k=k, lam=lam, pool=pool)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    q = X[ids == 0][0]
+    mask = ids != 0
+    cids, C = ids[mask], X[mask]
+    rel = C @ q
+    # pool: top by (rel desc, id asc)
+    order = sorted(range(len(cids)), key=lambda i: (-rel[i], cids[i]))[:pool]
+    cids, C, rel = cids[order], C[order], rel[order]
+    selected = []
+    for rank in range(1, k + 1):
+        best = None
+        for i in range(len(cids)):
+            if any(cids[i] == s for s, _ in selected):
+                continue
+            if not selected:
+                score = rel[i]
+            else:
+                pen = max(float(C[i] @ C[j]) for _, j in selected)
+                score = lam * rel[i] - (1 - lam) * pen
+            key = (-score, cids[i])
+            if best is None or key < best[0]:
+                best = (key, i)
+        selected.append((cids[best[1]], best[1]))
+    want = [(r + 1, int(s)) for r, (s, _) in enumerate(selected)]
+    assert got == want
