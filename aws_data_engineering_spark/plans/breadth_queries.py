@@ -774,3 +774,359 @@ def s09_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("relevance", 6).alias("relevance"),
         F.round("mmr_score", 6).alias("mmr_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# t23 — PMI collocation mining (the word2vec-phrases step): in-doc adjacent
+# bigrams via a columnar transform (no window, no shuffle until the count),
+# unigram/bigram count tables re-joined on the token — never collected to
+# the driver, so an unbounded vocabulary shards across executors. PMI is
+# computed in double arithmetic with identical association order on both
+# engines, so even out-of-2^53 products stay bit-equal.
+# --------------------------------------------------------------------------
+_T23_MIN_COUNT = 5
+
+
+@register(
+    "t23_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT u.tok, COUNT(*) AS cx
+      FROM toks, LATERAL UNNEST(t) AS u(tok) GROUP BY u.tok
+    ), n1 AS (
+      SELECT SUM(cx) AS n_uni FROM uni
+    ), big AS (
+      SELECT t[i + 1] AS w1, t[i + 2] AS w2
+      FROM (SELECT t, UNNEST(generate_series(0, len(t) - 2)) AS i FROM toks
+            WHERE len(t) >= 2)
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS cxy FROM big GROUP BY w1, w2
+    ), n2 AS (
+      SELECT SUM(cxy) AS n_bi FROM bc
+    ), scored AS (
+      SELECT bc.w1 || ' ' || bc.w2 AS bigram, CAST(bc.cxy AS BIGINT) AS cnt,
+             ROUND(ln(CAST(bc.cxy AS DOUBLE) * CAST(n1.n_uni AS DOUBLE)
+                      * CAST(n1.n_uni AS DOUBLE)
+                      / (CAST(n2.n_bi AS DOUBLE) * CAST(u1.cx AS DOUBLE)
+                         * CAST(u2.cx AS DOUBLE))), 6) AS pmi
+      FROM bc
+      JOIN uni u1 ON bc.w1 = u1.tok
+      JOIN uni u2 ON bc.w2 = u2.tok
+      CROSS JOIN n1 CROSS JOIN n2
+      WHERE bc.cxy >= {_T23_MIN_COUNT}
+    )
+    SELECT bigram, cnt, pmi FROM scored
+    ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+    "PMI collocation mining: columnar in-doc bigrams, count tables re-joined "
+    "on token (no driver-side vocab), double-arithmetic PMI with matched "
+    "association order",
+)
+def t23_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    uni = toks.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cx")
+    )
+    n1 = uni.agg(F.sum("cx").alias("n_uni"))
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("t", i + 1).alias("w1"),
+                        F.element_at("t", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    n2 = bc.agg(F.sum("cxy").alias("n_bi"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("cx").alias("cx1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("cx").alias("cx2"))
+    scored = (
+        bc.filter(F.col("cxy") >= _T23_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("cxy").alias("cnt"),
+            F.round(
+                F.log(
+                    F.col("cxy").cast("double")
+                    * F.col("n_uni").cast("double")
+                    * F.col("n_uni").cast("double")
+                    / (
+                        F.col("n_bi").cast("double")
+                        * F.col("cx1").cast("double")
+                        * F.col("cx2").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(20)
+
+
+# --------------------------------------------------------------------------
+# e11 — embedding-health audit per label: vector-norm distribution,
+# centroid norm (anisotropy proxy — near 0 for isotropic clouds), and mean
+# cosine-to-centroid (cluster tightness). Centroids are the 6dp-rounded
+# distributed means (e03 pattern) so both engines agree bit-exactly before
+# the final averages; norms use the fold-order-matched SIM.norm. The whole
+# audit is two partial-agg shuffles + one broadcast join.
+# --------------------------------------------------------------------------
+@register(
+    "e11_embedding_health",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), ex AS (
+      SELECT label, gs AS pos, emb[gs] AS v
+      FROM e, generate_series(1, 64) g(gs)
+    ), comp AS (
+      SELECT label, pos, ROUND(SUM(v) / COUNT(*), 6) AS v
+      FROM ex GROUP BY label, pos
+    ), cent AS (
+      SELECT label, list(v ORDER BY pos) AS centroid FROM comp GROUP BY label
+    ), per_vec AS (
+      SELECT e.vec_id, e.label,
+             sqrt(list_sum(list_transform(e.emb, x -> x * x))) AS nrm,
+             list_cosine_similarity(e.emb, c.centroid) AS cosc
+      FROM e JOIN cent c USING (label)
+    ), cn AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(centroid, x -> x * x))) AS centroid_norm
+      FROM cent
+    )
+    SELECT p.label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(nrm), 4) AS avg_norm,
+           ROUND(stddev_samp(nrm), 4) AS std_norm,
+           ROUND(MIN(cn.centroid_norm), 4) AS centroid_norm,
+           ROUND(AVG(cosc), 4) AS avg_cos_to_centroid
+    FROM per_vec p JOIN cn USING (label)
+    GROUP BY p.label
+    """,
+    "embedding-health audit: per-label norm distribution, centroid norm "
+    "(anisotropy proxy), mean cosine-to-centroid — 6dp-rounded distributed "
+    "centroids, fold-order-matched norms, broadcast re-join",
+)
+def e11_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    ex = emb.select("label", F.posexplode("emb").alias("pos", "v"))
+    comp = ex.groupBy("label", "pos").agg(
+        F.round(F.sum("v") / F.count(F.lit(1)), 6).alias("v")
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("centroid")
+    )
+    per_vec = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        SIM.norm(F.col("emb")).alias("nrm"),
+        SIM.cosine(F.col("emb"), F.col("centroid")).alias("cosc"),
+    )
+    cn = cent.select("label", SIM.norm(F.col("centroid")).alias("centroid_norm"))
+    return (
+        per_vec.join(F.broadcast(cn), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.stddev_samp("nrm"), 4).alias("std_norm"),
+            F.round(F.min("centroid_norm"), 4).alias("centroid_norm"),
+            F.round(F.avg("cosc"), 4).alias("avg_cos_to_centroid"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q89 — RFM customer segmentation: recency/frequency/monetary per customer,
+# quartiled with ntile(4) (order-by includes custkey so tile boundaries are
+# deterministic on both engines), then the 4x4x4 segment census. The ntile
+# here is a global-order window (the exact baseline); at 100 TB swap in
+# approx_percentile thresholds + a broadcast re-join — the q39/dq07 shape —
+# so no single-partition sort is needed.
+# --------------------------------------------------------------------------
+@register(
+    "q89_rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS recency,
+             COUNT(*) AS frequency,
+             SUM(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), tiled AS (
+      SELECT custkey,
+             ntile(4) OVER (ORDER BY recency, custkey) AS r_q,
+             ntile(4) OVER (ORDER BY frequency, custkey) AS f_q,
+             ntile(4) OVER (ORDER BY monetary, custkey) AS m_q,
+             monetary
+      FROM rfm
+    )
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(monetary), 2) AS total_monetary
+    FROM tiled GROUP BY r_q, f_q, m_q
+    """,
+    "RFM segmentation: per-customer recency/frequency/monetary, "
+    "deterministic ntile(4) quartiles, 4x4x4 segment census",
+)
+def q89_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    tiled = rfm.select(
+        "custkey",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency", "custkey")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy("frequency", "custkey")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy("monetary", "custkey")).alias("m_q"),
+    )
+    return tiled.groupBy(
+        F.col("r_q").cast("int").alias("r_q"),
+        F.col("f_q").cast("int").alias("f_q"),
+        F.col("m_q").cast("int").alias("m_q"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("total_monetary"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dq08 — uniqueness / candidate-key profile: declared-key cardinality vs
+# row count for every keyed fixture table (including lineitem's compound
+# key), the "is my primary key actually unique" audit that gates any MERGE
+# pipeline (the reference's W5 assumes PK uniqueness; this is the check).
+# One partial-agg + exact distinct per table, unioned.
+# --------------------------------------------------------------------------
+@register(
+    "dq08_uniqueness_profile",
+    """
+    SELECT 'orders.o_orderkey' AS entity, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT o_orderkey) = COUNT(*) AS INT) AS is_unique
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+           CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) = COUNT(*) AS INT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer.c_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT c_custkey) = COUNT(*) AS INT)
+    FROM customer
+    UNION ALL
+    SELECT 'events.event_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(COUNT(DISTINCT event_id) = COUNT(*) AS INT)
+    FROM events
+    UNION ALL
+    SELECT 'documents.doc_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(COUNT(DISTINCT doc_id) = COUNT(*) AS INT)
+    FROM documents
+    """,
+    "candidate-key uniqueness profile: exact key cardinality vs row count "
+    "per keyed table (incl. compound keys) — the PK-uniqueness gate any "
+    "MERGE pipeline assumes",
+)
+def dq08_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def profile(df: DataFrame, entity: str, *cols: str) -> DataFrame:
+        return df.agg(
+            F.lit(entity).alias("entity"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(*cols).alias("n_distinct"),
+        ).select(
+            "entity",
+            "n_rows",
+            "n_distinct",
+            (F.col("n_distinct") == F.col("n_rows")).cast("int").alias("is_unique"),
+        )
+
+    parts = [
+        profile(_t(spark, sf_dir, "orders"), "orders.o_orderkey", "o_orderkey"),
+        profile(
+            _t(spark, sf_dir, "lineitem"),
+            "lineitem.(l_orderkey,l_linenumber)",
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        profile(_t(spark, sf_dir, "customer"), "customer.c_custkey", "c_custkey"),
+        profile(_t(spark, sf_dir, "events"), "events.event_id", "event_id"),
+        profile(_t(spark, sf_dir, "documents"), "documents.doc_id", "doc_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# c12 — partition-pruned read: events are written out partitioned by
+# event_date (the reference's dt-partitioned lake layout), then read back
+# with a date-range predicate that must prune at LISTING time — the scan
+# touches only 3 of ~30 partition directories (asserted in-plan by
+# tests/test_plans.py). This is the mechanism that turns a 100 TB lake scan
+# into a 3-partition read; the oracle recomputes from the raw table.
+# --------------------------------------------------------------------------
+_C12_LO, _C12_HI = "2024-01-05", "2024-01-07"
+
+
+@register(
+    "c12_partition_pruned_read",
+    f"""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '{_C12_LO}' AND DATE '{_C12_HI}'
+    GROUP BY event_date
+    """,
+    "dt-partitioned lake write + partition-pruned read-back: only the 3 "
+    "predicate-covered partition directories are listed/scanned "
+    "(plan-asserted); oracle recomputes from the raw table",
+)
+def c12_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    events = _t(spark, sf_dir, "events")
+    path = f"{tempfile.gettempdir()}/c12_{uuid.uuid4().hex}"
+    (
+        events.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("event_date") >= F.lit(_C12_LO))
+            & (F.col("event_date") <= F.lit(_C12_HI))
+        )
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

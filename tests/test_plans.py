@@ -279,3 +279,17 @@ def test_c11_delta_filter_pushed(spark, sf_dir):
     # the IVM delta branch's cutoff predicate must reach the orders scan
     plan = _plan(queries()["c11_incremental_view_maintenance"](spark, sf_dir))
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_c12_partition_filters_prune_scan(spark, sf_dir):
+    # the date predicate must be a partition filter (listing-time pruning),
+    # not a data filter evaluated per row
+    plan = _plan(queries()["c12_partition_pruned_read"](spark, sf_dir))
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_e11_centroids_broadcast(spark, sf_dir):
+    plan = _plan(queries()["e11_embedding_health"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
