@@ -339,9 +339,9 @@ def simhash_neardup_pairs(
     scale.
     """
     band_width = bits // n_bands
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig")
-    )
+    # Arrow kernel, not the simhash() Column: the interpreted 48-fold
+    # Column form would also be inlined once per band struct below
+    sigs = simhash_signatures(df, id_col, text_col, bits)
     banded = sigs.select(
         "id",
         "sig",
@@ -585,9 +585,16 @@ def bloom_contamination(
     Returns (id, n_grams, bloom_hits, exact_hits, false_positives) for
     docs with at least one Bloom hit.
     """
-    bench_grams = _gram_fanout(benchmark, id_col, text_col, shingle_n).select(
-        "shingle"
-    ).distinct()
+    # Both gram fan-outs are consumed by multiple branches below (bits +
+    # exact for bench; probe + exact + per-doc census for candidates) —
+    # eager localCheckpoint materializes each Python shingle pass ONCE and
+    # truncates lineage (the g01/g02/CC edge-set pattern)
+    bench_grams = (
+        _gram_fanout(benchmark, id_col, text_col, shingle_n)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # the "bit array": distinct positions set by any benchmark gram
     bench_bits = (
         bench_grams.select(
@@ -597,22 +604,26 @@ def bloom_contamination(
         )
         .distinct()
     )
-    cand = _gram_fanout(candidates, id_col, text_col, shingle_n)
-    # membership probe: gram hits iff all k positions are set
-    probed = (
-        cand.select(
-            "id",
-            "shingle",
-            F.explode(
-                F.array(*[_bloom_pos(F.col("shingle"), j) for j in range(_BLOOM_K)])
-            ).alias("pos"),
-        )
-        .join(F.broadcast(bench_bits), "pos", "left_semi")
-        .groupBy("id", "shingle")
-        .agg(F.count(F.lit(1)).alias("n_set"))
-        .filter(F.col("n_set") == _BLOOM_K)
-        .select("id", "shingle")
+    cand = _gram_fanout(candidates, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
     )
+    # membership probe: gram hits iff all k positions are set. k successive
+    # broadcast LEFT SEMI joins (one per position hash) — no explode, no
+    # gram-keyed shuffle; each join prunes misses early, so most
+    # non-benchmark grams die at the first probe (the short-circuit a real
+    # Bloom lookup has)
+    probed = cand.select(
+        "id",
+        "shingle",
+        *[_bloom_pos(F.col("shingle"), j).alias(f"p{j}") for j in range(_BLOOM_K)],
+    )
+    for j in range(_BLOOM_K):
+        probed = probed.join(
+            F.broadcast(bench_bits.withColumnRenamed("pos", f"p{j}")),
+            f"p{j}",
+            "left_semi",
+        )
+    probed = probed.select("id", "shingle")
     exact = cand.join(F.broadcast(bench_grams), "shingle", "left_semi").select(
         "id", "shingle", F.lit(1).alias("is_exact")
     )
@@ -958,3 +969,67 @@ def duplicate_spans(
         F.min("pos").alias("span_start"),
         (F.max("pos") + gram).alias("span_end"),
     ).drop("island")
+
+
+def _simhash_worker_fns(bits: int):
+    """Closure factory so cloudpickle ships everything by value (executors
+    can't resolve module globals when the driver imported via sys.path —
+    the _shingle_worker_fns pattern)."""
+
+    def sig_batch(texts):
+        import hashlib
+        import re as re_w
+
+        import numpy as np_w
+
+        shifts = np_w.arange(bits, dtype=np_w.uint64)
+        weights = (np_w.uint64(1) << shifts).astype(np_w.int64)
+        out = []
+        cache: dict = {}
+        for text in texts:
+            # exact mirror of simhash()'s normalize_text: trim(spaces) ->
+            # lower -> collapse ASCII \s+ (Java regex \s is ASCII-only)
+            s = re_w.sub(
+                r"\s+", " ", str(text).strip(" ").lower(), flags=re_w.ASCII
+            )
+            toks = s.split(" ")
+            hs = np_w.empty(len(toks), dtype=np_w.uint64)
+            for j, tok in enumerate(toks):
+                h = cache.get(tok)
+                if h is None:
+                    h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:12], 16)
+                    cache[tok] = h
+                hs[j] = h
+            bitm = ((hs[:, None] >> shifts[None, :]) & np_w.uint64(1)).astype(
+                np_w.int64
+            )
+            votes = (2 * bitm - 1).sum(axis=0)
+            out.append(int((weights * (votes > 0)).sum()))
+        return out
+
+    return sig_batch
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 48
+) -> DataFrame:
+    """Arrow-kernel SimHash signatures — bit-identical to the
+    :func:`simhash` Column (pinned by ``test_simhash_kernel_equals_column``)
+    but one vectorized numpy pass per batch instead of 48 interpreted HOF
+    folds per row. The Column form re-evaluates the md5 token-hash array
+    once PER BIT (interpreted HOFs aren't codegen'd or CSE'd), measured
+    15-30 s at sf0.1; the kernel is ~1 s. Returns (id, sig)."""
+    sig_batch = _simhash_worker_fns(bits)
+
+    def kernel(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            yield pd_w.DataFrame({"id": pdf["id"], "sig": sig_batch(pdf["text"])})
+
+    spark = df.sparkSession
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(kernel, "id bigint, sig bigint")
+    )

@@ -148,7 +148,9 @@ def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash("text").alias("simhash48"))
+    return D.simhash_signatures(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.col("sig").alias("simhash48")
+    )
 
 
 # ---------------------------------------------------------------------------

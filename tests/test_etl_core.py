@@ -731,3 +731,39 @@ def test_cli_entry_runs_full_load(spark, tmp_path):
                 str(root / "curated"),
             ]
         )
+
+
+def test_simhash_kernel_equals_column(spark, sf_dir):
+    """The Arrow simhash kernel must be bit-identical to the (slow,
+    interpreted-HOF) simhash() Column it replaces in d06/d07."""
+    from aws_data_engineering_spark.operators import dedup as D
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    col_sigs = {
+        r.id: r.sig
+        for r in docs.select(
+            F.col("doc_id").alias("id"), D.simhash("text").alias("sig")
+        ).collect()
+    }
+    ker_sigs = {
+        r.id: r.sig
+        for r in D.simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    assert ker_sigs == col_sigs
+    # whitespace/empty corners through the kernel path
+    edge = spark.createDataFrame(
+        [(1, "  a  b "), (2, ""), (3, " "), (4, "x\t\ty"), (5, "A a")],
+        "doc_id long, text string",
+    )
+    ec = {
+        r.id: r.sig
+        for r in edge.select(
+            F.col("doc_id").alias("id"), D.simhash("text").alias("sig")
+        ).collect()
+    }
+    ek = {
+        r.id: r.sig
+        for r in D.simhash_signatures(edge, "doc_id", "text").collect()
+    }
+    assert ek == ec
