@@ -446,7 +446,12 @@ def jaccard_pairs(
     oracle-checked behavior. The df-count adds one aggregation that
     shuffles on the same shingle key as the join, so AQE co-plans them.
     """
-    exploded = exploded_shingles(df, id_col, text_col, shingle_n)
+    # the self-join below consumes the Python shingle fan-out on BOTH sides;
+    # eager localCheckpoint materializes it once (blocks are freed when the
+    # DataFrame is GC'd — not the leaked-persist antipattern)
+    exploded = exploded_shingles(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     if max_df is not None:
         from pyspark.sql import Window
 
