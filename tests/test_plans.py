@@ -293,3 +293,48 @@ def test_e11_centroids_broadcast(spark, sf_dir):
     plan = _plan(queries()["e11_embedding_health"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# Queries whose *construction* has side effects (writes, stream drains,
+# checkpoint jobs) — excluded from the whole-registry plan audit to keep it
+# fast and hermetic; each has its own dedicated tests above / in the suite.
+_AUDIT_SKIP_PREFIXES = ("st",)
+_AUDIT_SKIP = {
+    "c03_managed_table_roundtrip", "c04_incremental_rollup",
+    "c05_binaryfile_scan", "c06_python_datasource_sink",
+    "c08_csv_corrupt_quarantine", "c09_bucketed_colocated_join",
+    "c10_small_file_compaction", "c12_partition_pruned_read",
+    "d10_neardup_clusters", "d11_bloom_contamination",
+    "g01_pagerank_neardup_graph", "g02_triangle_count",
+    "g03_label_propagation", "s04_ann_ivf_topk", "e06_semdedup",
+    "e07_kmeans_lloyd", "m06_wav_decode_features", "m07_jpeg_decode_features",
+}
+
+# BroadcastNestedLoopJoin is legitimate ONLY as a broadcast scalar/constant
+# join (1-row aggregates: global means, vector norms, token totals, the MMR
+# selected set) or the documented broadcast range join (q19). Anything else
+# appearing here is a regression toward an accidental cross product.
+_BNLJ_ALLOW = {
+    "q19_range_join", "q33_inactive_rich_customers", "q41_conversion_funnel",
+    "q69_recursive_month_spine", "q80_important_parts",
+    "dq04_partition_volume_anomaly", "e03_centroid_assignment",
+    "e08_power_iteration_pca", "s09_mmr_diversified_topk",
+    "t16_tfidf_top_terms", "t23_pmi_collocations",
+}
+
+
+def test_whole_registry_no_cartesian_products(spark, sf_dir):
+    """Every registry query's physical plan must be free of CartesianProduct,
+    and BroadcastNestedLoopJoin may appear only in the documented
+    scalar-broadcast / range-join allowlist — the global guard that no
+    query ever decays into an accidental all-pairs join."""
+    bad = []
+    for name, fn in queries().items():
+        if name.startswith(_AUDIT_SKIP_PREFIXES) or name in _AUDIT_SKIP:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOW:
+            bad.append((name, "BroadcastNestedLoopJoin"))
+    assert not bad, bad
