@@ -431,27 +431,35 @@ def gopher_metrics(
     )
 
 
-def bpe_apply(text: "F.col", merges: list[tuple[str, str]]) -> "F.col":
+def bpe_apply(text: Column, merges: list[tuple[str, str]]) -> Column:
     """Apply an ordered BPE merge table to whitespace text, returning the
-    merged separator-framed symbol stream ('_th_e_|_f_ast_...').
+    merged bracket-framed symbol stream ('<th><e>< ><f><ast>...').
 
-    Representation: '_' between symbols, '|' at word boundaries, leading
-    '_'. A rule (x, y) is the literal replace '_x_y_' -> '_xy_': because
-    every symbol is flanked by '_' on both sides, a rule can only merge two
-    COMPLETE symbols (no prefix/suffix false matches), and left-to-right
-    non-rescanning replace() gives the standard "merge all current
-    occurrences, then next rule" BPE-apply semantics. Pure JVM string
-    expressions — no UDF; split('_') downstream recovers the symbols.
+    Representation: every character becomes a '<c>' symbol (space included,
+    as the word-boundary symbol '< >', which no rule ever names). A rule
+    (x, y) is the literal replace '<x><y>' -> '<xy>': adjacent matches
+    share NO characters, so left-to-right non-rescanning replace() merges
+    every disjoint occurrence in one pass — the standard greedy BPE-apply
+    semantics (pinned against the Python model by
+    ``test_bpe_apply_equals_model``; an earlier separator-sharing encoding
+    silently skipped the pair after each merge in runs like 'aaaa').
+    Boundary-exact: '<x>' can only be a complete symbol because symbols
+    never contain '<' or '>'. Pure JVM string expressions — no UDF;
+    split on '><' downstream recovers the symbols.
     """
-    s = F.concat(
-        F.lit("_"),
-        F.regexp_replace(
-            F.replace(text, F.lit(" "), F.lit("|")), "(.)", "$1_"
-        ),
-    )
+    s = F.regexp_replace(text, "(.)", "<$1>")
     for a, b in merges:
-        s = F.replace(s, F.lit(f"_{a}_{b}_"), F.lit(f"_{a}{b}_"))
+        s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     return s
+
+
+def bpe_symbols(stream: Column) -> Column:
+    """Explodeable symbol array from a ``bpe_apply`` stream: strip the outer
+    brackets, split on '><', drop the word-boundary space symbol."""
+    inner = F.substring(
+        stream, F.lit(2), F.greatest(F.lit(0), F.length(stream) - 2)
+    )
+    return F.filter(F.split(inner, "><"), lambda x: (x != " ") & (x != ""))
 
 
 def bpe_apply_model(word: str, merges: list[tuple[str, str]]) -> list[str]:

@@ -96,16 +96,15 @@ def d14_duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# t20 — merge-table segmentation (the BPE apply step): text is lowered to a
-# separator-framed symbol stream ('_t_h_e_|_f_a_s_t_' — '_' between symbols,
-# '|' at word boundaries), then an ORDERED merge table is applied as literal
-# replaces of '_x_y_' -> '_xy_'. Because every symbol is flanked by '_' on
-# both sides, a rule can only ever merge two complete symbols (no suffix or
-# prefix false matches), and left-to-right non-rescanning replace() gives the
-# standard "merge all current occurrences, then next rule" BPE-apply
-# semantics — identically in Spark and DuckDB. Everything is JVM-side string
-# expressions (regexp_replace/replace/split): no UDF, shuffle only for the
-# final symbol count.
+# t22 — merge-table segmentation (the BPE apply step): text becomes a
+# bracket-framed symbol stream ('<t><h><e>< ><f>...' — one '<c>' per char,
+# '< >' as the word-boundary symbol no rule names), then an ORDERED merge
+# table is applied as literal replaces of '<x><y>' -> '<xy>'. Adjacent
+# matches share no characters, so one left-to-right replace() pass merges
+# every disjoint occurrence — the standard greedy BPE-apply semantics,
+# identical in Spark and DuckDB and pinned against a pure-Python model by
+# test_bpe_apply_equals_model. JVM-side string expressions only: no UDF,
+# shuffle only for the final symbol count.
 # --------------------------------------------------------------------------
 _T20_MERGES = [
     ("s", "t"),
@@ -124,15 +123,19 @@ _T20_MERGES = [
 
 
 def _t20_oracle() -> str:
-    expr = "'_' || regexp_replace(replace(text, ' ', '|'), '(.)', '\\1_', 'g')"
+    expr = "regexp_replace(text, '(.)', '<\\1>', 'g')"
     for a, b in _T20_MERGES:
-        expr = f"replace({expr}, '_{a}_{b}_', '_{a}{b}_')"
+        expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
     return f"""
-    WITH sym AS (
-      SELECT UNNEST(string_split({expr}, '_')) AS symbol FROM documents
+    WITH s AS (
+      SELECT {expr} AS s FROM documents
+    ), sym AS (
+      SELECT UNNEST(string_split(substr(s, 2, greatest(0, length(s) - 2)),
+                                 '><')) AS symbol
+      FROM s
     )
     SELECT symbol, CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM sym WHERE symbol NOT IN ('', '|')
+    FROM sym WHERE symbol NOT IN ('', ' ')
     GROUP BY symbol ORDER BY cnt DESC, symbol LIMIT 20
     """
 
@@ -140,16 +143,14 @@ def _t20_oracle() -> str:
 @register(
     "t22_bpe_merge_segment",
     _t20_oracle(),
-    "BPE merge-table application as pure string expressions: separator-framed "
-    "symbol stream + ordered '_x_y_'->'_xy_' replaces (boundary-exact, no "
-    "UDF), then a top-20 symbol count",
+    "BPE merge-table application as pure string expressions: bracket-framed "
+    "symbol stream + ordered '<x><y>'->'<xy>' replaces (boundary-exact, "
+    "standard greedy semantics, no UDF), then a top-20 symbol count",
 )
 def t22_bpe_merge_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     s = T.bpe_apply(F.col("text"), _T20_MERGES)
-    sym = docs.select(F.explode(F.split(s, "_")).alias("symbol")).filter(
-        ~F.col("symbol").isin("", "|")
-    )
+    sym = docs.select(F.explode(T.bpe_symbols(s)).alias("symbol"))
     return (
         sym.groupBy("symbol")
         .agg(F.count(F.lit(1)).alias("cnt"))

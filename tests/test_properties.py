@@ -374,13 +374,19 @@ def test_duplicate_spans_equals_model(spark, texts):
 # ---------------------------------------------------------------------------
 # bpe_apply (t22): Spark string-expression pipeline == per-word Python model
 # ---------------------------------------------------------------------------
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=25, deadline=None)
 @given(
-    st.lists(
-        st.text(alphabet="abc", min_size=1, max_size=8),
-        min_size=1,
-        max_size=5,
-    ).map(" ".join)
+    st.one_of(
+        # regression: runs of a repeated char exercise consecutive
+        # overlapping merges — the case the old separator-sharing encoding
+        # got wrong ('aaaa' + (a,a) must give [aa, aa], not [aa, a, a])
+        st.just("aaaa aaaaa aa"),
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=8),
+            min_size=1,
+            max_size=5,
+        ).map(" ".join),
+    )
 )
 def test_bpe_apply_equals_model(spark, text):
     from aws_data_engineering_spark.operators.text import (
@@ -391,7 +397,15 @@ def test_bpe_apply_equals_model(spark, text):
     merges = [("a", "b"), ("a", "a"), ("aa", "c"), ("b", "c"), ("ab", "c")]
     df = spark.createDataFrame([(text,)], "text string")
     stream = df.select(bpe_apply(F.col("text"), merges).alias("s")).first().s
-    words = [w for w in stream.split("|") if w.strip("_")]
-    got = [[sym for sym in w.split("_") if sym] for w in words]
+    syms = stream[1:-1].split("><") if len(stream) >= 2 else []
+    words, cur = [], []
+    for sym in syms:
+        if sym == " ":
+            words.append(cur)
+            cur = []
+        else:
+            cur.append(sym)
+    words.append(cur)
+    got = [w for w in words if w]
     want = [bpe_apply_model(w, merges) for w in text.split(" ") if w]
     assert got == want
