@@ -1131,3 +1131,118 @@ def c12_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e12 — ANN recall audit: PQ-ADC top-5 (s07's exact parameters) joined
+# against the exact-cosine top-5 per query, recall@5 = |intersection|/5.
+# The d13 estimator-accuracy pattern applied to the ANN index family: the
+# approximate index's quality is itself an oracle-checked query, because
+# both rankings are bit-reproducible (integer ADC scores; fold-order-
+# matched cosine). At 100 TB the exact side is the guarded baseline on a
+# sampled query set — recall auditing is O(queries), not O(corpus).
+# --------------------------------------------------------------------------
+from aws_data_engineering_spark.operators.similarity import pq_oracle_sql as _pq_sql
+
+
+def _e12_oracle() -> str:
+    return f"""
+    WITH pq AS ({_pq_sql(m_sub=8, k_codes=16, subdim=8, k=5,
+                         query_pred="vec_id < 10")}),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), exact_rank AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.e, c.e) DESC,
+                                         c.vec_id) AS rnk
+      FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ), ex5 AS (
+      SELECT query_id, list_sort(list(neighbor_id)) AS exact_top5
+      FROM exact_rank WHERE rnk <= 5 GROUP BY query_id
+    ), pq5 AS (
+      SELECT query_id, list_sort(list(neighbor_id)) AS pq_top5
+      FROM pq GROUP BY query_id
+    )
+    SELECT ex5.query_id, exact_top5, pq_top5,
+           CAST(len(list_intersect(exact_top5, pq_top5)) AS INT) AS n_overlap,
+           ROUND(len(list_intersect(exact_top5, pq_top5)) / 5.0, 2) AS recall_at_5
+    FROM ex5 JOIN pq5 USING (query_id)
+    """
+
+
+@register(
+    "e12_pq_recall_audit",
+    _e12_oracle(),
+    "ANN recall@5 audit: PQ-ADC top-5 vs exact-cosine top-5 per query — "
+    "the index-quality measurement as an oracle-checked query (d13's "
+    "estimator-audit pattern for the ANN family)",
+)
+def e12_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    pq = SIM.pq_topk(q, emb, SIM.pq_codebook(m_sub=8, k_codes=16, subdim=8), k=5)
+    exact = SIM.brute_force_topk(q, emb, k=5)
+    ex5 = exact.groupBy("query_id").agg(
+        F.sort_array(F.collect_list("neighbor_id")).alias("exact_top5")
+    )
+    pq5 = pq.groupBy("query_id").agg(
+        F.sort_array(F.collect_list("neighbor_id")).alias("pq_top5")
+    )
+    inter = F.size(F.array_intersect(F.col("exact_top5"), F.col("pq_top5")))
+    return ex5.join(pq5, "query_id").select(
+        "query_id",
+        "exact_top5",
+        "pq_top5",
+        inter.alias("n_overlap"),
+        F.round(inter / F.lit(5.0), 2).alias("recall_at_5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dq09 — Benford first-digit audit: the fraud/corruption screen for any
+# financial column. The leading significant digit is extracted through
+# integer cents (ROUND(x*100) -> BIGINT -> first char of the integer's
+# decimal string) — never through float log10/pow, whose boundary rounding
+# can flip a digit on one engine only. Expected Benford mass log10(1+1/d)
+# computes on exact small rationals, so both engines round identically.
+# --------------------------------------------------------------------------
+@register(
+    "dq09_benford_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), t AS (
+      SELECT SUM(n) AS total FROM c
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS observed_frac,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_frac
+    FROM c, t
+    """,
+    "Benford first-digit audit over order totals: digit extracted via "
+    "integer cents (no float log paths), observed vs theoretical mass "
+    "per digit",
+)
+def dq09_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed_frac"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_frac"),
+    )
