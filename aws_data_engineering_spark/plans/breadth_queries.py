@@ -1,6 +1,9 @@
-"""Round-3 second batch: exact-substring span dedup, merge-table (BPE-style)
-segmentation, RAG chunking, weighted priority sampling, power-iteration PCA,
-label propagation, incremental join-view maintenance, and winsorized stats.
+"""Round-3 breadth batches 2-4: exact-substring span dedup, merge-table
+(BPE-style) segmentation, RAG chunking, weighted priority / k-fold sampling,
+power-iteration PCA, silhouette + embedding-health + ANN-recall audits,
+label propagation, MMR retrieval, PMI collocations, event transition matrix,
+incremental join-view maintenance, RFM segmentation, partition-pruned reads,
+and the winsorize / uniqueness / Benford data-quality audits.
 
 This module registers AFTER ``extra_queries`` (see ``registry._load_all``) so
 these land at the very tail of the driver's not-yet-checked sample prefix —

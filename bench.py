@@ -69,6 +69,11 @@ HEADLINE = [
     # the composed IVFPQ index (prune lists, scan codes) — the flagship
     # billion-scale ANN shape gets its own round-over-round number.
     "s08_ann_ivfpq_topk",
+    # round-3 second batch: exact-substring span dedup (inverted-index +
+    # islands window) and matrix-free power-iteration PCA — one
+    # representative per new family.
+    "d14_duplicate_span_merge",
+    "e08_power_iteration_pca",
 ]
 
 

@@ -317,7 +317,8 @@ _AUDIT_SKIP = {
 _BNLJ_ALLOW = {
     "q19_range_join", "q33_inactive_rich_customers", "q41_conversion_funnel",
     "q69_recursive_month_spine", "q80_important_parts",
-    "dq04_partition_volume_anomaly", "e03_centroid_assignment",
+    "dq04_partition_volume_anomaly", "dq09_benford_audit",
+    "e03_centroid_assignment",
     "e08_power_iteration_pca", "s09_mmr_diversified_topk",
     "t16_tfidf_top_terms", "t23_pmi_collocations",
 }
