@@ -479,3 +479,134 @@ def bpe_apply_model(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         syms = out
     return syms
+
+
+def content_defined_chunks(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    divisor: int = 64,
+) -> "DataFrame":
+    """Content-defined chunking (the FastCDC/rsync shape): a chunk boundary
+    lands wherever the k-char Rabin-Karp rolling hash of normalized text is
+    0 mod ``divisor`` (expected chunk ~= divisor chars), plus the document
+    end. Because boundaries depend on CONTENT, not offsets, an insertion
+    early in a document shifts only the chunk it lands in — every later
+    chunk keeps its fingerprint, which is what makes chunk-level dedup
+    storage work.
+
+    Returns (id, chunk_idx, start, cend, chunk_len, fp) with 1-based char
+    bounds over the normalized text and an md5-prefix fingerprint. Same
+    uint64 polynomial machinery as winnowing (oracle-reproducible in
+    HUGEINT); Arrow-batched per doc, embarrassingly row-parallel.
+    """
+    normalize, rolling_hashes, _ = _winnow_worker_fns(k, 4)
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd_w
+
+        ids, idxs, starts, ends, lens, fps = [], [], [], [], [], []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["id"], pdf["text"]):
+                s = normalize(text)
+                n = len(s)
+                if n == 0:
+                    continue
+                if n < k:
+                    cuts = [n]
+                else:
+                    h = rolling_hashes(s)
+                    cuts = [
+                        i + k - 1
+                        for i in range(1, len(h) + 1)
+                        if int(h[i - 1]) % divisor == 0
+                    ]
+                    if not cuts or cuts[-1] != n:
+                        cuts.append(n)
+                prev = 0
+                for idx, c in enumerate(cuts):
+                    chunk = s[prev:c]
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    starts.append(prev + 1)
+                    ends.append(c)
+                    lens.append(c - prev)
+                    fps.append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()[:8]
+                    )
+                    prev = c
+            yield pd_w.DataFrame(
+                {
+                    "id": pd_w.Series(ids, dtype="int64"),
+                    "chunk_idx": pd_w.Series(idxs, dtype="int32"),
+                    "start": pd_w.Series(starts, dtype="int64"),
+                    "cend": pd_w.Series(ends, dtype="int64"),
+                    "chunk_len": pd_w.Series(lens, dtype="int64"),
+                    "fp": pd_w.Series(fps, dtype="object"),
+                }
+            )
+            ids, idxs, starts, ends, lens, fps = [], [], [], [], [], []
+
+    spark = df.sparkSession
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            kernel,
+            "id bigint, chunk_idx int, start bigint, cend bigint, "
+            "chunk_len bigint, fp string",
+        )
+    )
+
+
+def cdc_sql_cte(k: int = 8, divisor: int = 64) -> str:
+    """DuckDB CTE reproducing :func:`content_defined_chunks` bit-exactly:
+    the uint64 polynomial in HUGEINT, boundary mod test, cut positions,
+    gaps-and-islands chunk reconstruction, md5 fingerprints. Exposes
+    ``cdc_chunks(doc_id, chunk_idx, start, cend, chunk_len, fp)``."""
+    poly = " + ".join(
+        f"CAST(unicode(s[i + {j}]) AS HUGEINT) * "
+        f"CAST({pow(_RK_BASE, k - 1 - j, 1 << 64)} AS HUGEINT)"
+        for j in range(k)
+    )
+    return f"""__cn AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+      FROM documents
+    ), __cc AS (
+      SELECT doc_id, s, length(s) AS n FROM __cn WHERE length(s) >= 1
+    ), __ch AS (
+      SELECT doc_id, s, n,
+             [CAST(({poly}) % CAST(18446744073709551616 AS HUGEINT) AS HUGEINT)
+              FOR i IN generate_series(1, n - {k - 1})] AS hs
+      FROM __cc WHERE n >= {k}
+    ), __ccut AS (
+      SELECT doc_id, s, n,
+             [i + {k - 1} FOR i IN generate_series(1, len(hs))
+              IF hs[i] % {divisor} = 0] AS cuts0
+      FROM __ch
+    ), __cfull AS (
+      SELECT doc_id, s,
+             CASE WHEN len(cuts0) = 0 OR cuts0[-1] <> n
+                  THEN list_append(cuts0, n) ELSE cuts0 END AS cuts
+      FROM __ccut
+      UNION ALL
+      SELECT doc_id, s, [n] AS cuts FROM __cc WHERE n < {k}
+    ), __cx AS (
+      SELECT doc_id, s, UNNEST(cuts) AS cend FROM __cfull
+    ), __cse AS (
+      SELECT doc_id, s, cend,
+             COALESCE(lag(cend) OVER (PARTITION BY doc_id ORDER BY cend), 0)
+               AS prev,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cend) - 1
+               AS chunk_idx
+      FROM __cx
+    ), cdc_chunks AS (
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(prev + 1 AS BIGINT) AS start, CAST(cend AS BIGINT) AS cend,
+             CAST(cend - prev AS BIGINT) AS chunk_len,
+             substr(md5(substr(s, prev + 1, cend - prev)), 1, 8) AS fp
+      FROM __cse
+    )"""

@@ -1249,3 +1249,61 @@ def dq09_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed_frac"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# d15 — content-defined chunk dedup accounting (the FastCDC/rsync storage
+# shape): chunk boundaries land where the rolling hash is 0 mod 64, so an
+# edit shifts only its own chunk and every other chunk keeps its
+# fingerprint — chunk-level dedup then counts, per doc, how many chunks
+# (and chars) already exist elsewhere in the corpus. Inverted index on the
+# chunk fingerprint (equi-join, no all-pairs); the rolling hash is the same
+# uint64 polynomial as winnowing, reproduced in HUGEINT by the oracle.
+# --------------------------------------------------------------------------
+from aws_data_engineering_spark.operators.text import cdc_sql_cte as _cdc_cte
+
+
+@register(
+    "d15_cdc_chunk_dedup",
+    f"""
+    WITH {_cdc_cte(k=8, divisor=64)},
+    shared AS (
+      SELECT fp FROM cdc_chunks GROUP BY fp
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c.chunk_len) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN c.chunk_len ELSE 0 END)
+                AS BIGINT) AS dup_chars
+    FROM cdc_chunks c LEFT JOIN shared s ON c.fp = s.fp
+    GROUP BY c.doc_id
+    """,
+    "content-defined chunking dedup audit: rolling-hash boundaries "
+    "(0 mod 64), chunk fingerprints shared across >=2 docs counted per doc "
+    "— edit-stable chunk dedup, inverted-index joins only",
+)
+def d15_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    chunks = T.content_defined_chunks(
+        docs, "doc_id", "text", k=8, divisor=64
+    ).localCheckpoint(eager=True)  # consumed by both the index and the census
+    shared = (
+        chunks.groupBy("fp")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    flagged = chunks.join(
+        shared.withColumn("is_shared", F.lit(1)), "fp", "left"
+    )
+    return flagged.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").alias("total_chars"),
+        F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).alias("dup_chunks"),
+        F.sum(
+            F.when(F.col("is_shared").isNotNull(), F.col("chunk_len")).otherwise(0)
+        ).alias("dup_chars"),
+    )

@@ -409,3 +409,38 @@ def test_bpe_apply_equals_model(spark, text):
     got = [w for w in words if w]
     want = [bpe_apply_model(w, merges) for w in text.split(" ") if w]
     assert got == want
+
+
+def test_cdc_chunks_partition_document(spark):
+    """Content-defined chunks must tile the normalized document exactly
+    (contiguous, complete, in order), and an edit must only change the
+    chunk it lands in — later chunk fingerprints survive."""
+    from aws_data_engineering_spark.operators.text import (
+        _winnow_worker_fns,
+        content_defined_chunks,
+    )
+
+    # varied (non-periodic) text so the rolling hash actually hits
+    # boundaries; a periodic string has only period-many distinct hashes
+    base = " ".join(f"w{(i * 7919) % 104729:x}" for i in range(160))
+    edited = base[:100] + "XX" + base[100:]
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = sorted(
+        content_defined_chunks(df, "doc_id", "text").collect(),
+        key=lambda r: (r.id, r.chunk_idx),
+    )
+    normalize, _, _ = _winnow_worker_fns(8, 4)
+    for doc_id, text in ((1, base), (2, edited)):
+        s = normalize(text)
+        chunks = [r for r in rows if r.id == doc_id]
+        assert chunks[0].start == 1
+        assert chunks[-1].cend == len(s)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start == a.cend + 1
+        assert "".join(s[r.start - 1 : r.cend] for r in chunks) == s
+    # edit stability: fingerprints well after the edit point are shared
+    fps1 = {r.fp for r in rows if r.id == 1 and r.start > 150}
+    fps2 = {r.fp for r in rows if r.id == 2 and r.start > 152}
+    assert fps1 & fps2, "an early edit destroyed all later chunk fingerprints"
