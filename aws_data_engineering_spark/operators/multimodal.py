@@ -1376,3 +1376,42 @@ def png_text_metadata(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
 
     src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
     return src.mapInPandas(kernel, "id bigint, key string, value string")
+
+
+def image_pixel_histogram(
+    df: DataFrame,
+    id_col: str = "id",
+    data_col: str = "data",
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Per-image pixel-value histogram through the REAL PNG decoder:
+    (id, bucket, cnt) with bucket = pixel // bucket_width. Stronger codec
+    evidence than a mean: the full pixel MULTISET must survive the
+    zlib/unfilter round-trip, not just its sum. Blobs die inside the
+    Python worker; only (id, bucket, cnt) rows shuffle."""
+    _, decode_png, _ = _png_worker_fns()
+
+    def kernel(batches):
+        import numpy as np_w
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids, buckets, cnts = [], [], []
+            for i, data in zip(pdf[id_col], pdf[data_col]):
+                _, _, _, raw = decode_png(bytes(data))
+                px = np_w.frombuffer(raw, dtype=np_w.uint8)
+                vals, counts = np_w.unique(px // bucket_width, return_counts=True)
+                ids.extend([int(i)] * len(vals))
+                buckets.extend(int(v) for v in vals)
+                cnts.extend(int(c) for c in counts)
+            yield pd_w.DataFrame(
+                {
+                    "id": pd_w.Series(ids, dtype="int64"),
+                    "bucket": pd_w.Series(buckets, dtype="int32"),
+                    "cnt": pd_w.Series(cnts, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(data_col).alias(data_col)).mapInPandas(
+        kernel, "id bigint, bucket int, cnt bigint"
+    )

@@ -1307,3 +1307,118 @@ def d15_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("is_shared").isNotNull(), F.col("chunk_len")).otherwise(0)
         ).alias("dup_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# m12 — PNG pixel histogram: the m05 real-codec path upgraded from a
+# closed-form pixel SUM to the full pixel MULTISET — every decoded byte is
+# bucketed (pixel // 16) and the corpus-wide histogram must equal the
+# closed-form regeneration of ((id + k) * 31) % 256. One wrong unfilter
+# byte anywhere moves a bucket count and fails the hash. Blobs never leave
+# the Python worker; only (bucket, cnt) partials shuffle.
+# --------------------------------------------------------------------------
+from aws_data_engineering_spark.operators import multimodal as MM
+
+
+@register(
+    "m12_png_pixel_histogram",
+    """
+    WITH dims AS (
+      SELECT doc_id AS id,
+             CAST(4 + doc_id % 16 AS INT) AS width,
+             CAST(4 + doc_id % 12 AS INT) AS height
+      FROM documents
+    ), px AS (
+      SELECT id,
+             UNNEST([CAST((id + k) * 31 % 256 AS INT) // 16
+                     FOR k IN generate_series(0, width * height - 1)]) AS bucket
+      FROM dims
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_images
+    FROM px GROUP BY bucket
+    """,
+    "corpus-wide pixel histogram through the real PNG codec: the decoded "
+    "pixel multiset (not just its sum) must match the closed-form "
+    "generator — per-bucket counts + contributing-image counts",
+)
+def m12_png_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    images = MM.synthesize_png_images(docs, "doc_id")
+    hist = MM.image_pixel_histogram(images, "id", "data", bucket_width=16)
+    return hist.groupBy("bucket").agg(
+        F.sum("cnt").alias("n_pixels"),
+        F.countDistinct("id").alias("n_images"),
+    )
+
+
+# --------------------------------------------------------------------------
+# g04 — bounded k-core peeling (3 rounds, k=2) over the near-dup graph:
+# each round drops nodes of induced degree < k and re-induces the subgraph
+# — the standard iterative coreness peel with a fixed round budget (the
+# g01 fixed-iteration trade: each round is one degree aggregation + two
+# semi-joins, all shuffle-parallel on node id). Output is the surviving
+# nodes with their round-3 induced degree — the dense duplicate cliques
+# that hub-and-spoke false positives can't reach.
+# --------------------------------------------------------------------------
+_G04_K, _G04_ROUNDS = 2, 3
+
+
+def _g04_oracle() -> str:
+    sql = f"""
+    WITH {_G03_EDGES_CTE},
+    und0 AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    )"""
+    prev = "und0"
+    for r in range(1, _G04_ROUNDS + 1):
+        sql += f""",
+    deg{r} AS (
+      SELECT src AS node, COUNT(*) AS deg FROM {prev} GROUP BY src
+    ), keep{r} AS (
+      SELECT node FROM deg{r} WHERE deg >= {_G04_K}
+    ), und{r} AS (
+      SELECT u.src, u.dst FROM {prev} u
+      JOIN keep{r} a ON u.src = a.node
+      JOIN keep{r} b ON u.dst = b.node
+    )"""
+        prev = f"und{r}"
+    sql += f"""
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY src
+    """
+    return sql
+
+
+@register(
+    "g04_kcore_peeling",
+    _g04_oracle(),
+    "bounded k-core peeling (3 rounds, k=2): per-round degree aggregation "
+    "+ endpoint semi-joins on the eager-checkpointed near-dup graph — "
+    "surfaces dense duplicate cliques",
+)
+def g04_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = (
+        SIM.exact_neardup_pairs(emb, threshold=0.35)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    for _ in range(_G04_ROUNDS):
+        keep = (
+            und.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _G04_K)
+            .select("node")
+        )
+        und = und.join(
+            keep.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        und = und.localCheckpoint(eager=True)
+    return und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
