@@ -305,6 +305,7 @@ _AUDIT_SKIP = {
     "c08_csv_corrupt_quarantine", "c09_bucketed_colocated_join",
     "c10_small_file_compaction", "c12_partition_pruned_read",
     "d10_neardup_clusters", "d11_bloom_contamination",
+    "d15_cdc_chunk_dedup", "g04_kcore_peeling",
     "g01_pagerank_neardup_graph", "g02_triangle_count",
     "g03_label_propagation", "s04_ann_ivf_topk", "e06_semdedup",
     "e07_kmeans_lloyd", "m06_wav_decode_features", "m07_jpeg_decode_features",
