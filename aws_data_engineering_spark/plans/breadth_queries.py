@@ -1422,3 +1422,101 @@ def g04_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+# --------------------------------------------------------------------------
+# q90 — clickstream path mining: top 3-step event-type paths per user
+# stream (two lead() windows over the per-user order, then a count) — the
+# path-analysis complement to q88's single-step transition matrix. One
+# shuffle for the user window, one partial-agg shuffle for the path count,
+# TakeOrdered for the top-20.
+# --------------------------------------------------------------------------
+@register(
+    "q90_event_path_mining",
+    """
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY path ORDER BY cnt DESC, path LIMIT 20
+    """,
+    "top 3-step event paths: two lead() windows per user + path count — "
+    "the path-mining complement to q88's transition matrix",
+)
+def q90_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("path"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# t24 — KWIC concordance (keyword in context): every occurrence of the
+# target token with its 3-token left/right windows — the corpus-inspection
+# utility behind search snippets and annotation tooling. Pure columnar
+# array slicing after one posexplode; no shuffle at all (row-parallel),
+# deterministic integer positions.
+# --------------------------------------------------------------------------
+_T24_TARGET, _T24_CTX = "spark", 3
+
+
+@register(
+    "t24_kwic_concordance",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), hits AS (
+      SELECT doc_id, toks, i
+      FROM (SELECT doc_id, toks, UNNEST(toks) AS tok,
+                   generate_subscripts(toks, 1) AS i FROM t)
+      WHERE tok = '{_T24_TARGET}'
+    )
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           COALESCE(array_to_string(
+             list_slice(toks, greatest(i - {_T24_CTX}, 1), i - 1), ' '), '')
+             AS left_ctx,
+           COALESCE(array_to_string(
+             list_slice(toks, i + 1, i + {_T24_CTX}), ' '), '') AS right_ctx
+    FROM hits
+    """,
+    "KWIC concordance: every 'spark' occurrence with 3-token left/right "
+    "context — columnar array slicing, zero shuffle",
+)
+def t24_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = _T24_CTX
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    hits = t.select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos", "tok")
+    ).filter(F.col("tok") == _T24_TARGET)
+    i = F.col("pos") + 1  # 1-based, mirrors the oracle's subscripts
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "toks",
+                F.greatest(i - c, F.lit(1)),
+                F.greatest(i - F.greatest(i - c, F.lit(1)), F.lit(0)),
+            ),
+        ).alias("left_ctx"),
+        F.concat_ws(" ", F.slice("toks", i + 1, c)).alias("right_ctx"),
+    )
