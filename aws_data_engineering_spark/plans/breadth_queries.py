@@ -1520,3 +1520,81 @@ def t24_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("left_ctx"),
         F.concat_ws(" ", F.slice("toks", i + 1, c)).alias("right_ctx"),
     )
+
+
+# --------------------------------------------------------------------------
+# e13 — binary-quantized retrieval: each 64-dim embedding collapses to two
+# 32-bit sign words (1 bit per dimension, 64x compression — the binary-
+# embedding trick below even e04's int8), and search is hamming distance =
+# popcount(xor) on the words, entirely JVM-side. Queries broadcast against
+# the packed corpus; at larger corpora the simhash band-blocking (d07)
+# applies verbatim to these words. Packing sums exact powers of two per
+# word, so both engines build identical integers.
+# --------------------------------------------------------------------------
+@register(
+    "e13_binary_hamming_topk",
+    """
+    WITH x AS (
+      SELECT vec_id, gs - 1 AS j0, CAST(embedding AS DOUBLE[])[gs] AS val
+      FROM embeddings, generate_series(1, 64) g(gs)
+    ), packed AS (
+      SELECT vec_id, j0 // 32 AS word,
+             CAST(SUM(CASE WHEN val > 0
+                           THEN CAST(power(2, j0 % 32) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS bits
+      FROM x GROUP BY vec_id, j0 // 32
+    ), pv AS (
+      SELECT vec_id,
+             MAX(CASE WHEN word = 0 THEN bits END) AS lo,
+             MAX(CASE WHEN word = 1 THEN bits END) AS hi
+      FROM packed GROUP BY vec_id
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+                  AS INT) AS hamming
+      FROM pv q JOIN pv c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, hamming, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS rnk
+      FROM scored) WHERE rnk <= 5
+    """,
+    "binary-quantized ANN: sign-bit packing to two 32-bit words (64x "
+    "compression), hamming = popcount(xor) top-5 per query — JVM bit ops "
+    "end-to-end, d07's band blocking is the documented scale path",
+)
+def e13_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j0", "val"),
+    )
+    weight = F.pow(F.lit(2.0), (F.col("j0") % 32).cast("double")).cast("bigint")
+    packed = x.groupBy("vec_id", (F.col("j0") / 32).cast("int").alias("word")).agg(
+        F.sum(F.when(F.col("val") > 0, weight).otherwise(F.lit(0))).alias("bits")
+    )
+    pv = packed.groupBy("vec_id").agg(
+        F.max(F.when(F.col("word") == 0, F.col("bits"))).alias("lo"),
+        F.max(F.when(F.col("word") == 1, F.col("bits"))).alias("hi"),
+    )
+    q = pv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = pv.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+            + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+        ).cast("int").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "hamming", F.col("rnk").cast("int").alias("rnk"))
+    )

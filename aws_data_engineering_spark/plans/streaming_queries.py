@@ -250,3 +250,48 @@ def st08_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
         "value",
     )
+
+
+@register(
+    "st11_stream_partial_rollup",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{_FMT_DUCK}') AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    "streaming continuous aggregate via APPEND-ONLY partials + merge-on-"
+    "read: each micro-batch appends decomposable (bucket, type) partial "
+    "count/sum rows via foreachBatch, readers re-aggregate — the third "
+    "maintenance strategy beside c04's recompute-overwrite and st08's "
+    "MERGE; the oracle is the single-pass batch aggregate, so the hash "
+    "match proves partial-merge == full recompute",
+)
+def st11_stream_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from aws_data_engineering_spark.streaming import (
+        read_rollup_view,
+        stream_partial_rollup_sink,
+    )
+
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    base = os.path.join(tempfile.gettempdir(), "spark_st11", uuid.uuid4().hex[:8])
+    q = stream_partial_rollup_sink(
+        stream,
+        os.path.join(base, "partials"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        bucket="hour",
+    )
+    q.awaitTermination()
+    view = read_rollup_view(spark, os.path.join(base, "partials"))
+    from pyspark.sql import functions as F
+
+    return view.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.col("total_value"),
+    )

@@ -528,3 +528,57 @@ def run_to_file_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_partial_rollup_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    bucket: str = "hour",
+):
+    """Streaming continuous aggregate via APPEND-ONLY partials + merge-on-
+    read — the third maintenance strategy beside the batch rollup (c04,
+    recompute-and-overwrite) and the streaming MERGE (st08, upsert-in-
+    place): each micro-batch appends its own partial (bucket, event_type)
+    count/sum rows, and readers re-aggregate at query time. SUM/COUNT
+    decompose losslessly over batch partials, so the merged view equals a
+    single-pass aggregate over the whole stream. Append never rewrites
+    history, so the sink needs no table locks and scales to any partition
+    count; compaction (c10) bounds the partial-row count when batches are
+    many.
+
+    Returns the started StreamingQuery (caller awaits)."""
+
+    def append_partials(batch_df: DataFrame, batch_id: int) -> None:
+        partials = (
+            batch_df.filter(F.col("ts").isNotNull())
+            .groupBy(
+                F.date_format(
+                    F.date_trunc(bucket, "ts"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("bucket_start"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_part"),
+                F.sum("value").alias("sum_part"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        partials.write.mode("append").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(append_partials)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup_view(spark, path: str) -> DataFrame:
+    """Merge-on-read over the partial rows ``stream_partial_rollup_sink``
+    appends: re-aggregate the decomposable partials into the final view."""
+    partials = spark.read.parquet(path)
+    return partials.groupBy("bucket_start", "event_type").agg(
+        F.sum("n_part").alias("n_events"),
+        F.round(F.sum("sum_part"), 2).alias("total_value"),
+    )

@@ -434,3 +434,41 @@ def test_stream_upsert_sink_partitioned_target(spark, tmp_path):
     rows = {(r["user_id"], r["dt"]): r["event_id"] for r in spark.read.parquet(target).collect()}
     # one row per (user, dt); d1 keeps event 2 (event 4 was older), d2 keeps 3
     assert rows == {(7, "d1"): 2, (7, "d2"): 3}
+
+
+def test_stream_partial_rollup_multibatch_equals_batch(spark, sf_dir, split_events_dir, tmp_path):
+    """Partials appended across >=2 micro-batches must merge-on-read to
+    exactly the single-pass batch aggregate (SUM/COUNT decomposability is
+    the whole contract of the append-only continuous aggregate)."""
+    stream = ST.read_events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    partials_path = str(tmp_path / "partials")
+    q = ST.stream_partial_rollup_sink(
+        stream, partials_path, checkpoint_dir=str(tmp_path / "ckpt"), bucket="hour"
+    )
+    q.awaitTermination()
+    # more partial rows than final rows proves multi-batch partials existed
+    partials = spark.read.parquet(partials_path)
+    assert partials.select("batch_id").distinct().count() >= 2
+    view = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in ST.read_rollup_view(spark, partials_path).collect()
+    }
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert view == batch
