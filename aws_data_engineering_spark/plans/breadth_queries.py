@@ -1598,3 +1598,133 @@ def e13_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "hamming", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# --------------------------------------------------------------------------
+# q91 — cohort retention: users grouped by first-activity date, retention
+# counted as distinct users active at each day offset — the product-
+# analytics triangle. Two partial-agg shuffles (first-seen per user,
+# distinct activity days) and one join keyed on user — all shuffle-
+# parallel, no window over the whole table.
+# --------------------------------------------------------------------------
+@register(
+    "q91_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+    )
+    SELECT strftime(f.cohort_date, '%Y-%m-%d') AS cohort_date,
+           CAST(date_diff('day', f.cohort_date, a.active_date) AS INT)
+             AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "cohort retention triangle: first-seen cohort per user, distinct users "
+    "active per day offset — two partial aggs + one user-keyed join",
+)
+def q91_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_date")
+    )
+    activity = events.select(
+        "user_id", F.col("ts").cast("date").alias("active_date")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("active_date", "cohort_date").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q92 — association rules over per-user behavior (apriori level-1):
+# support/confidence/lift for every event-type pair co-performed by the
+# same user — co-occurrence, where q88/q90 are sequence. The pair join is
+# keyed on user_id (each user holds <=|event types| rows, so the fan-out is
+# bounded by the type vocabulary, never by corpus size); ratios divide
+# exact integers in a fixed association order, so both engines emit
+# identical doubles before ROUND.
+# --------------------------------------------------------------------------
+@register(
+    "q92_association_rules",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n_users AS (
+      SELECT COUNT(DISTINCT user_id) AS n FROM ut
+    ), type_counts AS (
+      SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) / n, 6) AS support,
+           ROUND(CAST(n_ab AS DOUBLE) / ta.n_t, 6) AS confidence,
+           ROUND(CAST(n_ab AS DOUBLE) * n / (CAST(ta.n_t AS DOUBLE) * tb.n_t), 6)
+             AS lift
+    FROM pairs
+    JOIN type_counts ta ON pairs.type_a = ta.event_type
+    JOIN type_counts tb ON pairs.type_b = tb.event_type
+    CROSS JOIN n_users
+    """,
+    "association rules (apriori level-1): per-user event-type pairs, "
+    "support/confidence/lift on exact integer counts — user-keyed join, "
+    "fan-out bounded by the type vocabulary",
+)
+def q92_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    n_users = ut.agg(F.countDistinct("user_id").alias("n"))
+    type_counts = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = type_counts.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_ta")
+    )
+    tb = type_counts.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_tb")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_ta"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n")
+                / (F.col("n_ta").cast("double") * F.col("n_tb")),
+                6,
+            ).alias("lift"),
+        )
+    )
