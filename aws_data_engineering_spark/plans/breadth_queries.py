@@ -1728,3 +1728,91 @@ def q92_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p11 — padding-waste audit: the quantified rationale for length-bucketed
+# batching. Docs are grouped into batches of 8 two ways — arrival order vs
+# sorted by token count — and each batch pays max(len)*8 padded tokens;
+# the audit reports total waste per strategy (sorted batching should cut
+# padding drastically). Global row_number is the exact baseline at test
+# scale; at 100 TB the same audit runs per range-partition (sort keys are
+# already clustered), which changes only the batch boundaries at partition
+# edges.
+# --------------------------------------------------------------------------
+_P11_BATCH, _P11_MAXLEN = 8, 64
+
+
+@register(
+    "p11_padding_waste_audit",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, LEAST(len(string_split(text, ' ')), {_P11_MAXLEN}) AS n
+      FROM documents
+    ), naive AS (
+      SELECT n, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {_P11_BATCH}
+               AS batch_id
+      FROM lens
+    ), bucketed AS (
+      SELECT n, (ROW_NUMBER() OVER (ORDER BY n, doc_id) - 1) // {_P11_BATCH}
+               AS batch_id
+      FROM lens
+    ), naive_b AS (
+      SELECT batch_id, MAX(n) * COUNT(*) AS padded, SUM(n) AS used
+      FROM naive GROUP BY batch_id
+    ), bucketed_b AS (
+      SELECT batch_id, MAX(n) * COUNT(*) AS padded, SUM(n) AS used
+      FROM bucketed GROUP BY batch_id
+    )
+    SELECT 'naive' AS strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(used) AS BIGINT) AS total_tokens,
+           CAST(SUM(padded) AS BIGINT) AS padded_tokens,
+           CAST(SUM(padded) - SUM(used) AS BIGINT) AS wasted_tokens,
+           ROUND(CAST(SUM(padded) - SUM(used) AS DOUBLE) / SUM(padded), 4)
+             AS waste_frac
+    FROM naive_b
+    UNION ALL
+    SELECT 'length_bucketed', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(used) AS BIGINT), CAST(SUM(padded) AS BIGINT),
+           CAST(SUM(padded) - SUM(used) AS BIGINT),
+           ROUND(CAST(SUM(padded) - SUM(used) AS DOUBLE) / SUM(padded), 4)
+    FROM bucketed_b
+    """,
+    "padding-waste audit: batches of 8 pay max(len)*8 padded tokens; "
+    "arrival-order vs length-sorted batching quantifies why length "
+    "bucketing matters before training",
+)
+def p11_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.least(F.size(F.split("text", " ")), F.lit(_P11_MAXLEN)).alias("n"),
+    )
+
+    def strategy(order_cols: list, name: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        batched = lens.select(
+            "n",
+            ((F.row_number().over(w) - 1) / _P11_BATCH)
+            .cast("bigint")
+            .alias("batch_id"),
+        )
+        per_batch = batched.groupBy("batch_id").agg(
+            (F.max("n") * F.count(F.lit(1))).alias("padded"),
+            F.sum("n").alias("used"),
+        )
+        return per_batch.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("used").alias("total_tokens"),
+            F.sum("padded").alias("padded_tokens"),
+            (F.sum("padded") - F.sum("used")).alias("wasted_tokens"),
+            F.round(
+                (F.sum("padded") - F.sum("used")).cast("double") / F.sum("padded"), 4
+            ).alias("waste_frac"),
+        )
+
+    return strategy(["doc_id"], "naive").unionByName(
+        strategy(["n", "doc_id"], "length_bucketed")
+    )
