@@ -1816,3 +1816,90 @@ def p11_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strategy(["doc_id"], "naive").unionByName(
         strategy(["n", "doc_id"], "length_bucketed")
     )
+
+
+# --------------------------------------------------------------------------
+# t25 — Zipf fit audit: regress ln(frequency) on ln(rank) over the corpus
+# token distribution; a healthy natural-language corpus shows slope near
+# -1. regr_slope/regr_r2 are order-free moment aggregates (both engines
+# accumulate the same sufficient statistics), and rank is deterministic
+# via the (count DESC, token) total order. One token count shuffle + one
+# tiny regression agg.
+# --------------------------------------------------------------------------
+@register(
+    "t25_zipf_fit",
+    """
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+             AS zipf_slope,
+           ROUND(regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+             AS r2
+    FROM ranked
+    """,
+    "Zipf fit: ln(freq) ~ ln(rank) regression over the token distribution "
+    "(slope ~ -1 for natural language) — order-free moment aggregates, "
+    "deterministic rank order",
+)
+def t25_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    lnc = F.log(F.col("cnt").cast("double"))
+    lnr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(lnc, lnr), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lnc, lnr), 4).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q93 — daily new vs cumulative users: first-seen date per user, daily
+# new-user counts, running cumulative total — the growth-accounting view
+# (and the scalable form of "cumulative COUNT DISTINCT over time", which
+# no window supports directly: distinct collapses to first-seen, then a
+# plain running SUM).
+# --------------------------------------------------------------------------
+@register(
+    "q93_cumulative_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+    "daily new vs cumulative users: cumulative COUNT DISTINCT rewritten as "
+    "first-seen collapse + running SUM — the form that scales",
+)
+def q93_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
