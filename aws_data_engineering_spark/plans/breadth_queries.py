@@ -1903,3 +1903,49 @@ def q93_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# c13 — CSV quoting round-trip: values containing the delimiter, quotes,
+# and embedded newlines are written through the CSV sink and read back
+# with multiLine parsing; the oracle reconstructs the same values straight
+# from the source table, so the hash match proves the quote/escape cycle
+# is lossless (the classic CSV corruption class the reference's
+# CSV-centric pipeline would hit first). Escaping is RFC-4180 style
+# (quote doubling) via the writer's escapeQuotes.
+# --------------------------------------------------------------------------
+@register(
+    "c13_csv_quoting_roundtrip",
+    """
+    SELECT doc_id,
+           'v,' || chr(34) || lang || chr(34) || chr(10) || source AS tricky,
+           CAST(length('v,' || chr(34) || lang || chr(34) || chr(10) || source)
+                AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    "CSV quote/escape round-trip: delimiter, quotes, and embedded newlines "
+    "survive write->multiLine read byte-exactly (hash-proven against the "
+    "source-derived values)",
+)
+def c13_csv_quoting_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    docs = _t(spark, sf_dir, "documents")
+    tricky = F.concat(
+        F.lit('v,"'), F.col("lang"), F.lit('"'), F.lit("\n"), F.col("source")
+    )
+    src = docs.select("doc_id", tricky.alias("tricky"))
+    path = f"{tempfile.gettempdir()}/c13_{uuid.uuid4().hex}"
+    src.write.mode("overwrite").option("header", "true").option(
+        "escapeQuotes", "true"
+    ).csv(path)
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema("doc_id long, tricky string")
+        .csv(path)
+    )
+    return back.select(
+        "doc_id", "tricky", F.length("tricky").cast("long").alias("n_chars")
+    )
