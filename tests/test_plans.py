@@ -305,7 +305,7 @@ _AUDIT_SKIP = {
     "c08_csv_corrupt_quarantine", "c09_bucketed_colocated_join",
     "c10_small_file_compaction", "c12_partition_pruned_read",
     "d10_neardup_clusters", "d11_bloom_contamination",
-    "d15_cdc_chunk_dedup", "g04_kcore_peeling",
+    "c13_csv_quoting_roundtrip", "d15_cdc_chunk_dedup", "g04_kcore_peeling",
     "g01_pagerank_neardup_graph", "g02_triangle_count",
     "g03_label_propagation", "s04_ann_ivf_topk", "e06_semdedup",
     "e07_kmeans_lloyd", "m06_wav_decode_features", "m07_jpeg_decode_features",
@@ -319,7 +319,8 @@ _BNLJ_ALLOW = {
     "q19_range_join", "q33_inactive_rich_customers", "q41_conversion_funnel",
     "q69_recursive_month_spine", "q80_important_parts",
     "dq04_partition_volume_anomaly", "dq09_benford_audit",
-    "e03_centroid_assignment",
+    "e03_centroid_assignment", "e13_binary_hamming_topk",
+    "q92_association_rules",
     "e08_power_iteration_pca", "s09_mmr_diversified_topk",
     "t16_tfidf_top_terms", "t23_pmi_collocations",
 }
