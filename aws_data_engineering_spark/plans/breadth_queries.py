@@ -1949,3 +1949,59 @@ def c13_csv_quoting_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", "tricky", F.length("tricky").cast("long").alias("n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# e14 — cluster separation map: pairwise cosine between the per-label mean
+# centroids (6dp-rounded, the e03/e11 pattern) — the centroid-level
+# complement to e09's per-point silhouette: which clusters are actually
+# near each other. |labels|^2 rows, so the "all-pairs" is bounded by the
+# label vocabulary, never the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "e14_centroid_separation",
+    """
+    WITH ex AS (
+      SELECT label, gs AS pos, CAST(embedding AS DOUBLE[])[gs] AS v
+      FROM embeddings, generate_series(1, 64) g(gs)
+    ), comp AS (
+      SELECT label, pos, ROUND(SUM(v) / COUNT(*), 6) AS v
+      FROM ex GROUP BY label, pos
+    ), cent AS (
+      SELECT label, list(v ORDER BY pos) AS centroid FROM comp GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(list_cosine_similarity(a.centroid, b.centroid), 6)
+             AS centroid_cosine
+    FROM cent a JOIN cent b ON a.label < b.label
+    """,
+    "cluster separation map: pairwise cosine between 6dp-rounded label "
+    "centroids — bounded by the label vocabulary, the centroid-level "
+    "complement to the silhouette audit",
+)
+def e14_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p0", "v"),
+    ).withColumn("pos", F.col("p0") + 1)
+    comp = ex.groupBy("label", "pos").agg(
+        F.round(F.sum("v") / F.count(F.lit(1)), 6).alias("v")
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("centroid")
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(SIM.cosine(F.col("ca"), F.col("cb")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+    )

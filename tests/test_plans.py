@@ -320,6 +320,7 @@ _BNLJ_ALLOW = {
     "q69_recursive_month_spine", "q80_important_parts",
     "dq04_partition_volume_anomaly", "dq09_benford_audit",
     "e03_centroid_assignment", "e13_binary_hamming_topk",
+    "e14_centroid_separation",
     "q92_association_rules",
     "e08_power_iteration_pca", "s09_mmr_diversified_topk",
     "t16_tfidf_top_terms", "t23_pmi_collocations",
