@@ -2005,3 +2005,101 @@ def e14_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dq11 — population stability index (PSI): the standard feature-drift
+# monitor. Decile edges come from the REFERENCE week's exact percentiles
+# (interpolated percentile == DuckDB quantile_cont, the q17/dq07 parity),
+# both periods bin against those same edges (pure double comparisons on
+# bit-identical edge values), and each bin reports its PSI term
+# (p-q)*ln(p/q) on exact-integer count ratios. A bin the current period
+# never hits yields NULL on both engines rather than a fabricated epsilon.
+# --------------------------------------------------------------------------
+_DQ11_REF_END, _DQ11_CUR_START = "2024-01-08", "2024-01-24"
+
+
+def _dq11_oracle() -> str:
+    deciles = ", ".join(f"quantile_cont(value, {i / 10})" for i in range(1, 10))
+    bin_expr = "1 + " + " + ".join(
+        f"CASE WHEN value > e.edges[{k}] THEN 1 ELSE 0 END" for k in range(1, 10)
+    )
+    return f"""
+    WITH ref AS (
+      SELECT value FROM events
+      WHERE ts < TIMESTAMP '{_DQ11_REF_END}' AND value IS NOT NULL
+    ), cur AS (
+      SELECT value FROM events
+      WHERE ts >= TIMESTAMP '{_DQ11_CUR_START}' AND value IS NOT NULL
+    ), e AS (
+      SELECT [{deciles}] AS edges FROM ref
+    ), rb AS (
+      SELECT {bin_expr} AS bin, COUNT(*) AS n FROM ref, e GROUP BY bin
+    ), cb AS (
+      SELECT {bin_expr} AS bin, COUNT(*) AS n FROM cur, e GROUP BY bin
+    ), tot AS (
+      SELECT (SELECT SUM(n) FROM rb) AS nr, (SELECT SUM(n) FROM cb) AS nc
+    )
+    SELECT CAST(rb.bin AS INT) AS bin,
+           CAST(rb.n AS BIGINT) AS n_ref,
+           CAST(COALESCE(cb.n, 0) AS BIGINT) AS n_cur,
+           ROUND((CAST(rb.n AS DOUBLE) / nr - CAST(cb.n AS DOUBLE) / nc)
+                 * ln((CAST(rb.n AS DOUBLE) / nr)
+                      / (CAST(cb.n AS DOUBLE) / nc)), 6) AS psi_term
+    FROM rb LEFT JOIN cb USING (bin) CROSS JOIN tot
+    """
+
+
+@register(
+    "dq11_psi_drift",
+    _dq11_oracle(),
+    "population stability index per decile bin: reference-week percentile "
+    "edges, both periods binned on bit-identical edge doubles, PSI terms "
+    "on exact-integer count ratios — the standard feature-drift monitor",
+)
+def dq11_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    ref = events.filter(
+        (F.col("ts") < F.lit(_DQ11_REF_END).cast("timestamp"))
+        & F.col("value").isNotNull()
+    ).select("value")
+    cur = events.filter(
+        (F.col("ts") >= F.lit(_DQ11_CUR_START).cast("timestamp"))
+        & F.col("value").isNotNull()
+    ).select("value")
+    edges = ref.agg(
+        F.percentile("value", F.array(*[F.lit(i / 10) for i in range(1, 10)])).alias(
+            "edges"
+        )
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        b = F.lit(1)
+        for k in range(1, 10):
+            b = b + F.when(
+                F.col("value") > F.element_at("edges", k), 1
+            ).otherwise(0)
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    rb = binned(ref).select(F.col("bin"), F.col("n").alias("n_ref"))
+    cb = binned(cur).select(F.col("bin").alias("cbin"), F.col("n").alias("n_cur0"))
+    nr = rb.agg(F.sum("n_ref").alias("nr"))
+    nc = cb.agg(F.sum("n_cur0").alias("nc"))
+    joined = (
+        rb.join(cb, rb["bin"] == cb["cbin"], "left")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+    )
+    p = F.col("n_ref").cast("double") / F.col("nr")
+    q = F.col("n_cur0").cast("double") / F.col("nc")
+    return joined.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_ref",
+        F.coalesce(F.col("n_cur0"), F.lit(0)).alias("n_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

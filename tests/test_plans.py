@@ -318,7 +318,7 @@ _AUDIT_SKIP = {
 _BNLJ_ALLOW = {
     "q19_range_join", "q33_inactive_rich_customers", "q41_conversion_funnel",
     "q69_recursive_month_spine", "q80_important_parts",
-    "dq04_partition_volume_anomaly", "dq09_benford_audit",
+    "dq04_partition_volume_anomaly", "dq09_benford_audit", "dq11_psi_drift",
     "e03_centroid_assignment", "e13_binary_hamming_topk",
     "e14_centroid_separation",
     "q92_association_rules",
