@@ -2103,3 +2103,355 @@ def dq11_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_cur0"), F.lit(0)).alias("n_cur"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# g05 — BFS shortest-hop distances over the part co-purchase graph: parts
+# are connected when a high-quantity (>=40) lineitem pair shares an order.
+# The Spark side is level-synchronous frontier expansion — each level is one
+# shuffle equi-join of the (small) frontier against the eager-checkpointed
+# edge set plus an anti-join against the visited set, so no iteration ever
+# rescans lineitem and lineage stays flat. The oracle is DuckDB's recursive
+# CTE with the textbook MIN(hops) reduction. At 100 TB the edge build is a
+# per-order self-join (key-parallel, no all-pairs across orders) and each
+# BFS level is one bounded shuffle; hop count is capped so the job graph is
+# statically finite.
+# --------------------------------------------------------------------------
+_G05_QTY, _G05_MAX_HOPS = 40, 4
+
+
+@register(
+    "g05_bfs_copurchase_hops",
+    f"""
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_quantity >= {_G05_QTY}
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), s AS (
+      SELECT MIN(src) AS root FROM edges
+    ), bfs AS (
+      SELECT root AS node, 0 AS hops FROM s
+      UNION
+      SELECT e.dst, bfs.hops + 1
+      FROM bfs JOIN edges e ON e.src = bfs.node
+      WHERE bfs.hops < {_G05_MAX_HOPS}
+    )
+    SELECT node AS part, CAST(MIN(hops) AS INT) AS hops
+    FROM bfs GROUP BY node
+    """,
+    "level-synchronous BFS from the min-key part over the co-purchase "
+    "graph (parts sharing an order at quantity >= 40), hop-capped; oracle "
+    "is a recursive CTE with MIN(hops)",
+)
+def g05_bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _G05_QTY)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    # consumed once per BFS level: materialize so no level rescans lineitem
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    root = edges.agg(F.min("src")).first()[0]
+    dist = spark.createDataFrame(
+        [(root, 0)], "node bigint, hops int"
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, _G05_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hops"))
+            .localCheckpoint(eager=True)  # flat lineage per level
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist.select(F.col("node").alias("part"), F.col("hops"))
+
+
+# --------------------------------------------------------------------------
+# q94 — trailing 7-day distinct users per day (the sliding-window COUNT
+# DISTINCT every growth dashboard needs). Spark has no DISTINCT window
+# aggregate, so the scale-right formulation is: distinct (day, user) pairs
+# -> broadcast range-join against the (bounded, one row per calendar day)
+# day spine -> countDistinct per spine day. The broadcast side is the day
+# spine, never the pair set, so at 100 TB the big side streams map-side.
+# The oracle mirrors the join formulation exactly.
+# --------------------------------------------------------------------------
+@register(
+    "q94_trailing_distinct_users",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), spine AS (
+      SELECT DISTINCT day FROM pairs
+    )
+    SELECT s.day AS day,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS users_7d
+    FROM spine s JOIN pairs p
+      ON p.day >= s.day - 6 AND p.day <= s.day
+    GROUP BY s.day
+    """,
+    "trailing 7-day distinct users per day: distinct (day,user) pairs "
+    "broadcast-range-joined to the bounded day spine (Spark has no "
+    "DISTINCT window aggregate); big side streams, spine broadcasts",
+)
+def q94_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("pday"), "user_id")
+        .distinct()
+    )
+    spine = pairs.select(F.col("pday").alias("day")).distinct()
+    return (
+        pairs.join(
+            F.broadcast(spine),
+            (F.col("pday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("pday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
+
+
+# --------------------------------------------------------------------------
+# dq12 — functional-dependency audit: for each candidate FD X -> Y, how
+# many X values map to more than one distinct Y (profilers call these FD
+# violations; they catch denormalization drift and bad joins upstream).
+# One shuffle groupBy per FD, then a single-row reduce — fully partial-agg
+# friendly, nothing driver-side. NULL determinants are excluded, NULL
+# dependents are ignored by COUNT(DISTINCT) on both engines.
+# --------------------------------------------------------------------------
+_DQ12_FDS = [
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("events", "user_id", "event_type"),
+    ("documents", "lang", "source"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+]
+
+
+def _dq12_oracle() -> str:
+    parts = []
+    for table, det, dep in _DQ12_FDS:
+        parts.append(f"""
+    SELECT '{table}.{det}->{dep}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS violation_rate
+    FROM (
+      SELECT {det}, COUNT(DISTINCT {dep}) AS nd
+      FROM {table} WHERE {det} IS NOT NULL GROUP BY {det}
+    )""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq12_functional_dependency_audit",
+    _dq12_oracle(),
+    "candidate functional-dependency audit over four X->Y pairs: count of "
+    "determinant values with >1 distinct dependent, as a violation rate",
+)
+def dq12_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for table, det, dep in _DQ12_FDS:
+        g = (
+            _t(spark, sf_dir, table)
+            .filter(F.col(det).isNotNull())
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("nd"))
+        )
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        row = g.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            viol.alias("n_violating"),
+            F.round(viol / F.count(F.lit(1)), 6).alias("violation_rate"),
+        ).select(
+            F.lit(f"{table}.{det}->{dep}").alias("fd"),
+            "n_keys",
+            "n_violating",
+            "violation_rate",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --------------------------------------------------------------------------
+# t26 — Flesch-style readability per language. Pure column expressions:
+# words = non-space runs, sentences = [.!?]+ runs (clamped to >=1),
+# syllable proxy = vowel-group runs, identical regexes on both engines
+# (the character classes behave the same under Java regex and RE2). All
+# JVM-side, whole-stage-codegen friendly, one shuffle for the lang groupBy.
+# --------------------------------------------------------------------------
+@register(
+    "t26_readability_by_lang",
+    r"""
+    WITH d AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '\S+')) AS words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(CAST(words AS DOUBLE)), 4) AS avg_words,
+           ROUND(AVG(206.835 - 1.015 * (words * 1.0 / sentences)
+                     - 84.6 * (syllables * 1.0 / words)), 4) AS avg_flesch
+    FROM d WHERE words > 0 GROUP BY lang
+    """,
+    "Flesch-style readability score per language from word / sentence / "
+    "vowel-group-run counts, all as built-in regexp column expressions",
+)
+def t26_readability_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))).alias(
+                "words"
+            ),
+            F.greatest(
+                F.size(
+                    F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))
+                ),
+                F.lit(1),
+            ).alias("sentences"),
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0)
+                )
+            ).alias("syllables"),
+        )
+        .filter(F.col("words") > 0)
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words") / F.col("sentences"))
+        - F.lit(84.6) * (F.col("syllables") / F.col("words"))
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("words").cast("double")), 4).alias("avg_words"),
+        F.round(F.avg(flesch), 4).alias("avg_flesch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# e15 — Johnson-Lindenstrauss random-projection distortion audit: project
+# 64-d embeddings to 16-d with a deterministic Rademacher sign matrix
+# (sign from integer parity of i*73856093 + j*19349663 — pure arithmetic,
+# bit-identical on both engines), then compare pairwise squared distances
+# before and after on a deterministic vec_id sample. Both sides fold the
+# arrays sequentially (F.aggregate / list_sum over list_transform), so the
+# floats agree to well past the ROUND precision. The pair join is a
+# sample×sample broadcast comparison, bounded by the sampling rate — the
+# full-corpus path stays linear (each vector projects independently).
+# --------------------------------------------------------------------------
+_E15_MOD, _E15_K = 25, 16
+
+
+@register(
+    "e15_jl_projection_audit",
+    f"""
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id % {_E15_MOD} = 0
+    ), p AS (
+      SELECT vec_id, emb,
+             list_transform(range(1, {_E15_K} + 1), j ->
+               list_sum(list_transform(range(1, len(emb) + 1), i ->
+                 emb[i] * (CASE WHEN (i * 73856093 + j * 19349663) % 2 = 0
+                           THEN CAST(1 AS DOUBLE)
+                           ELSE CAST(-1 AS DOUBLE) END)))
+               / sqrt({_E15_K})) AS proj
+      FROM s
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.emb) + 1),
+               i -> (a.emb[i] - b.emb[i]) ^ 2)) AS d2o,
+             list_sum(list_transform(range(1, {_E15_K} + 1),
+               j -> (a.proj[j] - b.proj[j]) ^ 2)) AS d2p
+      FROM p a JOIN p b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           ROUND(d2o, 6) AS d2_orig,
+           ROUND(d2p, 6) AS d2_proj,
+           ROUND(d2p / NULLIF(d2o, 0), 4) AS distortion
+    FROM pairs
+    """,
+    "JL random-projection distortion audit: deterministic Rademacher "
+    "projection 64d->16d, pairwise squared-distance ratio on a sampled "
+    "pair set; projection itself is per-row linear",
+)
+def e15_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = F.col("emb")
+
+    def sign(i: F.Column, j: F.Column) -> F.Column:
+        par = (i.cast("long") * 73856093 + j.cast("long") * 19349663) % 2
+        return F.when(par == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    s = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _E15_MOD == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    proj = F.transform(
+        F.sequence(F.lit(1), F.lit(_E15_K)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(1), F.size(emb)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(emb, i) * sign(i, j),
+        )
+        / F.sqrt(F.lit(float(_E15_K))),
+    )
+    p = s.select("vec_id", "emb", proj.alias("proj"))
+    a = p.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("proj").alias("proj_a"),
+    )
+    b = p.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("proj").alias("proj_b"),
+    )
+
+    def sqdist(x: F.Column, y: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: (u - v) * (u - v)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    d2o = sqdist(F.col("emb_a"), F.col("emb_b"))
+    d2p = sqdist(F.col("proj_a"), F.col("proj_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(d2o, 6).alias("d2_orig"),
+            F.round(d2p, 6).alias("d2_proj"),
+            F.round(d2p / F.nullif(d2o, F.lit(0.0)), 4).alias("distortion"),
+        )
+    )

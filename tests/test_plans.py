@@ -307,6 +307,7 @@ _AUDIT_SKIP = {
     "d10_neardup_clusters", "d11_bloom_contamination",
     "c13_csv_quoting_roundtrip", "d15_cdc_chunk_dedup", "g04_kcore_peeling",
     "g01_pagerank_neardup_graph", "g02_triangle_count",
+    "g05_bfs_copurchase_hops",
     "g03_label_propagation", "s04_ann_ivf_topk", "e06_semdedup",
     "e07_kmeans_lloyd", "m06_wav_decode_features", "m07_jpeg_decode_features",
 }
@@ -324,6 +325,9 @@ _BNLJ_ALLOW = {
     "q92_association_rules",
     "e08_power_iteration_pca", "s09_mmr_diversified_topk",
     "t16_tfidf_top_terms", "t23_pmi_collocations",
+    # q94 broadcasts the bounded day spine into a range join (the q19
+    # shape); e15 compares a deterministic sample against itself.
+    "q94_trailing_distinct_users", "e15_jl_projection_audit",
 }
 
 
