@@ -1038,3 +1038,76 @@ def simhash_signatures(
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(kernel, "id bigint, sig bigint")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 3,
+    max_doc_freq: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Directed shingle-containment near-dup pairs: |S(a) ∩ S(b)| / |S(a)|,
+    the asymmetric complement to Jaccard — catches a short doc wholly
+    quoted inside a longer one, where Jaccard is diluted by the longer
+    doc's extra content (the broder-containment / "superset dup" case).
+
+    Scale shape: distinct (doc, gram) inverted index -> stop-shingle filter
+    (grams in more than ``max_doc_freq`` docs are dropped, the standard
+    guard that also caps the index join's fan-out) -> gram equi-join ->
+    per-(a,b) shared count re-joined to |S(a)|. No all-pairs comparison
+    anywhere; every join is a shuffle equi-join, key-parallel at 100 TB.
+    The ratio-vs-threshold compare is exact-integer division on both
+    engines, so the pair set is bit-stable.
+
+    Returns (src, dst, shared_grams, src_grams, containment).
+    """
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("__t"))
+        .filter(F.size("__t") >= gram)
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - gram),
+                    lambda i: F.concat_ws(" ", F.slice("__t", i + 1, gram)),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("src_grams"))
+    keep = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("gram")
+    )
+    g2 = grams.join(keep, "gram", "left_semi")
+    a = g2.select(F.col("id").alias("src"), "gram")
+    b = g2.select(F.col("id").alias("dst"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "src"), "src")
+        .filter(
+            F.col("shared_grams") * F.lit(1.0) / F.col("src_grams")
+            >= F.lit(float(threshold))
+        )
+        .select(
+            "src",
+            "dst",
+            "shared_grams",
+            "src_grams",
+            F.round(F.col("shared_grams") / F.col("src_grams"), 6).alias(
+                "containment"
+            ),
+        )
+    )

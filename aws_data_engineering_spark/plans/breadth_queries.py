@@ -2455,3 +2455,230 @@ def e15_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(d2p / F.nullif(d2o, F.lit(0.0)), 4).alias("distortion"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d16 — shingle-containment near-dup pairs via operators.dedup.
+# containment_pairs: the asymmetric |S(a)∩S(b)|/|S(a)| complement to d05's
+# Jaccard. A short doc quoted verbatim inside a longer one scores ~1.0 here
+# while its Jaccard is diluted below any sane threshold — the "superset
+# duplicate" class every LLM-corpus dedup needs. Stop-shingle doc-frequency
+# cap bounds the inverted-index fan-out; every join is an equi-join.
+# --------------------------------------------------------------------------
+_D16_GRAM, _D16_MAXDF, _D16_TH = 3, 20, 0.5
+
+
+@register(
+    "d16_containment_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i.i + 1, i.i + {_D16_GRAM}), ' ')
+               AS gram
+      FROM toks,
+           LATERAL (SELECT UNNEST(generate_series(0, len(t) - {_D16_GRAM}))
+                    AS i) i
+      WHERE len(t) >= {_D16_GRAM}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS src_grams FROM grams GROUP BY doc_id
+    ), keep AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= {_D16_MAXDF}
+    ), g2 AS (
+      SELECT doc_id, gram FROM grams JOIN keep USING (gram)
+    ), shared AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared_grams
+      FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.src, s.dst,
+           CAST(s.shared_grams AS BIGINT) AS shared_grams,
+           CAST(z.src_grams AS BIGINT) AS src_grams,
+           ROUND(s.shared_grams * 1.0 / z.src_grams, 6) AS containment
+    FROM shared s JOIN sizes z ON s.src = z.doc_id
+    WHERE s.shared_grams * 1.0 / z.src_grams >= {_D16_TH}
+    """,
+    "directed shingle-containment near-dup pairs (|S(a)∩S(b)|/|S(a)| with "
+    "a stop-shingle doc-frequency cap) — the asymmetric complement to "
+    "Jaccard that catches superset duplicates",
+)
+def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        gram=_D16_GRAM,
+        max_doc_freq=_D16_MAXDF,
+        threshold=_D16_TH,
+    )
+
+
+# --------------------------------------------------------------------------
+# c14 — PERMISSIVE JSON-lines ingest with corrupt-record quarantine: the
+# JSON twin of c08's CSV path. Malformed lines (a bare unquoted token where
+# a number belongs) land whole in _corrupt_record with every typed field
+# NULL; the audit recovers the key from the raw line by regex and proves
+# nothing was dropped. Schema-on-read with a corrupt column stays a single
+# map-stage scan at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "c14_json_corrupt_quarantine",
+    """
+    WITH feed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 3 THEN NULL
+                  ELSE ROUND(o_totalprice, 2) END AS o_totalprice,
+             o_orderkey % 7 = 3 AS is_corrupt
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT is_corrupt,
+           COUNT(*) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS parsed_total
+    FROM feed GROUP BY is_corrupt
+    """,
+    "PERMISSIVE JSON-lines ingest with _corrupt_record quarantine (the "
+    "JSON twin of c08): malformed lines kept whole, key recovered by regex "
+    "from the raw line, audit proves nothing dropped",
+)
+def c14_json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base = _os.path.join(
+        _tempfile.gettempdir(), "spark_c14", _uuid.uuid4().hex[:8]
+    )
+    clean = F.to_json(
+        F.struct(
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        )
+    )
+    corrupt = F.concat(
+        F.lit('{"o_orderkey": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "o_totalprice": oops}'),
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 1)
+        .select(
+            F.when(F.col("o_orderkey") % 7 == 3, corrupt)
+            .otherwise(clean)
+            .alias("value")
+        )
+    )
+    src.write.mode("overwrite").text(base)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(base)
+    )
+    is_corrupt = F.col("_corrupt_record").isNotNull()
+    key = F.when(
+        is_corrupt,
+        F.regexp_extract(
+            F.col("_corrupt_record"), r'"o_orderkey": (\d+)', 1
+        ).cast("bigint"),
+    ).otherwise(F.col("o_orderkey"))
+    return (
+        parsed.select(
+            is_corrupt.alias("is_corrupt"),
+            key.alias("key"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("is_corrupt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("key").cast("bigint").alias("min_key"),
+            F.max("key").cast("bigint").alias("max_key"),
+            F.round(
+                F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2
+            ).alias("parsed_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dq13 — median-absolute-deviation robust outlier scan: the robust twin of
+# dq03's 3-sigma z-score (one far outlier inflates sigma and hides its
+# peers; the MAD doesn't break down until half the data is bad). FP rule:
+# values are floored to integer micro-units FIRST, so the medians are exact
+# dyadic doubles and the |x - med| > 4.4478 * mad compare is bit-identical
+# on both engines (no raw-double-vs-aggregate-threshold count flips).
+# Two percentile passes + one counting pass, each a shuffle agg; the
+# per-type median re-join is a broadcast of |event types| rows.
+# --------------------------------------------------------------------------
+@register(
+    "dq13_mad_outliers",
+    """
+    WITH u AS (
+      SELECT event_type, CAST(FLOOR(value * 1e6) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ), med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS med_u FROM u GROUP BY 1
+    ), dev AS (
+      SELECT u.event_type, ABS(u.v - m.med_u) AS d, m.med_u
+      FROM u JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad_u FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(d.med_u) AS median_u,
+           MIN(a.mad_u) AS mad_u,
+           CAST(SUM(CASE WHEN d.d > 3 * 1.4826 * a.mad_u THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+    "median-absolute-deviation robust outlier scan per event type on "
+    "integer micro-units (exact medians, bit-stable threshold compare) — "
+    "the robust twin of dq03's z-score",
+)
+def dq13_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1e6).cast("bigint").alias("v"),
+        )
+    )
+    med = u.groupBy("event_type").agg(F.percentile("v", 0.5).alias("med_u"))
+    dev = u.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med_u")).alias("d"), "med_u"
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("d", 0.5).alias("mad_u"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med_u").alias("median_u"),
+            F.min("mad_u").alias("mad_u"),
+            F.sum(
+                F.when(
+                    F.col("d") > F.lit(3) * F.lit(1.4826) * F.col("mad_u"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -305,7 +305,8 @@ _AUDIT_SKIP = {
     "c08_csv_corrupt_quarantine", "c09_bucketed_colocated_join",
     "c10_small_file_compaction", "c12_partition_pruned_read",
     "d10_neardup_clusters", "d11_bloom_contamination",
-    "c13_csv_quoting_roundtrip", "d15_cdc_chunk_dedup", "g04_kcore_peeling",
+    "c13_csv_quoting_roundtrip", "c14_json_corrupt_quarantine",
+    "d15_cdc_chunk_dedup", "g04_kcore_peeling",
     "g01_pagerank_neardup_graph", "g02_triangle_count",
     "g05_bfs_copurchase_hops",
     "g03_label_propagation", "s04_ann_ivf_topk", "e06_semdedup",
