@@ -2682,3 +2682,166 @@ def dq13_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q95 — decile lift table (the campaign-targeting diagnostic): rank
+# customers by account balance into ntile(10) deciles over a fully
+# deterministic order (score DESC, key ASC — ties can't shuffle rows
+# between engines), mark responders via a semi-join on orders, and report
+# each decile's response rate and lift vs the global rate. Lift is computed
+# from exact integer cross-products (resp*N)/(n*R), never a ratio of
+# rounded ratios, so the doubles are bit-identical. The global totals come
+# from a window over the 10-row decile aggregate — no scalar broadcast.
+# Scale note: the exact unpartitioned ntile is the oracle-checkable form;
+# at 100 TB decile edges come from approx_percentile and rows bin against
+# the broadcast edge array instead of a global sort (the q89 RFM pattern).
+# --------------------------------------------------------------------------
+@register(
+    "q95_decile_lift",
+    """
+    WITH resp AS (
+      SELECT DISTINCT o_custkey FROM orders
+    ), scored AS (
+      SELECT c.c_custkey, ntile(10) OVER (ORDER BY c.c_acctbal DESC,
+                                          c.c_custkey) AS decile,
+             CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_resp
+      FROM customer c LEFT JOIN resp r ON c.c_custkey = r.o_custkey
+    ), d AS (
+      SELECT decile, COUNT(*) AS n, SUM(is_resp) AS resp
+      FROM scored GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(resp AS BIGINT) AS responders,
+           ROUND(resp * 1.0 / n, 6) AS response_rate,
+           ROUND((resp * 1.0 * SUM(n) OVER ()) / (n * SUM(resp) OVER ()), 6)
+             AS lift
+    FROM d
+    """,
+    "decile lift table: balance-ranked ntile deciles (deterministic "
+    "tie-broken order), responder rate per decile, lift vs global rate "
+    "from exact integer cross-products",
+)
+def q95_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    resp = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    scored = (
+        cust.join(resp, cust["c_custkey"] == resp["o_custkey"], "left")
+        .select(
+            F.ntile(10)
+            .over(
+                Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+            )
+            .alias("decile"),
+            F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias(
+                "is_resp"
+            ),
+        )
+    )
+    d = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_resp").alias("resp")
+    )
+    w = Window.partitionBy()
+    return d.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").alias("n_customers"),
+        F.col("resp").alias("responders"),
+        F.round(F.col("resp") * 1.0 / F.col("n"), 6).alias("response_rate"),
+        F.round(
+            (F.col("resp") * 1.0 * F.sum("n").over(w))
+            / (F.col("n") * F.sum("resp").over(w)),
+            6,
+        ).alias("lift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t27 — character-class entropy quality signal: Shannon entropy over the
+# five fixed character classes (lower/upper/digit/space/other) per doc,
+# averaged per source. The class counts are integer regexp_count
+# expressions and the entropy sum is a FIXED-ORDER five-term expression
+# (not a group-by), so both engines execute the identical float ops —
+# no summation-order drift at all. Low-entropy docs are boilerplate/
+# code-dump candidates; the signal complements t02/t17's ratio rules.
+# --------------------------------------------------------------------------
+def _t27_oracle() -> str:
+    cls = {
+        "c_lower": "[a-z]",
+        "c_upper": "[A-Z]",
+        "c_digit": "[0-9]",
+        "c_space": r"[ \t\n]",
+    }
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS {k}" for k, p in cls.items()
+    )
+    tot = "GREATEST(length(text), 1)"
+    other = f"length(text) - (c_lower + c_upper + c_digit + c_space)"
+    terms = " + ".join(
+        f"(CASE WHEN {c} > 0 THEN -({c} * 1.0 / t) * ln({c} * 1.0 / t) "
+        f"ELSE 0 END)"
+        for c in ["c_lower", "c_upper", "c_digit", "c_space", "c_other"]
+    )
+    return f"""
+    WITH d AS (
+      SELECT source, text, {counts}, {tot} AS t FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ), e AS (
+      SELECT source, {other} AS c_other, c_lower, c_upper, c_digit, c_space,
+             t
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG({terms}), 4) AS avg_class_entropy
+    FROM e GROUP BY source
+    """
+
+
+@register(
+    "t27_charclass_entropy",
+    _t27_oracle(),
+    "Shannon entropy over five fixed character classes per doc, averaged "
+    "per source — fixed-order five-term float expression, zero "
+    "summation-order drift; boilerplate/code-dump quality signal",
+)
+def t27_charclass_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "source",
+            F.regexp_count(F.col("text"), F.lit("[a-z]")).alias("c_lower"),
+            F.regexp_count(F.col("text"), F.lit("[A-Z]")).alias("c_upper"),
+            F.regexp_count(F.col("text"), F.lit("[0-9]")).alias("c_digit"),
+            F.regexp_count(F.col("text"), F.lit(r"[ \t\n]")).alias("c_space"),
+            F.length("text").alias("len"),
+            F.greatest(F.length("text"), F.lit(1)).alias("t"),
+        )
+        .withColumn(
+            "c_other",
+            F.col("len")
+            - (
+                F.col("c_lower")
+                + F.col("c_upper")
+                + F.col("c_digit")
+                + F.col("c_space")
+            ),
+        )
+    )
+
+    def term(c: str) -> F.Column:
+        p = F.col(c) * 1.0 / F.col("t")
+        return F.when(F.col(c) > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    ent = (
+        term("c_lower")
+        + term("c_upper")
+        + term("c_digit")
+        + term("c_space")
+        + term("c_other")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(ent), 4).alias("avg_class_entropy"),
+    )
