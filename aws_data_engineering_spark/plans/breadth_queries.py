@@ -2845,3 +2845,159 @@ def t27_charclass_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg(ent), 4).alias("avg_class_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# q96 — bitmap-index activity rollup: each user-month's active days become
+# one BIGINT bitmap (bit_or of 1<<(day-1)), active-day count is a popcount.
+# The roaring-bitmap idea on DataFrames: a month of per-day activity
+# crosses the shuffle as 8 bytes per user instead of up to 31 rows, and
+# popcount/AND/OR answer day-count and overlap questions without re-visiting
+# raw events. Pure integer bit ops (bit_or agg, shiftleft, bit_count) on
+# both engines — bit-exact by construction.
+# --------------------------------------------------------------------------
+@register(
+    "q96_activity_bitmap",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('month', ts) AS DATE) AS month,
+             day(ts) AS d
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), bm AS (
+      SELECT user_id, month,
+             bit_or(CAST(1 AS BIGINT) << (d - 1)) AS bitmap
+      FROM ud GROUP BY user_id, month
+    )
+    SELECT month,
+           CAST(bit_count(bitmap) AS INT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM bm GROUP BY month, bit_count(bitmap)
+    """,
+    "bitmap-index activity rollup: user-month active days packed into one "
+    "BIGINT via bit_or(1<<day), histogram by popcount — 8 bytes per user "
+    "cross the shuffle instead of 31 rows",
+)
+def q96_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.trunc(F.to_date("ts"), "month").alias("month"),
+            F.dayofmonth("ts").alias("d"),
+        )
+        .distinct()
+    )
+    # F.shiftleft only takes a literal shift amount; the SQL form takes a
+    # column
+    bm = ud.groupBy("user_id", "month").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), d - 1)")).alias("bitmap")
+    )
+    return (
+        bm.select("month", F.bit_count("bitmap").cast("int").alias("active_days"))
+        .groupBy("month", "active_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("month", "active_days", "n_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# t28 — count-min sketch frequency estimation, bit-exact: depth 4 × width
+# 256 cell table from engine-portable md5 bucketing (operators.sampling.
+# hash_bucket / bucket_sql — the same portable-hash spine as p01's
+# splits), estimates for the top-20 tokens as min-over-rows of their
+# cells. The sketch property (estimate >= exact, overcount >= 0) is
+# visible in the output columns. Scale: the cell table is a FIXED 1024
+# rows no matter the corpus — sketch cells, not token rows, cross the
+# final shuffle, and the estimate lookup is an equi-join on (row, bucket).
+# --------------------------------------------------------------------------
+_T28_DEPTH, _T28_TOPK = 4, 20
+
+
+def _t28_oracle() -> str:
+    from aws_data_engineering_spark.operators.sampling import bucket_sql
+
+    cells = "\n      UNION ALL ".join(
+        f"SELECT {r} AS r, {bucket_sql('token', f'cms{r}')} AS bucket, "
+        f"CAST(SUM(cnt) AS BIGINT) AS cell FROM tc GROUP BY 2"
+        for r in range(_T28_DEPTH)
+    )
+    keys = "\n      UNION ALL ".join(
+        f"SELECT token, cnt, {r} AS r, {bucket_sql('token', f'cms{r}')} "
+        f"AS bucket FROM top"
+        for r in range(_T28_DEPTH)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+      WHERE text IS NOT NULL
+    ), tc AS (
+      SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> ''
+      GROUP BY token
+    ), cells AS (
+      {cells}
+    ), top AS (
+      SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT {_T28_TOPK}
+    ), keys AS (
+      {keys}
+    ), est AS (
+      SELECT k.token, MIN(c.cell) AS est
+      FROM keys k JOIN cells c ON k.r = c.r AND k.bucket = c.bucket
+      GROUP BY k.token
+    )
+    SELECT t.token,
+           CAST(t.cnt AS BIGINT) AS exact_cnt,
+           CAST(e.est AS BIGINT) AS cms_est,
+           CAST(e.est - t.cnt AS BIGINT) AS overcount
+    FROM top t JOIN est e ON t.token = e.token
+    """
+
+
+@register(
+    "t28_count_min_sketch",
+    _t28_oracle(),
+    "count-min sketch (depth 4 × width 256) token-frequency estimation "
+    "with engine-portable md5 bucketing — fixed 1024-cell table crosses "
+    "the shuffle, top-20 estimates vs exact counts, overcount >= 0",
+)
+def t28_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.operators.sampling import hash_bucket
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    fan = None
+    for r in range(_T28_DEPTH):
+        part = tc.select(
+            F.lit(r).alias("r"),
+            hash_bucket("token", f"cms{r}").alias("bucket"),
+            "cnt",
+        )
+        fan = part if fan is None else fan.unionByName(part)
+    cells = fan.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell"))
+    top = tc.orderBy(F.col("cnt").desc(), F.col("token")).limit(_T28_TOPK)
+    keys = None
+    for r in range(_T28_DEPTH):
+        part = top.select(
+            "token",
+            "cnt",
+            F.lit(r).alias("r"),
+            hash_bucket("token", f"cms{r}").alias("bucket"),
+        )
+        keys = part if keys is None else keys.unionByName(part)
+    est = (
+        keys.join(cells, ["r", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cell").alias("est"))
+    )
+    return top.join(est, "token").select(
+        "token",
+        F.col("cnt").alias("exact_cnt"),
+        F.col("est").alias("cms_est"),
+        (F.col("est") - F.col("cnt")).alias("overcount"),
+    )
