@@ -1415,3 +1415,53 @@ def image_pixel_histogram(
     return df.select(F.col(id_col).alias(id_col), F.col(data_col).alias(data_col)).mapInPandas(
         kernel, "id bigint, bucket int, cnt bigint"
     )
+
+
+def perceptual_hash(
+    df: DataFrame,
+    id_col: str = "id",
+    data_col: str = "data",
+    mime_col: str = "mime",
+    sig_bits: int = 48,
+) -> DataFrame:
+    """aHash-style perceptual signature per image: bit k is set when pixel
+    k is strictly brighter than the image mean, packed little-endian into
+    a BIGINT (first ``sig_bits`` pixels; fewer for tiny images). The
+    brightness compare is ``pixel * n_pixels > total`` — integer ops only,
+    so the signature is bit-identical across engines and platforms.
+
+    Visually identical images collide on (width, height, sig); near-dups
+    differ in a few bits (pair them via d07's band-keyed sharding if
+    needed — the signature is deliberately simhash-shaped). Arrow-batched
+    mapInPandas; kernels built in-factory so cloudpickle ships them by
+    value. Returns (id, width, height, sig).
+    """
+    _, decode_fimg = _fimg_worker_fns()
+    bits = sig_bits
+
+    def kernel(batches):
+        import pandas as pd_w
+
+        def sig_of(data: bytes) -> tuple[int, int, int]:
+            w, h, pix = decode_fimg(bytes(data))
+            wh = w * h
+            total = sum(pix)
+            sig = 0
+            for k in range(min(wh, bits)):
+                if pix[k] * wh > total:
+                    sig |= 1 << k
+            return w, h, sig
+
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "sig": []}
+            for i, d in zip(pdf["id"], pdf["data"]):
+                w, h, s = sig_of(d)
+                out["id"].append(int(i))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sig"].append(s)
+            yield pd_w.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(data_col).alias("data")
+    ).mapInPandas(kernel, "id bigint, width int, height int, sig bigint")

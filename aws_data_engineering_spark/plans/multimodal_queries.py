@@ -215,3 +215,45 @@ def m07_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     images = M.synthesize_jpeg_images(docs, "doc_id")
     return M.decode_jpeg_features(images, "id", "data")
+
+
+@register(
+    "m13_phash_dedup_census",
+    """
+    WITH dims AS (
+      SELECT doc_id AS id, CAST(4 + doc_id % 16 AS INT) AS w,
+             CAST(4 + doc_id % 12 AS INT) AS h
+      FROM documents
+    ), px AS (
+      SELECT id, w, h, w * h AS wh,
+             list_transform(range(0, w * h), k -> (id + k) * 31 % 256) AS pix
+      FROM dims
+    ), sig AS (
+      SELECT id, w, h,
+             list_sum(list_transform(range(0, least(wh, 48)),
+               k -> CASE WHEN pix[k + 1] * wh > list_sum(pix)
+                    THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+                    ELSE 0 END)) AS sig
+      FROM px
+    ), grp AS (
+      SELECT w, h, sig, COUNT(*) AS n FROM sig GROUP BY 1, 2, 3
+    )
+    SELECT CAST(n AS INT) AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM grp GROUP BY n
+    """,
+    "perceptual-hash (aHash) dedup census over decoded images: brighter-"
+    "than-mean bit signature from integer ops only, identical images "
+    "collide on (dims, sig); census of signature-group sizes. The "
+    "multimodal twin of d06's simhash dedup — oracle reproduces the "
+    "signature closed-form from the FIMG pixel formula",
+)
+def m13_phash_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    images = M.synthesize_fake_images(docs, "doc_id")
+    sig = M.perceptual_hash(images, "id", "data", "mime")
+    grp = sig.groupBy("width", "height", "sig").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return grp.groupBy(F.col("n").cast("int").alias("group_size")).agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
