@@ -3001,3 +3001,79 @@ def t28_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("cms_est"),
         (F.col("est") - F.col("cnt")).alias("overcount"),
     )
+
+
+# --------------------------------------------------------------------------
+# e16 — diagonal-Mahalanobis out-of-distribution scan: per (label, dim)
+# mean and population variance from one exploded-embedding shuffle agg,
+# re-joined to score every vector by sum((x-mu)^2 / (var+eps)) — the
+# standard data-curation OOD filter (a vector far from its own class
+# centroid in variance-normalized units is a label-noise / outlier
+# candidate; complements e11's norm-based health audit). Top-5 per label
+# ranked on the ROUNDED score with vec_id tie-break, so the cut is
+# deterministic under cross-engine ulp drift. Scale: stats table is
+# |labels|×dims rows (broadcastable), scoring is one equi-join + one
+# per-vector agg — linear end to end.
+# --------------------------------------------------------------------------
+@register(
+    "e16_mahalanobis_ood",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, i.i AS pos,
+             CAST(embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings,
+           LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) i
+    ), st AS (
+      SELECT label, pos, AVG(v) AS mu, var_pop(v) AS vr
+      FROM ex GROUP BY label, pos
+    ), sc AS (
+      SELECT e.vec_id, e.label,
+             SUM((e.v - s.mu) * (e.v - s.mu) / (s.vr + 1e-6)) AS score
+      FROM ex e JOIN st s ON e.label = s.label AND e.pos = s.pos
+      GROUP BY e.vec_id, e.label
+    ), rk AS (
+      SELECT label, vec_id, ROUND(score, 6) AS ood_score,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY ROUND(score, 6) DESC, vec_id) AS rn
+      FROM sc
+    )
+    SELECT label, vec_id, ood_score FROM rk WHERE rn <= 5
+    """,
+    "diagonal-Mahalanobis OOD scan: per-(label,dim) mean/variance stats "
+    "re-joined to score vectors in variance-normalized units, top-5 per "
+    "label on the rounded score — the label-noise/outlier curation filter",
+)
+def e16_mahalanobis_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "p0", "v"
+            ),
+        )
+        .select("vec_id", "label", (F.col("p0") + 1).alias("pos"), "v")
+    )
+    st = ex.groupBy("label", "pos").agg(
+        F.avg("v").alias("mu"), F.var_pop("v").alias("vr")
+    )
+    sc = (
+        ex.join(F.broadcast(st), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("mu"))
+                * (F.col("v") - F.col("mu"))
+                / (F.col("vr") + F.lit(1e-6))
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.round("score", 6).desc(), F.col("vec_id")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("label", "vec_id", F.round("score", 6).alias("ood_score"))
+    )
