@@ -1079,6 +1079,10 @@ def containment_pairs(
             )
         ).alias("gram"),
     )
+    # consumed by sizes, the stop-shingle census, and BOTH sides of the
+    # gram self-join — materialize the shingle fan-out once instead of
+    # re-exploding per consumer (the jaccard_pairs lesson)
+    grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("src_grams"))
     keep = (
         grams.groupBy("gram")

@@ -74,6 +74,14 @@ HEADLINE = [
     # representative per new family.
     "d14_duplicate_span_merge",
     "e08_power_iteration_pca",
+    # round-3 third batch: bitmap-index activity rollup (integer bit-op
+    # aggregation), count-min sketch estimation (fixed-width cell table),
+    # diagonal-Mahalanobis OOD scan, and shingle-containment dedup — one
+    # representative per new family.
+    "q96_activity_bitmap",
+    "t28_count_min_sketch",
+    "e16_mahalanobis_ood",
+    "d16_containment_pairs",
 ]
 
 
