@@ -3077,3 +3077,119 @@ def e16_mahalanobis_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("label", "vec_id", F.round("score", 6).alias("ood_score"))
     )
+
+
+# --------------------------------------------------------------------------
+# q97 — ordered funnel with a time bound: users whose earliest view is
+# followed by a later click and then a later purchase, all within 24 h of
+# the view (q41's funnel checks presence; this one enforces ORDER and a
+# completion window — the product-analytics "did the journey happen in
+# sequence" question). Each stage is one groupBy-min plus one user-keyed
+# equi-join, so the funnel deepens linearly in stages with no window over
+# the full event stream; durations are exact integer microseconds.
+# --------------------------------------------------------------------------
+_Q97_WINDOW_US = 86_400_000_000  # 24 h
+
+
+@register(
+    "q97_ordered_funnel",
+    f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, v.t1, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id, v.t1
+    ), p AS (
+      SELECT e.user_id, c.t1, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id, c.t1
+    )
+    SELECT user_id,
+           CAST(epoch_us(t3) - epoch_us(t1) AS BIGINT) AS funnel_us
+    FROM p WHERE epoch_us(t3) - epoch_us(t1) <= {_Q97_WINDOW_US}
+    """,
+    "ordered view->click->purchase funnel completed within 24 h: earliest "
+    "view, earliest later click, earliest later purchase via stagewise "
+    "groupBy-min + user-keyed equi-joins; exact integer-microsecond "
+    "durations",
+)
+def q97_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t3"))
+    )
+    dur = F.unix_micros("t3") - F.unix_micros("t1")
+    return p.filter(dur <= _Q97_WINDOW_US).select(
+        "user_id", dur.alias("funnel_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# p12 — deterministic per-epoch shuffle: training loaders need a DIFFERENT
+# document order every epoch that is nonetheless reproducible on any
+# worker count — sort by md5(doc_id || ':' || epoch). No materialized
+# permutation table, no driver-side RNG state; the order key is a pure
+# column expression, so at 100 TB each epoch is one sort (or a
+# sortWithinPartitions feeding a shuffle-free loader) and resuming a crashed
+# epoch re-derives the identical order. Output: the first 5 doc_ids of
+# epochs 0-2, proving orders differ across epochs while each is stable.
+# --------------------------------------------------------------------------
+@register(
+    "p12_epoch_shuffle",
+    """
+    WITH keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                 CAST(e.epoch AS VARCHAR)) AS k
+      FROM documents d,
+           (SELECT UNNEST(generate_series(0, 2)) AS epoch) e
+    ), rk AS (
+      SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+               AS rank
+      FROM keyed
+    )
+    SELECT CAST(epoch AS INT) AS epoch, CAST(rank AS INT) AS rank, doc_id
+    FROM rk WHERE rank <= 5
+    """,
+    "deterministic per-epoch shuffle order: sort key md5(doc_id:epoch) — "
+    "different reproducible order every epoch, no permutation table, no "
+    "driver RNG; first 5 docs of epochs 0-2 shown",
+)
+def p12_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"),
+                        F.col("epoch").cast("string"))
+        ).alias("k"),
+    )
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("epoch", F.col("rank").cast("int").alias("rank"), "doc_id")
+    )

@@ -327,8 +327,10 @@ _BNLJ_ALLOW = {
     "e08_power_iteration_pca", "s09_mmr_diversified_topk",
     "t16_tfidf_top_terms", "t23_pmi_collocations",
     # q94 broadcasts the bounded day spine into a range join (the q19
-    # shape); e15 compares a deterministic sample against itself.
+    # shape); e15 compares a deterministic sample against itself; p12
+    # fans every doc out against a broadcast 3-row epoch spine.
     "q94_trailing_distinct_users", "e15_jl_projection_audit",
+    "p12_epoch_shuffle",
 }
 
 
