@@ -3193,3 +3193,105 @@ def p12_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("epoch", F.col("rank").cast("int").alias("rank"), "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dq14 — order-insensitive cross-engine table checksum: every row hashes to
+# a 60-bit integer (first 15 hex chars of md5 over a '|'-joined canonical
+# string form — doubles quantized to integer cents first, NULLs mapped to
+# a sentinel), and the table fingerprint is the SUM of row hashes mod
+# 2^61-1. Addition commutes, so the checksum is partition- and
+# order-independent: two engines (or a source and its replicated copy)
+# agree iff the row multisets agree (modulo hash collisions) — the
+# replication-validation primitive, computed in one pass with only an
+# 8-byte accumulator per partition crossing the shuffle. The per-row sum
+# accumulates in decimal(38) so no scale of table can overflow it.
+# --------------------------------------------------------------------------
+_DQ14_MOD = 2305843009213693951  # 2^61 - 1
+
+
+def _dq14_hash_sql(cols: str) -> str:
+    h = f"md5({cols})"
+
+    def hexval(i: int) -> str:
+        a = f"ascii(substr({h}, {i}, 1))"
+        return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
+
+    return " + ".join(
+        f"CAST({hexval(i + 1)} AS BIGINT) * CAST({16 ** (14 - i)} AS BIGINT)"
+        for i in range(15)
+    )
+
+
+def _dq14_oracle() -> str:
+    specs = {
+        "region": "CAST(r_regionkey AS VARCHAR) || '|' || COALESCE(r_name, chr(1))",
+        "nation": (
+            "CAST(n_nationkey AS VARCHAR) || '|' || COALESCE(n_name, chr(1))"
+            " || '|' || CAST(n_regionkey AS VARCHAR)"
+        ),
+        "supplier": (
+            "CAST(s_suppkey AS VARCHAR) || '|' || COALESCE(s_name, chr(1))"
+            " || '|' || CAST(s_nationkey AS VARCHAR) || '|' ||"
+            " CAST(CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS VARCHAR)"
+        ),
+    }
+    parts = [
+        f"""
+    SELECT '{t}' AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(({_dq14_hash_sql(expr)}) AS HUGEINT))
+                % {_DQ14_MOD} AS BIGINT) AS checksum
+    FROM {t}"""
+        for t, expr in specs.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq14_table_checksum",
+    _dq14_oracle(),
+    "order-insensitive cross-engine table fingerprint: 60-bit md5 row "
+    "hashes over canonicalized columns (doubles as integer cents) summed "
+    "mod 2^61-1 — replication validation in one pass, 8 bytes per "
+    "partition cross the shuffle",
+)
+def dq14_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sentinel = F.lit("\x01")
+
+    def canon_str(c: F.Column) -> F.Column:
+        return F.coalesce(c.cast("string"), sentinel)
+
+    def cents(c: F.Column) -> F.Column:
+        return F.floor(c * 100).cast("bigint").cast("string")
+
+    specs = {
+        "region": lambda d: F.concat_ws(
+            "|", canon_str(d["r_regionkey"]), canon_str(d["r_name"])
+        ),
+        "nation": lambda d: F.concat_ws(
+            "|",
+            canon_str(d["n_nationkey"]),
+            canon_str(d["n_name"]),
+            canon_str(d["n_regionkey"]),
+        ),
+        "supplier": lambda d: F.concat_ws(
+            "|",
+            canon_str(d["s_suppkey"]),
+            canon_str(d["s_name"]),
+            canon_str(d["s_nationkey"]),
+            cents(d["s_acctbal"]),
+        ),
+    }
+    out = None
+    for t, rowfn in specs.items():
+        d = _t(spark, sf_dir, t)
+        h = F.conv(F.substring(F.md5(rowfn(d)), 1, 15), 16, 10).cast("bigint")
+        row = d.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.pmod(F.sum(h.cast("decimal(38,0)")), F.lit(_DQ14_MOD))
+            .cast("bigint")
+            .alias("checksum"),
+        ).select(F.lit(t).alias("tbl"), "n_rows", "checksum")
+        out = row if out is None else out.unionByName(row)
+    return out
