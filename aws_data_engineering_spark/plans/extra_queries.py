@@ -2737,3 +2737,93 @@ def t20_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("w"), 3).alias("min_logratio"),
         F.round(F.max("w"), 3).alias("max_logratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# g06 — local clustering coefficient over the same near-dup graph as
+# g02/g03: lcc(v) = triangles(v) / C(deg(v), 2), the "how clique-like is
+# this node's neighborhood" score that separates dense duplicate clusters
+# (lcc ~ 1) from hub-and-spoke false-positive stars (lcc ~ 0) — the
+# standard triage signal BEFORE collapsing near-dup clusters. Reuses g02's
+# canonical a<b<c triangle join (two equi-joins, no adjacency lists) plus
+# one degree aggregation; the ratio is exact-integer division so the
+# coefficient is bit-stable.
+# --------------------------------------------------------------------------
+@register(
+    "g06_clustering_coefficient",
+    f"""
+    WITH {_G02_EDGES_CTE},
+    und AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ), deg AS (
+      SELECT a AS node, COUNT(*) AS degree FROM und GROUP BY a
+    ), tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.dst = e2.src
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), tc AS (
+      SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+    )
+    SELECT d.node,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(t.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS lcc
+    FROM deg d LEFT JOIN tc t ON d.node = t.node
+    WHERE d.degree >= 2
+    """,
+    "local clustering coefficient over the near-dup graph: triangles(v) / "
+    "C(deg,2) from g02's canonical triangle join + one degree agg — "
+    "separates dense dup cliques (~1) from hub-and-spoke stars (~0)",
+)
+def g06_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = SIM.exact_neardup_pairs(emb, threshold=0.35).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    # consumed by the degree agg and three triangle-join branches
+    edges = edges.localCheckpoint(eager=True)
+    und = edges.union(edges.select(F.col("dst"), F.col("src")))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tc = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tc, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+    )

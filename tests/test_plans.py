@@ -308,7 +308,7 @@ _AUDIT_SKIP = {
     "c13_csv_quoting_roundtrip", "c14_json_corrupt_quarantine",
     "d15_cdc_chunk_dedup", "g04_kcore_peeling",
     "g01_pagerank_neardup_graph", "g02_triangle_count",
-    "g05_bfs_copurchase_hops",
+    "g05_bfs_copurchase_hops", "g06_clustering_coefficient",
     "g03_label_propagation", "s04_ann_ivf_topk", "e06_semdedup",
     "e07_kmeans_lloyd", "m06_wav_decode_features", "m07_jpeg_decode_features",
 }
