@@ -444,3 +444,70 @@ def test_cdc_chunks_partition_document(spark):
     fps1 = {r.fp for r in rows if r.id == 1 and r.start > 150}
     fps2 = {r.fp for r in rows if r.id == 2 and r.start > 152}
     assert fps1 & fps2, "an early edit destroyed all later chunk fingerprints"
+
+
+def test_containment_detects_planted_superset(spark):
+    """A short doc quoted verbatim inside a longer one must score
+    containment 1.0 in the short->long direction, while the long->short
+    direction is diluted below threshold — the asymmetry that motivates
+    the operator over plain Jaccard."""
+    from aws_data_engineering_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    longd = (
+        "intro words here " + short + " plus a very long unrelated tail "
+        "with many additional tokens stretching the document onward"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, longd), (3, "completely different content words")],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in containment_pairs(
+            docs, gram=3, max_doc_freq=10, threshold=0.9
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # every shingle of the short doc is in the long one
+    assert (2, 1) not in pairs  # diluted direction stays below 0.9
+    assert not any(3 in p for p in pairs)
+
+
+def test_perceptual_hash_identical_images_collide(spark):
+    """FIMG pixels depend on id mod 256 and dims on id mod 48, so ids 768
+    apart are byte-identical images and must share (dims, sig); close ids
+    are different images and must not collide."""
+    from aws_data_engineering_spark.operators.multimodal import (
+        perceptual_hash,
+        synthesize_fake_images,
+    )
+
+    ids = spark.createDataFrame([(0,), (768,), (1,), (2,)], "doc_id bigint")
+    sigs = {
+        r["id"]: (r["width"], r["height"], r["sig"])
+        for r in perceptual_hash(
+            synthesize_fake_images(ids, "doc_id"), "id", "data", "mime"
+        ).collect()
+    }
+    assert sigs[0] == sigs[768]
+    assert sigs[1] != sigs[2]
+    assert sigs[0] != sigs[1]
+
+
+def test_epoch_shuffle_orders_differ_but_multisets_match(spark, sf_dir):
+    """Each epoch's order is a permutation of the same doc set, and
+    different epochs produce different leading orders."""
+    from aws_data_engineering_spark.plans.breadth_queries import (
+        p12_epoch_shuffle,
+    )
+
+    rows = p12_epoch_shuffle(spark, sf_dir).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append((r["rank"], r["doc_id"]))
+    orders = {e: [d for _, d in sorted(v)] for e, v in by_epoch.items()}
+    assert set(orders) == {0, 1, 2}
+    assert all(len(v) == 5 for v in orders.values())
+    # leading 5 differ between epochs (md5 keys make a tie astronomically
+    # unlikely on 500+ docs)
+    assert orders[0] != orders[1] and orders[1] != orders[2]
