@@ -3295,3 +3295,109 @@ def dq14_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(t).alias("tbl"), "n_rows", "checksum")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# dq15 — chi-square independence audit between event_type and day-of-week:
+# the contingency table is exact integer counts, expected counts are
+# (row_total * col_total) / grand_total on exact integers, and each cell
+# reports its (observed-expected)^2/expected term — flags weekly
+# seasonality interacting with event mix (a skewed error-by-weekday cell
+# is an ops incident signature). Totals come from windows over the
+# |types|×|weekdays| cell table (35 rows), so nothing driver-side and no
+# scalar broadcast; the raw scan is one groupBy.
+# --------------------------------------------------------------------------
+@register(
+    "dq15_chi2_independence",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(ts) AS INT) AS dow, COUNT(*) AS o
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_t,
+             SUM(o) OVER (PARTITION BY dow) AS col_t,
+             SUM(o) OVER () AS grand
+      FROM cells
+    )
+    SELECT event_type, dow,
+           CAST(o AS BIGINT) AS observed,
+           ROUND(row_t * 1.0 * col_t / grand, 6) AS expected,
+           ROUND((o - row_t * 1.0 * col_t / grand)
+                 * (o - row_t * 1.0 * col_t / grand)
+                 / (row_t * 1.0 * col_t / grand), 6) AS chi2_term
+    FROM tot
+    """,
+    "chi-square independence audit between event type and ISO weekday: "
+    "exact-integer contingency table, expected counts from integer "
+    "cross-products, per-cell chi2 terms — weekly-seasonality × event-mix "
+    "drift detector",
+)
+def dq15_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.dayofweek_iso("ts").cast("int").alias("dow")
+            if hasattr(F, "dayofweek_iso")
+            else F.expr("(dayofweek(ts) + 5) % 7 + 1").cast("int").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_t = F.sum("o").over(Window.partitionBy("event_type"))
+    col_t = F.sum("o").over(Window.partitionBy("dow"))
+    grand = F.sum("o").over(Window.partitionBy())
+    e = row_t * 1.0 * col_t / grand
+    return cells.select(
+        "event_type",
+        "dow",
+        F.col("o").alias("observed"),
+        F.round(e, 6).alias("expected"),
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias("chi2_term"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q98 — week-over-week revenue delta: weekly order revenue (Monday-anchored
+# ISO week via date_trunc) with lag() for the prior week and an exact
+# integer-cents delta; pct change only where a prior week exists. One
+# groupBy plus one 52-row-per-year window — trivially partial-agg friendly.
+# --------------------------------------------------------------------------
+@register(
+    "q98_wow_revenue_delta",
+    """
+    WITH w AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT week, rev_cents,
+           CAST(rev_cents - lag(rev_cents) OVER (ORDER BY week) AS BIGINT)
+             AS wow_delta_cents,
+           ROUND((rev_cents - lag(rev_cents) OVER (ORDER BY week)) * 1.0
+                 / lag(rev_cents) OVER (ORDER BY week), 6) AS wow_pct
+    FROM w
+    """,
+    "week-over-week revenue delta on exact integer cents: weekly groupBy "
+    "+ lag window, pct change from integer ratios",
+)
+def q98_wow_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "week").alias("week"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    win = Window.orderBy("week")
+    prev = F.lag("rev_cents").over(win)
+    return w.select(
+        "week",
+        "rev_cents",
+        (F.col("rev_cents") - prev).alias("wow_delta_cents"),
+        F.round((F.col("rev_cents") - prev) * 1.0 / prev, 6).alias("wow_pct"),
+    )
