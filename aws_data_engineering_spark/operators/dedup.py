@@ -1084,10 +1084,13 @@ def containment_pairs(
     # re-exploding per consumer (the jaccard_pairs lesson)
     grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("src_grams"))
+    # df >= 2: a gram seen in one doc can never produce a cross-doc pair,
+    # so dropping singletons halves-or-better the self-join input without
+    # changing the result; df <= cap is the stop-shingle fan-out guard
     keep = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_doc_freq)
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq))
         .select("gram")
     )
     g2 = grams.join(keep, "gram", "left_semi")
