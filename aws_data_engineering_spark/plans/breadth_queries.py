@@ -1161,15 +1161,17 @@ def _e12_oracle() -> str:
                                          c.vec_id) AS rnk
       FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
     ), ex5 AS (
-      SELECT query_id, list_sort(list(neighbor_id)) AS exact_top5
+      SELECT query_id, list_sort(list(neighbor_id)) AS ex_arr
       FROM exact_rank WHERE rnk <= 5 GROUP BY query_id
     ), pq5 AS (
-      SELECT query_id, list_sort(list(neighbor_id)) AS pq_top5
+      SELECT query_id, list_sort(list(neighbor_id)) AS pq_arr
       FROM pq GROUP BY query_id
     )
-    SELECT ex5.query_id, exact_top5, pq_top5,
-           CAST(len(list_intersect(exact_top5, pq_top5)) AS INT) AS n_overlap,
-           ROUND(len(list_intersect(exact_top5, pq_top5)) / 5.0, 2) AS recall_at_5
+    SELECT ex5.query_id,
+           array_to_string(ex_arr, ',') AS exact_top5,
+           array_to_string(pq_arr, ',') AS pq_top5,
+           CAST(len(list_intersect(ex_arr, pq_arr)) AS INT) AS n_overlap,
+           ROUND(len(list_intersect(ex_arr, pq_arr)) / 5.0, 2) AS recall_at_5
     FROM ex5 JOIN pq5 USING (query_id)
     """
 
@@ -1187,16 +1189,18 @@ def e12_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = SIM.pq_topk(q, emb, SIM.pq_codebook(m_sub=8, k_codes=16, subdim=8), k=5)
     exact = SIM.brute_force_topk(q, emb, k=5)
     ex5 = exact.groupBy("query_id").agg(
-        F.sort_array(F.collect_list("neighbor_id")).alias("exact_top5")
+        F.sort_array(F.collect_list("neighbor_id")).alias("ex_arr")
     )
     pq5 = pq.groupBy("query_id").agg(
-        F.sort_array(F.collect_list("neighbor_id")).alias("pq_top5")
+        F.sort_array(F.collect_list("neighbor_id")).alias("pq_arr")
     )
-    inter = F.size(F.array_intersect(F.col("exact_top5"), F.col("pq_top5")))
+    inter = F.size(F.array_intersect(F.col("ex_arr"), F.col("pq_arr")))
+    # neighbor sets serialized to CSV at the edge: top-level array columns
+    # crash the driver's pandas canonicalizer (the q65 lesson)
     return ex5.join(pq5, "query_id").select(
         "query_id",
-        "exact_top5",
-        "pq_top5",
+        F.array_join(F.col("ex_arr").cast("array<string>"), ",").alias("exact_top5"),
+        F.array_join(F.col("pq_arr").cast("array<string>"), ",").alias("pq_top5"),
         inter.alias("n_overlap"),
         F.round(inter / F.lit(5.0), 2).alias("recall_at_5"),
     )

@@ -2249,12 +2249,14 @@ def c10_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY list_cosine_similarity(q.e16, c.e16) DESC,
                                          c.vec_id) AS rnk
       FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
-    f5 AS (SELECT query_id, list_sort(list(neighbor_id)) AS full_top5
+    f5 AS (SELECT query_id, list_sort(list(neighbor_id)) AS f_arr
            FROM full_rank WHERE rnk <= 5 GROUP BY query_id),
-    t5 AS (SELECT query_id, list_sort(list(neighbor_id)) AS trunc_top5
+    t5 AS (SELECT query_id, list_sort(list(neighbor_id)) AS t_arr
            FROM trunc_rank WHERE rnk <= 5 GROUP BY query_id)
-    SELECT f5.query_id, full_top5, trunc_top5,
-           CAST(len(list_intersect(full_top5, trunc_top5)) AS INT) AS n_overlap
+    SELECT f5.query_id,
+           array_to_string(f_arr, ',') AS full_top5,
+           array_to_string(t_arr, ',') AS trunc_top5,
+           CAST(len(list_intersect(f_arr, t_arr)) AS INT) AS n_overlap
     FROM f5 JOIN t5 ON f5.query_id = t5.query_id
     """,
     "Matryoshka truncated-dim retrieval audit: top-5 overlap between "
@@ -2272,18 +2274,18 @@ def e05_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc.filter(F.col("vec_id") < 10), trunc, k=5
     )
     f5 = full5.groupBy("query_id").agg(
-        F.sort_array(F.collect_list("neighbor_id")).alias("full_top5")
+        F.sort_array(F.collect_list("neighbor_id")).alias("f_arr")
     )
     t5 = trunc5.groupBy("query_id").agg(
-        F.sort_array(F.collect_list("neighbor_id")).alias("trunc_top5")
+        F.sort_array(F.collect_list("neighbor_id")).alias("t_arr")
     )
+    # neighbor sets serialized to CSV at the edge: top-level array columns
+    # crash the driver's pandas canonicalizer (the q65 lesson)
     return f5.join(t5, "query_id").select(
         "query_id",
-        "full_top5",
-        "trunc_top5",
-        F.size(F.array_intersect(F.col("full_top5"), F.col("trunc_top5"))).alias(
-            "n_overlap"
-        ),
+        F.array_join(F.col("f_arr").cast("array<string>"), ",").alias("full_top5"),
+        F.array_join(F.col("t_arr").cast("array<string>"), ",").alias("trunc_top5"),
+        F.size(F.array_intersect(F.col("f_arr"), F.col("t_arr"))).alias("n_overlap"),
     )
 
 

@@ -119,6 +119,35 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "q38_segments_per_nation", "q39_approx_percentiles",
         "q40_null_semantics", "q42_price_histogram", "q43_salted_skew_join",
         "q44_two_phase_agg", "q45_multiset_ops", "q46_date_string_functions",
+        # --- round-3 sample (CORRECTNESS_r03.json): 48 green rows. The two
+        # non-green rows are deliberately NOT listed so they re-sample in
+        # round 4: q65_window_navigation (driver canonicalizer crashed on its
+        # array-typed output column — fixed by stringifying at the query
+        # edge) and q71_hll_partial_union (rows-only/no_oracle by design,
+        # like q26/q39/s04).
+        "m06_wav_decode_features", "m07_jpeg_decode_features",
+        "m13_phash_dedup_census", "q12_priority_shipping",
+        "q48_sql_api_parity", "q49_month_spine_gapfill",
+        "q50_trailing_window_revenue", "q51_row_udf_dim",
+        "q52_stat_aggregates", "q53_priority_count_map", "q54_array_hof",
+        "q55_order_count_distribution", "q56_big_order_customers",
+        "q57_argmax_customers", "q58_na_functions",
+        "q60_schema_evolution_union", "q62_ansi_safe_arithmetic",
+        "q63_crosstab", "q64_zorder_values", "q66_decimal_exact_totals",
+        "q68_snapshot_reconciliation", "dq01_data_quality_checks",
+        "dq02_table_profile", "q69_recursive_month_spine",
+        "q70_lateral_topk_per_nation", "q72_parameterized_sql",
+        "q73_scd2_historization", "dq03_outlier_detection",
+        "q74_map_hof_pipeline", "st01_stream_tumbling_counts",
+        "st02_stream_attribution_join", "st03_stream_exactly_once_dedup",
+        "st04_stream_static_enrichment", "st05_stream_sliding_counts",
+        "st07_stream_python_datasource", "st08_stream_cdc_upsert",
+        "st11_stream_partial_rollup", "q75_promo_revenue_share",
+        "q76_volume_shipping", "q77_market_share", "q78_top_supplier",
+        "q79_disjunctive_bands", "q80_important_parts",
+        "q81_min_cost_supplier", "dq04_partition_volume_anomaly",
+        "c05_binaryfile_scan", "m08_mp4_container_metadata",
+        "e03_centroid_assignment",
     }
 )
 

@@ -1989,9 +1989,15 @@ def q64_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q65 — window navigation + windowed collect: first_value / nth_value /
-# cume_dist and a bounded collect_list frame (trailing 3 order totals as an
-# array column). One user-keyed sort serves every function — Catalyst
-# collapses same-spec windows into a single Window operator.
+# cume_dist and a bounded collect_list frame (trailing 3 order totals).
+# One user-keyed sort serves every function — Catalyst collapses same-spec
+# windows into a single Window operator. The trailing-3 array is serialized
+# to a CSV string at the query edge: the driver canonicalizes results via a
+# pandas sort over all columns, which cannot factorize list-typed cells
+# (CORRECTNESS_r03 q65 TypeError) — top-level output columns must be scalar
+# (see tests/oracle_utils._assert_no_nested_output_types). Elements are
+# fixed to DECIMAL(12,2) before casting to string so both engines render
+# exactly two decimals.
 # --------------------------------------------------------------------------
 @register(
     "q65_window_navigation",
@@ -2000,17 +2006,20 @@ def q64_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
            ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price,
            ROUND(CUME_DIST() OVER w, 6) AS price_cume,
-           [ROUND(x, 2) FOR x IN LIST(o_totalprice) OVER
-              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)] AS last3_prices
+           array_to_string(
+             [CAST(CAST(ROUND(x, 2) AS DECIMAL(12,2)) AS VARCHAR)
+              FOR x IN LIST(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)],
+             ',') AS last3_prices
     FROM orders
     WHERE o_custkey < 200
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     "window navigation (first_value/nth_value/cume_dist) + bounded "
-    "collect_list frame producing an array column; same window spec -> one "
-    "Window operator",
+    "collect_list frame, serialized to CSV at the edge; same window spec -> "
+    "one Window operator",
 )
 def q65_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
@@ -2023,8 +2032,12 @@ def q65_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(frame), 2).alias("first_price"),
         F.round(F.nth_value("o_totalprice", 2).over(frame), 2).alias("second_price"),
         F.round(F.cume_dist().over(w), 6).alias("price_cume"),
-        F.transform(
-            F.collect_list("o_totalprice").over(last3), lambda x: F.round(x, 2)
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.collect_list("o_totalprice").over(last3),
+                lambda x: F.round(x, 2).cast("decimal(12,2)").cast("string"),
+            ),
         ).alias("last3_prices"),
     )
 

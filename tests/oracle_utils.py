@@ -56,6 +56,38 @@ def _assert_driver_hashable_types(cols, types, oracle_sql: str) -> None:
     )
 
 
+# Top-level array/map/struct output columns crash the driver's pandas
+# canonicalizer: it sort_values over ALL columns, and pandas factorize dies
+# on unhashable list/dict cells (CORRECTNESS_r03 q65: "TypeError: unhashable
+# type: 'list'"). Arrays/maps are fine INSIDE a plan (q17/q53/q54/s03 all
+# consume them) — only the final projected columns must be scalar. Serialize
+# at the query edge: concat_ws on the Spark side, array_to_string in the
+# oracle (fix floats to DECIMAL first so both engines render identically).
+_SPARK_NESTED_TYPES = {"array", "map", "struct"}
+
+
+def _assert_no_nested_output_types(spark_df, d_cols, d_types) -> None:
+    s_bad = [
+        (f.name, f.dataType.typeName())
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in _SPARK_NESTED_TYPES
+    ]
+    assert not s_bad, (
+        f"Spark output columns {s_bad} are array/map/struct-typed; the "
+        f"driver's pandas canonicalizer cannot sort list cells — serialize "
+        f"to a string at the query edge (concat_ws / to_json)"
+    )
+    d_bad = [
+        (c, str(t))
+        for c, t in zip(d_cols, d_types)
+        if "[]" in str(t) or str(t).startswith(("MAP(", "STRUCT(", "UNION("))
+    ]
+    assert not d_bad, (
+        f"oracle output columns {d_bad} are nested-typed; serialize with "
+        f"array_to_string/to_json in the oracle SQL"
+    )
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     """Assert spark result == duckdb oracle result (order-insensitive)."""
     s_cols = spark_df.columns
@@ -65,6 +97,7 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
         rel = conn.sql(oracle_sql)
         d_cols = list(rel.columns)
         _assert_driver_hashable_types(d_cols, rel.types, oracle_sql)
+        _assert_no_nested_output_types(spark_df, d_cols, rel.types)
         d_rows = rel.fetchall()
     finally:
         conn.close()

@@ -349,3 +349,24 @@ def test_whole_registry_no_cartesian_products(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOW:
             bad.append((name, "BroadcastNestedLoopJoin"))
     assert not bad, bad
+
+
+def test_whole_registry_scalar_output_columns(spark, sf_dir):
+    """No registry query may project a top-level array/map/struct column:
+    the driver's pandas canonicalizer sort_values over all columns and
+    factorize dies on unhashable list/dict cells (CORRECTNESS_r03 q65).
+    Nested types are fine mid-plan — only the final schema must be scalar.
+    Schema comes from plan analysis only (no execution), so this sweeps the
+    no-oracle queries the compare()-side guard never sees."""
+    nested = {"array", "map", "struct"}
+    bad = []
+    for name, fn in queries().items():
+        if name.startswith(_AUDIT_SKIP_PREFIXES) or name in _AUDIT_SKIP:
+            continue
+        for f in fn(spark, sf_dir).schema.fields:
+            if f.dataType.typeName() in nested:
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, (
+        f"top-level nested output columns crash the driver canonicalizer; "
+        f"serialize with concat_ws/to_json at the query edge: {bad}"
+    )
