@@ -25,8 +25,10 @@ import sys
 
 from aws_data_engineering_spark.pipeline import (
     TableConfig,
+    compose_inbound_path,
     parse_inbound_key,
     run_load,
+    to_s3a,
 )
 from aws_data_engineering_spark.session import get_spark
 
@@ -58,9 +60,18 @@ def main(argv: list[str] | None = None) -> int:
             f"config is for table {config.table_name!r} but the inbound key "
             f"names {table_name!r}"
         )
-    inbound = args.inbound_path or f"{args.landing_root}/{args.inbound_key}"
-    landing = f"{args.landing_root}/{source_system}/{table_name}"
-    curated = f"{args.curated_root}/{source_system}/{table_name}"
+    # s3:// roots normalize to s3a:// for Spark (the reference's s3a_path,
+    # FInal/load_script.py:138-144); inbound joins root+key with the same
+    # rstrip/lstrip contract (minus the reference's undefined-file_key bug)
+    landing_root = to_s3a(args.landing_root)
+    curated_root = to_s3a(args.curated_root)
+    inbound = (
+        to_s3a(args.inbound_path)
+        if args.inbound_path
+        else compose_inbound_path(landing_root, args.inbound_key)
+    )
+    landing = f"{landing_root.rstrip('/')}/{source_system}/{table_name}"
+    curated = f"{curated_root.rstrip('/')}/{source_system}/{table_name}"
 
     spark = get_spark(app_name=args.app_name)
     run_load(spark, config, inbound, landing, curated)

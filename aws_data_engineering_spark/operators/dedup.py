@@ -453,30 +453,76 @@ def jaccard_pairs(
         eager=True
     )
     if max_df is not None:
-        from pyspark.sql import Window
-
-        rare = (
-            exploded.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("doc_freq"))
-            .filter(F.col("doc_freq") <= max_df)
-            .select("shingle")
+        # the capped (scale) path keys the census and self-join on 48-bit
+        # md5-prefix BIGINTs instead of shingle strings (the
+        # containment_pairs trade: 8-byte shuffle keys, engine-portable so
+        # the oracle hashes identically and any collision affects both
+        # engines the same way). The uncapped exact baseline below keeps
+        # literal strings — d13's accuracy-audit oracle joins on them.
+        exploded = exploded.select(
+            "id",
+            F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("shingle"),
         )
-        survivors = exploded.select("id", "shingle").join(rare, "shingle", "left_semi")
-        exploded = survivors.withColumn(
-            "sh_size", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        dfreq = exploded.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("doc_freq")
         )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh_size").alias("size_a"),
-            F.col("b.sh_size").alias("size_b"),
+        # sizes recompute over ALL df<=cap survivors (singletons included —
+        # they are part of the filtered Jaccard universe); the self-join
+        # input additionally drops df=1 shingles, which can never produce a
+        # cross-doc pair, so the drop changes nothing but the shuffle volume
+        # (the d16 singleton-drop pattern). Sizes are re-attached to the
+        # PAIRS (not carried through the index) so the survivors stay
+        # shingle-partitioned straight into the self-join — no window-on-id
+        # shuffle detour, and the pair table the sizes join touches is
+        # orders of magnitude smaller than the inverted index.
+        survivors = exploded.select("id", "shingle").join(
+            dfreq.filter(F.col("doc_freq") <= max_df), "shingle"
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+        sizes = survivors.groupBy("id").agg(F.count(F.lit(1)).alias("sh_size"))
+        joinable = survivors.filter(F.col("doc_freq") >= 2).select("id", "shingle")
+        a = joinable.alias("a")
+        b = joinable.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        inter = (
+            inter.join(
+                sizes.select(
+                    F.col("id").alias("id_a"), F.col("sh_size").alias("size_a")
+                ),
+                "id_a",
+            ).join(
+                sizes.select(
+                    F.col("id").alias("id_b"), F.col("sh_size").alias("size_b")
+                ),
+                "id_b",
+            )
+        )
+    else:
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.sh_size").alias("size_a"),
+                F.col("b.sh_size").alias("size_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
     return inter.select(
         "id_a", "id_b", F.round(jac, 4).alias("jaccard")
@@ -1063,10 +1109,15 @@ def containment_pairs(
 
     Returns (src, dst, shared_grams, src_grams, containment).
     """
+    # sf-sized corpora often arrive as one parquet file -> one input split;
+    # spread the ~100x gram fan-out across cores BEFORE it happens so the
+    # checkpoint below materializes in parallel (same reason
+    # exploded_shingles repartitions)
     toks = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("__t"))
         .filter(F.size("__t") >= gram)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     )
     grams = toks.select(
         "id",
@@ -1077,7 +1128,20 @@ def containment_pairs(
                     lambda i: F.concat_ws(" ", F.slice("__t", i + 1, gram)),
                 )
             )
-        ).alias("gram"),
+        ).alias("gram_s"),
+    )
+    # grams cross the shuffle as 48-bit md5-prefix BIGINTs, not 3-token
+    # strings: the self-join/census key shrinks to 8 bytes (~5x less shuffle
+    # bytes at sf0.1). Distinctness stays at the STRING level (above); the
+    # hash is engine-portable (DuckDB: CAST('0x'||substr(md5(g),1,12) AS
+    # BIGINT)) so a 48-bit collision — ~n²/2^49, and it would only merge two
+    # gram posting lists — affects both engines identically and the oracle
+    # stays bit-exact.
+    grams = grams.select(
+        "id",
+        F.conv(F.substring(F.md5("gram_s"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("gram"),
     )
     # consumed by sizes, the stop-shingle census, and BOTH sides of the
     # gram self-join — materialize the shingle fan-out once instead of

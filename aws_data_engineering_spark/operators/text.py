@@ -610,3 +610,154 @@ def cdc_sql_cte(k: int = 8, divisor: int = 64) -> str:
              substr(md5(substr(s, prev + 1, cend - prev)), 1, 8) AS fp
       FROM __cse
     )"""
+
+
+def bpe_pair_counts(stream: Column) -> Column:
+    """Adjacent-symbol pair array from a ``bpe_apply``-style stream, word
+    boundaries excluded: every (sym[i], sym[i+1]) with neither side the
+    '< >' boundary symbol. Standard (Sennrich) BPE statistics — overlapping
+    occurrences all count ('aaa' contributes (a,a) twice); only the APPLY
+    step is greedy non-overlapping."""
+    inner = F.substring(
+        stream, F.lit(2), F.greatest(F.lit(0), F.length(stream) - 2)
+    )
+    sym = F.split(inner, "><")
+    n = F.size(sym)
+    pairs = F.zip_with(
+        F.slice(sym, 1, F.greatest(F.lit(0), n - 1)),
+        F.slice(sym, 2, F.greatest(F.lit(0), n - 1)),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return F.filter(
+        pairs,
+        lambda p: (p["a"] != " ") & (p["b"] != " ") & (p["a"] != "") & (p["b"] != ""),
+    )
+
+
+def bpe_learn(df, text_col: str, rounds: int = 6):
+    """LEARN a BPE merge table from a corpus: ``rounds`` iterations of
+    (count adjacent symbol pairs) → (argmax pair, count DESC / lexicographic
+    tiebreak) → (merge that pair corpus-wide), the Sennrich et al. 2016
+    algorithm, unrolled into ONE lazy DataFrame plan.
+
+    Spark-first iteration shape (the e07/g01 unrolled-round pattern, but
+    with zero driver-side state): each round's winning pair is a 1-row
+    aggregate DataFrame, broadcast-crossJoined back so the next round's
+    ``replace`` pattern is built from COLUMNS (``F.replace`` accepts Column
+    patterns) — the merge table never touches the driver. Each round is one
+    corpus re-scan + one tiny shuffle; at 100 TB that is exactly the
+    distributed BPE recipe (pair-count partial aggregation map-side, k
+    scans for k merges).
+
+    Returns a ``rounds``-row DataFrame (round, left_sym, right_sym,
+    pair_cnt). Pinned against the pure-Python model by
+    ``test_bpe_learn_equals_model``.
+    """
+    spark = df.sparkSession
+    # single-file corpora read as one split; spread the k corpus re-scans
+    # across cores (the containment_pairs/exploded_shingles lesson)
+    stream = df.repartition(spark.sparkContext.defaultParallelism).select(
+        F.regexp_replace(F.col(text_col), "(.)", "<$1>").alias("s")
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        pair = F.explode(bpe_pair_counts(F.col("s"))).alias("p")
+        best = (
+            stream.select(pair)
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        row = best.select(
+            F.lit(r).alias("round"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("cnt").alias("pair_cnt"),
+        )
+        out = row if out is None else out.unionAll(row)
+        if r < rounds:
+            stream = stream.crossJoin(F.broadcast(best)).select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit("<"), F.col("a"), F.lit("><"), F.col("b"), F.lit(">")),
+                    F.concat(F.lit("<"), F.col("a"), F.col("b"), F.lit(">")),
+                ).alias("s")
+            )
+    return out
+
+
+def bpe_learn_model(
+    corpus: list[str], rounds: int = 6
+) -> list[tuple[int, str, str, int]]:
+    """Pure-Python reference model for :func:`bpe_learn`: same pair
+    statistics (all adjacent occurrences, word boundary ' ' excluded), same
+    (count DESC, pair lexicographic ASC) tiebreak, same greedy
+    non-overlapping apply between rounds (via :func:`bpe_apply_model` on
+    the whole char stream with ' ' kept as a never-merged symbol)."""
+    streams = [list(t) for t in corpus]
+    out: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms in streams:
+            for x, y in zip(syms, syms[1:]):
+                if " " in (x, y) or "" in (x, y):
+                    continue
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((r, a, b, cnt))
+        merged: list[list[str]] = []
+        for syms in streams:
+            res: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            merged.append(res)
+        streams = merged
+    return out
+
+
+def bpe_learn_oracle_sql(rounds: int = 6) -> str:
+    """DuckDB SQL reproducing :func:`bpe_learn` over the ``documents``
+    view: the k rounds unroll into chained CTEs, and each round's replace
+    pattern is built from the previous round's 1-row argmax via a CROSS
+    JOIN — dynamic patterns in pure SQL, exactly mirroring the Spark
+    side's Column-built ``replace``."""
+    parts = [
+        "WITH s1 AS (SELECT regexp_replace(text, '(.)', '<\\1>', 'g') AS s"
+        " FROM documents)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , p{r} AS (
+      SELECT pr.a AS a, pr.b AS b, COUNT(*) AS cnt FROM (
+        SELECT UNNEST([{{'a': sym[i], 'b': sym[i+1]}}
+                       FOR i IN generate_series(1, len(sym) - 1)]) AS pr
+        FROM (SELECT string_split(substr(s, 2, greatest(0, length(s) - 2)),
+                                  '><') AS sym FROM s{r})
+        ) WHERE pr.a NOT IN ('', ' ') AND pr.b NOT IN ('', ' ')
+      GROUP BY 1, 2
+    ), m{r} AS (
+      SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+    )""")
+        if r < rounds:
+            parts.append(f"""
+    , s{r + 1} AS (
+      SELECT replace(s, '<' || m.a || '><' || m.b || '>',
+                     '<' || m.a || m.b || '>') AS s
+      FROM s{r} CROSS JOIN m{r} m
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, a AS left_sym, b AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS pair_cnt FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n    " + selects

@@ -107,6 +107,26 @@ class TableConfig:
         return cls.from_json(body.decode("utf-8"))
 
 
+def to_s3a(path: str) -> str:
+    """Normalize an ``s3://`` URI to the ``s3a://`` scheme Spark's Hadoop
+    connector needs (``FInal/load_script.py:138-140`` — the reference's
+    ``s3a_path`` helper; boto3 paths stay ``s3://``). Non-s3 paths pass
+    through untouched, so local/hdfs runs need no special-casing."""
+    if path.startswith("s3://"):
+        return "s3a://" + path[5:]
+    return path
+
+
+def compose_inbound_path(landing_root: str, file_key: str) -> str:
+    """Join the landing root and the landed object key exactly as the
+    reference composes ``full_s3_path`` (``FInal/load_script.py:143-144``:
+    ``f"{LANDING_PATH.rstrip('/')}/{file_key.lstrip('/')}"`` then
+    ``s3a_path``) — minus the reference's bug of reading an undefined
+    ``file_key`` variable (its argv binds ``file_path``; the composed path
+    crashes with NameError before any Spark work)."""
+    return to_s3a(f"{landing_root.rstrip('/')}/{file_key.lstrip('/')}")
+
+
 def parse_inbound_key(key: str) -> tuple[str, str, str]:
     """S1 — split ``inbound/<source_system>/<table_name>/<file>`` positionally
     (``Script.sh:13-16``; ``FInal/script.sh:13-16``)."""

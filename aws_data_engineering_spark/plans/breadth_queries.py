@@ -2478,14 +2478,21 @@ _D16_GRAM, _D16_MAXDF, _D16_TH = 3, 20, 0.5
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
       WHERE text IS NOT NULL
-    ), grams AS (
+    ), grams_s AS (
       SELECT DISTINCT doc_id,
              array_to_string(list_slice(t, i.i + 1, i.i + {_D16_GRAM}), ' ')
-               AS gram
+               AS gram_s
       FROM toks,
            LATERAL (SELECT UNNEST(generate_series(0, len(t) - {_D16_GRAM}))
                     AS i) i
       WHERE len(t) >= {_D16_GRAM}
+    ), grams AS (
+      -- 48-bit md5-prefix join key, identical to the Spark side's
+      -- conv(substr(md5(gram),1,12),16,10): distinctness at the string
+      -- level, hashing after, so both engines agree bit-exactly
+      SELECT doc_id,
+             CAST('0x' || substr(md5(gram_s), 1, 12) AS BIGINT) AS gram
+      FROM grams_s
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS src_grams FROM grams GROUP BY doc_id
     ), keep AS (
@@ -3405,3 +3412,29 @@ def q98_wow_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_cents") - prev).alias("wow_delta_cents"),
         F.round((F.col("rev_cents") - prev) * 1.0 / prev, 6).alias("wow_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# t29 — BPE merge LEARNING (Sennrich et al. 2016), completing the tokenizer
+# story: t22 applies a merge table, t29 learns one. Six rounds of
+# (adjacent-pair count, word boundary excluded) -> (argmax, count DESC /
+# lexicographic tiebreak) -> (corpus-wide merge), unrolled into ONE lazy
+# plan with zero driver-side state: each round's winner is a 1-row
+# aggregate broadcast-crossJoined back so the next replace pattern is
+# built from Columns. k merges = k corpus scans + k tiny shuffles — the
+# distributed BPE recipe at any scale. Oracle un-rolls the same rounds as
+# chained CTEs with CROSS JOIN-built replace patterns.
+# --------------------------------------------------------------------------
+_T29_ROUNDS = 6
+
+
+@register(
+    "t29_bpe_merge_learning",
+    T.bpe_learn_oracle_sql(rounds=_T29_ROUNDS),
+    "BPE merge-table learning: k rounds of pair-count/argmax/merge as one "
+    "unrolled lazy plan (1-row broadcast winners, Column-built replace "
+    "patterns, no driver state) — the Sennrich algorithm Spark-first",
+)
+def t29_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_learn(docs, "text", rounds=_T29_ROUNDS)

@@ -89,12 +89,23 @@ def d04_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidate_pairs(docs, "doc_id", "text")
 
 
+# d05 registers the DF-CAPPED form (max_df: shingles in more than _D05_MAXDF
+# docs are dropped before the self-join). The uncapped max_df=None form is
+# the small-corpus exact baseline — correct, but one stop-shingle shared by
+# d docs emits d·(d−1)/2 pairs (100k docs → 5e9 rows), so the query a user
+# copies for a 100 TB corpus must be the capped one. Semantics: Jaccard over
+# the df-filtered shingle universe (stopword-removed Jaccard — what large
+# dedup pipelines actually want); sizes recompute on surviving shingles and
+# the oracle mirrors the df census exactly (the d16 pattern).
+_D05_MAXDF = 20
+
+
 @register(
     "d05_ngram_jaccard_pairs",
-    """
+    f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(lower(trim(text)), '\\\\s+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id,
@@ -103,28 +114,45 @@ def d04_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       FOR i IN generate_series(1, len(t) - 2)])
              END AS sh
       FROM toks
-    ), sized AS (
-      SELECT doc_id, sh, len(sh) AS sh_size FROM grams
     ), exploded AS (
-      SELECT doc_id, sh_size, UNNEST(sh) AS shingle FROM sized
+      -- 48-bit md5-prefix shingle key, identical to the Spark side's
+      -- conv(substr(md5(shingle),1,12),16,10): 8-byte census/join keys
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle_s), 1, 12) AS BIGINT) AS shingle
+      FROM (SELECT doc_id, UNNEST(sh) AS shingle_s FROM grams)
+    ), dfreq AS (
+      SELECT shingle, COUNT(*) AS doc_freq FROM exploded GROUP BY shingle
+    ), survivors AS (
+      SELECT e.doc_id, e.shingle, d.doc_freq
+      FROM exploded e JOIN dfreq d USING (shingle)
+      WHERE d.doc_freq <= {_D05_MAXDF}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sh_size FROM survivors GROUP BY doc_id
+    ), joinable AS (
+      SELECT doc_id, shingle FROM survivors WHERE doc_freq >= 2
     ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.sh_size AS size_a, b.sh_size AS size_b,
-             COUNT(*) AS n_inter
-      FROM exploded a JOIN exploded b
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM joinable a JOIN joinable b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
+      GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           ROUND(n_inter / (size_a + size_b - n_inter), 4) AS jaccard
+           ROUND(n_inter / (za.sh_size + zb.sh_size - n_inter), 4) AS jaccard
     FROM inter
-    WHERE n_inter / (size_a + size_b - n_inter) >= 0.2
+    JOIN sizes za ON inter.id_a = za.doc_id
+    JOIN sizes zb ON inter.id_b = zb.doc_id
+    WHERE n_inter / (za.sh_size + zb.sh_size - n_inter) >= 0.2
     """,
-    "fuzzy dedup: exact word-3gram Jaccard via inverted shingle index",
+    "fuzzy dedup: word-3gram Jaccard via inverted shingle index with the "
+    f"stop-shingle df cap (doc_freq <= {_D05_MAXDF}) — the skew valve that "
+    "survives a 100 TB corpus; max_df=None is the exact small-corpus "
+    "baseline",
 )
 def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, min_jaccard=0.2)
+    return D.jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, min_jaccard=0.2, max_df=_D05_MAXDF
+    )
 
 
 @register(

@@ -82,6 +82,12 @@ HEADLINE = [
     "t28_count_min_sketch",
     "e16_mahalanobis_ood",
     "d16_containment_pairs",
+    # round-4: first round-over-round numbers for the graph and DQ families
+    # — g02 is the single-pass triangle count (g01's driver-iteration
+    # overhead would measure the loop, not the plan) and dq14 the one-pass
+    # whole-table checksum scan.
+    "g02_triangle_count",
+    "dq14_table_checksum",
 ]
 
 

@@ -733,6 +733,62 @@ def test_cli_entry_runs_full_load(spark, tmp_path):
         )
 
 
+def test_cli_s3a_path_composition_parity(tmp_path, monkeypatch):
+    """The CLI's S3 path composition must match the reference byte-for-byte
+    (FInal/load_script.py:138-144): s3:// roots convert to s3a:// for Spark,
+    the inbound path is ``f"{LANDING.rstrip('/')}/{key.lstrip('/')}"``, and
+    the per-table roots follow the v2 ``<root>/<source>/<table>`` layout —
+    minus the reference's bug of composing from an undefined ``file_key``
+    variable (its argv binds ``file_path``, so the real script dies with
+    NameError before any Spark work). Spark session and load are stubbed:
+    this is the path contract, not an s3a round-trip (no Hadoop AWS jars in
+    the sandbox)."""
+    import json
+
+    import aws_data_engineering_spark.__main__ as cli
+    from aws_data_engineering_spark.pipeline import to_s3a
+
+    # unit parity for the s3a_path helper itself
+    assert to_s3a("s3://bkt/a/b") == "s3a://bkt/a/b"
+    assert to_s3a("s3a://bkt/a") == "s3a://bkt/a"
+    assert to_s3a("/local/path") == "/local/path"
+
+    cfg_path = tmp_path / "cust_config.json"
+    cfg_path.write_text(
+        json.dumps({"table_name": "cust", "schema": {"id": "int"}})
+    )
+    captured = {}
+
+    def fake_run_load(spark, config, inbound, landing, curated):
+        captured.update(inbound=inbound, landing=landing, curated=curated)
+
+    monkeypatch.setattr(cli, "run_load", fake_run_load)
+    monkeypatch.setattr(cli, "get_spark", lambda app_name: None)
+
+    key = "inbound/erp/cust/cust_20240131.gz"
+    rc = cli.main(
+        [
+            "--inbound-key", key,
+            "--config", str(cfg_path),
+            "--landing-root", "s3://landing-bucket/",
+            "--curated-root", "s3://curated-bucket",
+        ]
+    )
+    assert rc == 0
+
+    # the reference's composition, re-derived independently here
+    def ref_s3a(p):
+        return "s3a://" + p[5:] if p.startswith("s3://") else p
+
+    ref_landing_root = ref_s3a("s3://landing-bucket/")
+    ref_inbound = ref_s3a(f"{ref_landing_root.rstrip('/')}/{key.lstrip('/')}")
+    assert captured["inbound"] == ref_inbound == (
+        "s3a://landing-bucket/inbound/erp/cust/cust_20240131.gz"
+    )
+    assert captured["landing"] == "s3a://landing-bucket/erp/cust"
+    assert captured["curated"] == "s3a://curated-bucket/erp/cust"
+
+
 def test_simhash_kernel_equals_column(spark, sf_dir):
     """The Arrow simhash kernel must be bit-identical to the (slow,
     interpreted-HOF) simhash() Column it replaces in d06/d07."""

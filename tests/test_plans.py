@@ -331,6 +331,9 @@ _BNLJ_ALLOW = {
     # fans every doc out against a broadcast 3-row epoch spine.
     "q94_trailing_distinct_users", "e15_jl_projection_audit",
     "p12_epoch_shuffle",
+    # t29's per-round 1-row argmax winners broadcast back into the corpus
+    # scan (Column-built replace patterns)
+    "t29_bpe_merge_learning",
 }
 
 

@@ -411,6 +411,43 @@ def test_bpe_apply_equals_model(spark, text):
     assert got == want
 
 
+# ---------------------------------------------------------------------------
+# bpe_learn (t29): unrolled Spark learning plan == pure-Python Sennrich model
+# ---------------------------------------------------------------------------
+def test_bpe_learn_equals_model(spark):
+    """The learned merge table (pair choice, tiebreak, and count per round)
+    must match the pure-Python Sennrich model: all-adjacent pair statistics
+    (overlapping occurrences count), ' ' never merged, argmax by (count
+    DESC, pair lexicographic ASC), greedy non-overlapping apply between
+    rounds. The corpus is built so round 2's winner only exists because
+    round 1's merge created it, and includes an 'aaaa' run (overlap
+    counting) and a cross-word repeated pair."""
+    from aws_data_engineering_spark.operators.text import (
+        bpe_learn,
+        bpe_learn_model,
+    )
+
+    corpus = [
+        "the there then",
+        "aaaa aab the",
+        "banana band bane",
+        "then the alphabet",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_cnt"])
+        for r in bpe_learn(df, "text", rounds=5)
+        .orderBy("round")
+        .collect()
+    ]
+    want = bpe_learn_model(corpus, rounds=5)
+    assert got == want
+    # the model itself must exhibit learning (a round-2+ winner containing a
+    # multi-char symbol produced by an earlier merge) — guards against a
+    # corpus where the test would pass with independent per-round counts
+    assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in want)
+
+
 def test_cdc_chunks_partition_document(spark):
     """Content-defined chunks must tile the normalized document exactly
     (contiguous, complete, in order), and an edit must only change the
