@@ -76,7 +76,11 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "q59_variant_semistructured", "q61_builtin_session_window",
         "d01_exact_dedup_groups", "d02_latest_event_per_user",
         "d03_fingerprint_dedup", "d04_minhash_candidate_pairs",
-        "d05_ngram_jaccard_pairs", "d06_simhash", "d07_simhash_neardup_pairs",
+        # d05 was driver-green in r01 in its UNCAPPED form; round 4 flipped
+        # the registered query to the max_df-capped semantics, so it is
+        # deliberately un-listed to re-earn driver evidence for the form
+        # users actually copy.
+        "d06_simhash", "d07_simhash_neardup_pairs",
         "d08_winnowing_overlap_pairs", "d09_benchmark_contamination",
         "d10_neardup_clusters", "t01_text_stats", "t02_quality_scores",
         "t03_token_counts_by_source", "t04_lang_distribution",
