@@ -448,6 +448,40 @@ def test_bpe_learn_equals_model(spark):
     assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in want)
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abr ", min_size=0, max_size=12),
+            min_size=1,
+            max_size=4,
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_bpe_learn_equals_model_random(spark, corpus):
+    """Hypothesis twin of the fixed-corpus test: tiny alphabet forces
+    top-pair TIES (exercising the count DESC / lexicographic tiebreak),
+    plus empty strings, all-space docs, and runs of repeated chars
+    (overlapping pair counting)."""
+    from aws_data_engineering_spark.operators.text import (
+        bpe_learn,
+        bpe_learn_model,
+    )
+
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_cnt"])
+        for r in bpe_learn(df, "text", rounds=3).orderBy("round").collect()
+    ]
+    want = bpe_learn_model(corpus, rounds=3)
+    # early-exhaustion parity: when no pair remains, the model stops and
+    # the Spark plan's empty argmax empties every later round's union row
+    # (crossJoin with an empty 1-row winner), so both sides truncate alike
+    assert got == want
+
+
 def test_cdc_chunks_partition_document(spark):
     """Content-defined chunks must tile the normalized document exactly
     (contiguous, complete, in order), and an edit must only change the
