@@ -318,34 +318,46 @@ def q79_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q80 — TPC-H Q11 shape (no partsupp table in the fixture schema, so the
 # "stock value" is lineitem revenue per part): parts whose value exceeds
-# 1.1× the average part value. The global total/count aggregate is a 1-row
-# broadcast; the threshold compare runs on 2-dec-rounded doubles on both
-# engines so summation-order drift can't flip membership.
+# 1.1× the average part value. Exactness discipline (the dq03 rule —
+# round-2-dec doubles were NOT enough: at sf0.1 part 15431's sum drifted a
+# cent between engines and flipped the output hash): each row's revenue is
+# FLOOR-quantized to integer 1e-4 units (bit-identical doubles → identical
+# ints), sums are then order-free BIGINT arithmetic, and the 1.1×-mean
+# membership test cross-multiplies (10·val·np > 11·tot) so no division or
+# rounding ever touches the compare. The global total/count aggregate is a
+# 1-row broadcast.
 # --------------------------------------------------------------------------
 @register(
     "q80_important_parts",
     """
     WITH v AS (
-      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS val
+      SELECT l_partkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) AS BIGINT) AS val_q
       FROM lineitem GROUP BY l_partkey
     ),
-    t AS (SELECT SUM(val) AS tot, COUNT(*) AS np FROM v)
-    SELECT l_partkey, ROUND(val, 2) AS part_value
+    t AS (SELECT CAST(SUM(val_q) AS BIGINT) AS tot_q, COUNT(*) AS np FROM v)
+    SELECT l_partkey, val_q / 10000.0 AS part_value
     FROM v, t
-    WHERE ROUND(val, 2) > ROUND(1.1 * tot / np, 2)
+    WHERE 10 * val_q * np > 11 * tot_q
     """,
     "TPC-H Q11 shape: per-part value filtered against a broadcast global "
-    "scalar threshold (1.1x the mean part value)",
+    "scalar threshold (1.1x the mean part value) — per-row integer "
+    "quantization + cross-multiplied compare, zero float boundaries",
 )
 def q80_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    v = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("val"))
-    t = v.agg(F.sum("val").alias("tot"), F.count(F.lit(1)).alias("np"))
-    threshold = F.round(F.lit(1.1) * F.col("tot") / F.col("np"), 2)
+    v = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(_rev() * 10000).cast("bigint")).alias("val_q")
+    )
+    t = v.agg(F.sum("val_q").alias("tot_q"), F.count(F.lit(1)).alias("np"))
     return (
         v.crossJoin(F.broadcast(t))
-        .filter(F.round(F.col("val"), 2) > threshold)
-        .select("l_partkey", F.round("val", 2).alias("part_value"))
+        .filter(
+            F.lit(10) * F.col("val_q") * F.col("np")
+            > F.lit(11) * F.col("tot_q")
+        )
+        .select("l_partkey", (F.col("val_q") / 10000.0).alias("part_value"))
     )
 
 
@@ -353,40 +365,50 @@ def q80_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q81 — TPC-H Q2 shape (no partsupp: supply cost ≈ min observed unit price
 # in lineitem): cheapest supplier per size-25 part. The per-part argmin is
 # MIN over a (price, suppkey) struct — partial-aggregable, no window sort —
-# with suppkey as the deterministic tie-break. MIN/division are exact
-# selections, so no rounding is needed for the compare itself.
+# with suppkey as the deterministic tie-break. The unit price is
+# FLOOR-quantized to integer 1e-4 units per ROW before any aggregation
+# (bit-identical doubles → identical ints on both engines): at sf0.1 an
+# edge-ROUND(x,4) hit a .5 boundary where Java shortest-repr HALF_UP and
+# C binary rounding disagree (312.3088 vs 312.3087) — FLOOR on the same
+# bits can never diverge.
 # --------------------------------------------------------------------------
 @register(
     "q81_min_cost_supplier",
     """
     WITH unit AS (
       SELECT l_partkey, l_suppkey,
-             MIN(l_extendedprice / l_quantity) AS unit_price
+             MIN(CAST(FLOOR(l_extendedprice / l_quantity * 10000) AS BIGINT))
+               AS unit_q
       FROM lineitem GROUP BY 1, 2
     ),
     best AS (
-      SELECT l_partkey, l_suppkey, unit_price,
+      SELECT l_partkey, l_suppkey, unit_q,
              ROW_NUMBER() OVER (PARTITION BY l_partkey
-                                ORDER BY unit_price, l_suppkey) AS rnk
+                                ORDER BY unit_q, l_suppkey) AS rnk
       FROM unit
     )
     SELECT p_partkey, p_name, s_suppkey, s_name,
-           ROUND(unit_price, 4) AS min_unit_price
+           unit_q / 10000.0 AS min_unit_price
     FROM best
     JOIN part ON p_partkey = l_partkey AND p_size = 25
     JOIN supplier ON s_suppkey = l_suppkey
     WHERE rnk = 1
     """,
     "TPC-H Q2 shape: cheapest supplier per part via single-pass "
-    "MIN(struct(price, suppkey)) argmin — no window shuffle-sort",
+    "MIN(struct(price, suppkey)) argmin — no window shuffle-sort; "
+    "integer-quantized unit price, zero float boundaries",
 )
 def q81_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     unit = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+        F.min(
+            F.floor(
+                F.col("l_extendedprice") / F.col("l_quantity") * 10000
+            ).cast("bigint")
+        ).alias("unit_q")
     )
     best = unit.groupBy("l_partkey").agg(
-        F.min(F.struct("unit_price", "l_suppkey")).alias("m")
+        F.min(F.struct("unit_q", "l_suppkey")).alias("m")
     )
     part = (
         _t(spark, sf_dir, "part")
@@ -402,7 +424,7 @@ def q81_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             "s_suppkey",
             "s_name",
-            F.round(F.col("m.unit_price"), 4).alias("min_unit_price"),
+            (F.col("m.unit_q") / 10000.0).alias("min_unit_price"),
         )
     )
 
