@@ -105,9 +105,14 @@ def _make_datasource_classes():
         def read(self, start):
             lo = int(start["pos"])
             hi = min(lo + self._batch, self._rows)
-            # materialized list, not a generator: the prefetched batch is
-            # pickled driver->executor and generators don't pickle
-            return list(_gen_rows(lo, hi)), {"pos": hi}
+            # iterator over a MATERIALIZED list: the prefetched batch is
+            # pickled driver->executor, and generators don't pickle (list
+            # iterators do). Bare lists also break the wrapper's
+            # offset-did-not-advance probe — pyspark's
+            # _SimpleStreamReaderWrapper.add_result_to_cache calls next(it)
+            # on an exhausted-stream batch (end == start) and TypeErrors on
+            # a list, killing the micro-batch thread after the last batch.
+            return iter(list(_gen_rows(lo, hi))), {"pos": hi}
 
         def readBetweenOffsets(self, start, end):
             return list(_gen_rows(int(start["pos"]), int(end["pos"])))
