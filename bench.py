@@ -88,6 +88,9 @@ HEADLINE = [
     # whole-table checksum scan.
     "g02_triangle_count",
     "dq14_table_checksum",
+    # round-4 family: BPE merge learning (6 unrolled pair-count/argmax/merge
+    # rounds — k corpus scans as one lazy plan).
+    "t29_bpe_merge_learning",
 ]
 
 
