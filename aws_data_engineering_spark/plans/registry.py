@@ -148,8 +148,11 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "st07_stream_python_datasource", "st08_stream_cdc_upsert",
         "st11_stream_partial_rollup", "q75_promo_revenue_share",
         "q76_volume_shipping", "q77_market_share", "q78_top_supplier",
-        "q79_disjunctive_bands", "q80_important_parts",
-        "q81_min_cost_supplier", "dq04_partition_volume_anomaly",
+        # q80/q81 were r03-green but round 4 changed their output semantics
+        # (integer-quantized values after the sf0.1 float-boundary fix) —
+        # un-listed, like d05, to re-earn driver evidence for the current
+        # form.
+        "q79_disjunctive_bands", "dq04_partition_volume_anomaly",
         "c05_binaryfile_scan", "m08_mp4_container_metadata",
         "e03_centroid_assignment",
     }
