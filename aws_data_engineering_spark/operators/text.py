@@ -444,10 +444,14 @@ def bpe_apply(text: Column, merges: list[tuple[str, str]]) -> Column:
     ``test_bpe_apply_equals_model``; an earlier separator-sharing encoding
     silently skipped the pair after each merge in runs like 'aaaa').
     Boundary-exact: '<x>' can only be a complete symbol because symbols
-    never contain '<' or '>'. Pure JVM string expressions — no UDF;
-    split on '><' downstream recovers the symbols.
+    never contain '<' or '>' — literal '<'/'>' chars are STRIPPED from the
+    input before encoding (they would otherwise forge frame brackets:
+    merged symbols embedding '<' can false-match inside another symbol's
+    encoding, and a learned '><' symbol round-trips as two empty symbols).
+    Pure JVM string expressions — no UDF; split on '><' downstream
+    recovers the symbols.
     """
-    s = F.regexp_replace(text, "(.)", "<$1>")
+    s = F.regexp_replace(F.regexp_replace(text, "[<>]", ""), "(.)", "<$1>")
     for a, b in merges:
         s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     return s
@@ -465,8 +469,10 @@ def bpe_symbols(stream: Column) -> Column:
 def bpe_apply_model(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Pure-Python reference model for ``bpe_apply`` on a single word:
     greedy left-to-right single-pass merge per rule (no rescan within a
-    rule — a merge's output can't feed the SAME rule's later matches)."""
-    syms = list(word)
+    rule — a merge's output can't feed the SAME rule's later matches).
+    Mirrors :func:`bpe_apply`'s frame-bracket strip: literal '<'/'>' are
+    dropped before the char split."""
+    syms = list(word.replace("<", "").replace(">", ""))
     for a, b in merges:
         out: list[str] = []
         i = 0
@@ -644,10 +650,17 @@ def bpe_learn(df, text_col: str, rounds: int = 6):
     with zero driver-side state): each round's winning pair is a 1-row
     aggregate DataFrame, broadcast-crossJoined back so the next round's
     ``replace`` pattern is built from COLUMNS (``F.replace`` accepts Column
-    patterns) — the merge table never touches the driver. Each round is one
-    corpus re-scan + one tiny shuffle; at 100 TB that is exactly the
-    distributed BPE recipe (pair-count partial aggregation map-side, k
-    scans for k merges).
+    patterns) — the merge table never touches the driver. Each round's
+    merged stream is localCheckpoint-ed (eager), so k merges really cost
+    O(k) corpus scans: without the checkpoint, every round's argmax and
+    every final-union branch would recompute the whole replace chain from
+    the source (O(k^2) scans). At 100 TB swap localCheckpoint for
+    ``checkpoint`` to reliable storage — same O(k) shape (pair-count
+    partial aggregation map-side, one scan per merge), executor-local
+    blocks just aren't durable enough for a 1000-executor run.
+
+    Literal '<'/'>' chars are stripped from the corpus before encoding
+    (see :func:`bpe_apply` — they would forge the frame brackets).
 
     Returns a ``rounds``-row DataFrame (round, left_sym, right_sym,
     pair_cnt). Pinned against the pure-Python model by
@@ -657,8 +670,10 @@ def bpe_learn(df, text_col: str, rounds: int = 6):
     # single-file corpora read as one split; spread the k corpus re-scans
     # across cores (the containment_pairs/exploded_shingles lesson)
     stream = df.repartition(spark.sparkContext.defaultParallelism).select(
-        F.regexp_replace(F.col(text_col), "(.)", "<$1>").alias("s")
-    )
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), "[<>]", ""), "(.)", "<$1>"
+        ).alias("s")
+    ).localCheckpoint(eager=True)
     out = None
     for r in range(1, rounds + 1):
         pair = F.explode(bpe_pair_counts(F.col("s"))).alias("p")
@@ -669,6 +684,9 @@ def bpe_learn(df, text_col: str, rounds: int = 6):
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
+            # 1-row checkpoint: the winner feeds BOTH the next stream and
+            # the final union — materialize once, not once per consumer
+            .localCheckpoint(eager=True)
         )
         row = best.select(
             F.lit(r).alias("round"),
@@ -684,7 +702,7 @@ def bpe_learn(df, text_col: str, rounds: int = 6):
                     F.concat(F.lit("<"), F.col("a"), F.lit("><"), F.col("b"), F.lit(">")),
                     F.concat(F.lit("<"), F.col("a"), F.col("b"), F.lit(">")),
                 ).alias("s")
-            )
+            ).localCheckpoint(eager=True)
     return out
 
 
@@ -695,8 +713,9 @@ def bpe_learn_model(
     statistics (all adjacent occurrences, word boundary ' ' excluded), same
     (count DESC, pair lexicographic ASC) tiebreak, same greedy
     non-overlapping apply between rounds (via :func:`bpe_apply_model` on
-    the whole char stream with ' ' kept as a never-merged symbol)."""
-    streams = [list(t) for t in corpus]
+    the whole char stream with ' ' kept as a never-merged symbol), same
+    '<'/'>' strip before the char split."""
+    streams = [list(t.replace("<", "").replace(">", "")) for t in corpus]
     out: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
         counts: dict[tuple[str, str], int] = {}
@@ -732,7 +751,8 @@ def bpe_learn_oracle_sql(rounds: int = 6) -> str:
     JOIN — dynamic patterns in pure SQL, exactly mirroring the Spark
     side's Column-built ``replace``."""
     parts = [
-        "WITH s1 AS (SELECT regexp_replace(text, '(.)', '<\\1>', 'g') AS s"
+        "WITH s1 AS (SELECT regexp_replace(regexp_replace(text, '[<>]', '',"
+        " 'g'), '(.)', '<\\1>', 'g') AS s"
         " FROM documents)"
     ]
     for r in range(1, rounds + 1):

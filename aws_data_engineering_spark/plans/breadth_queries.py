@@ -126,7 +126,9 @@ _T20_MERGES = [
 
 
 def _t20_oracle() -> str:
-    expr = "regexp_replace(text, '(.)', '<\\1>', 'g')"
+    # strip literal '<'/'>' before encoding, mirroring bpe_apply's
+    # frame-bracket guard (no-op on the bracket-free fixture corpora)
+    expr = "regexp_replace(regexp_replace(text, '[<>]', '', 'g'), '(.)', '<\\1>', 'g')"
     for a, b in _T20_MERGES:
         expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
     return f"""
@@ -3418,12 +3420,15 @@ def q98_wow_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t29 — BPE merge LEARNING (Sennrich et al. 2016), completing the tokenizer
 # story: t22 applies a merge table, t29 learns one. Six rounds of
 # (adjacent-pair count, word boundary excluded) -> (argmax, count DESC /
-# lexicographic tiebreak) -> (corpus-wide merge), unrolled into ONE lazy
-# plan with zero driver-side state: each round's winner is a 1-row
-# aggregate broadcast-crossJoined back so the next replace pattern is
-# built from Columns. k merges = k corpus scans + k tiny shuffles — the
-# distributed BPE recipe at any scale. Oracle un-rolls the same rounds as
-# chained CTEs with CROSS JOIN-built replace patterns.
+# lexicographic tiebreak) -> (corpus-wide merge), unrolled with zero
+# driver-side state: each round's winner is a 1-row aggregate
+# broadcast-crossJoined back so the next replace pattern is built from
+# Columns, and each round's merged stream (and 1-row winner) is
+# localCheckpoint-ed so k merges really cost O(k) corpus scans + k tiny
+# shuffles — without the checkpoint every argmax/union branch re-derives
+# the whole replace chain (O(k^2) scans; ADVICE r04). The distributed BPE
+# recipe at any scale. Oracle un-rolls the same rounds as chained CTEs
+# with CROSS JOIN-built replace patterns.
 # --------------------------------------------------------------------------
 _T29_ROUNDS = 6
 
@@ -3432,8 +3437,9 @@ _T29_ROUNDS = 6
     "t29_bpe_merge_learning",
     T.bpe_learn_oracle_sql(rounds=_T29_ROUNDS),
     "BPE merge-table learning: k rounds of pair-count/argmax/merge as one "
-    "unrolled lazy plan (1-row broadcast winners, Column-built replace "
-    "patterns, no driver state) — the Sennrich algorithm Spark-first",
+    "unrolled plan (1-row broadcast winners, Column-built replace "
+    "patterns, per-round checkpoints so k merges = O(k) corpus scans, no "
+    "driver state) — the Sennrich algorithm Spark-first",
 )
 def t29_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -339,7 +339,10 @@ def q79_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT CAST(SUM(val_q) AS BIGINT) AS tot_q, COUNT(*) AS np FROM v)
     SELECT l_partkey, val_q / 10000.0 AS part_value
     FROM v, t
-    WHERE 10 * val_q * np > 11 * tot_q
+    -- widen before multiplying: 10·val·np overflows int64 around sf1k
+    -- (HUGEINT here; DECIMAL(38,0) on the Spark side — both exact, and
+    -- Spark decimal overflow is LOUD under ANSI instead of wrapping)
+    WHERE 10 * CAST(val_q AS HUGEINT) * np > 11 * CAST(tot_q AS HUGEINT)
     """,
     "TPC-H Q11 shape: per-part value filtered against a broadcast global "
     "scalar threshold (1.1x the mean part value) — per-row integer "
@@ -351,11 +354,12 @@ def q80_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(_rev() * 10000).cast("bigint")).alias("val_q")
     )
     t = v.agg(F.sum("val_q").alias("tot_q"), F.count(F.lit(1)).alias("np"))
+    dec = "decimal(38,0)"
     return (
         v.crossJoin(F.broadcast(t))
         .filter(
-            F.lit(10) * F.col("val_q") * F.col("np")
-            > F.lit(11) * F.col("tot_q")
+            F.lit(10) * F.col("val_q").cast(dec) * F.col("np")
+            > F.lit(11) * F.col("tot_q").cast(dec)
         )
         .select("l_partkey", (F.col("val_q") / 10000.0).alias("part_value"))
     )

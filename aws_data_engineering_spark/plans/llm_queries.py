@@ -105,7 +105,7 @@ _D05_MAXDF = 20
     f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(lower(trim(text)), '\\\\s+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id,

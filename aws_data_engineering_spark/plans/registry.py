@@ -155,6 +155,36 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "q79_disjunctive_bands", "dq04_partition_volume_anomaly",
         "c05_binaryfile_scan", "m08_mp4_container_metadata",
         "e03_centroid_assignment",
+        # --- round-4 sample (CORRECTNESS_r04.json): 49 green rows of 50.
+        # The one non-green row, q71_hll_partial_union, is rows-only
+        # (no_oracle) by design — left out so it keeps sampling, like
+        # q26/q39/s04. This leaves 44 never-driver-sampled queries, all of
+        # which fit round 5's 50-query prefix: full registry coverage.
+        "c06_python_datasource_sink", "c07_mergeschema_evolution",
+        "c08_csv_corrupt_quarantine", "c09_bucketed_colocated_join",
+        "c10_small_file_compaction", "c11_incremental_view_maintenance",
+        "d05_ngram_jaccard_pairs", "d11_bloom_contamination",
+        "d12_duplicate_shingle_fraction", "d13_minhash_estimate_accuracy",
+        "d14_duplicate_span_merge", "dq05_freshness_gaps",
+        "dq06_order_reconciliation", "dq07_winsorized_stats",
+        "e04_int8_quantization", "e05_matryoshka_overlap",
+        "e06_semdedup", "e07_kmeans_lloyd",
+        "e08_power_iteration_pca", "g02_triangle_count",
+        "g03_label_propagation", "g06_clustering_coefficient",
+        "m09_audio_spectral_peak", "m10_scene_change_detection",
+        "m11_png_text_metadata", "p07_stratified_sample",
+        "p08_temperature_mixture", "p09_weighted_priority_sample",
+        "q65_window_navigation", "q80_important_parts",
+        "q81_min_cost_supplier", "q82_returned_item_revenue",
+        "q83_late_order_priority", "q84_supplier_diversity_naaj",
+        "q85_forward_fill", "q86_interval_bucket_join",
+        "q87_local_supplier_volume", "s07_ann_pq_topk",
+        "s08_ann_ivfpq_topk", "st06_stream_session_window",
+        "st09_stream_outer_attribution", "st10_stream_file_sink",
+        "t16_tfidf_top_terms", "t17_gopher_quality_rules",
+        "t18_bigram_logprob", "t19_lexical_diversity",
+        "t20_dsir_importance", "t21_doc_chunking",
+        "t22_bpe_merge_segment",
     }
 )
 

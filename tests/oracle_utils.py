@@ -16,7 +16,11 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     conn = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        conn.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+        # skip absent tables so synthetic partial fixture dirs (e.g. a
+        # documents-only corpus with planted whitespace corners) can reuse
+        # compare(); the real testdata dirs always have all ten files
+        if os.path.exists(path):
+            conn.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     return conn
 
 

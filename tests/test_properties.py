@@ -381,8 +381,10 @@ def test_duplicate_spans_equals_model(spark, texts):
         # overlapping merges — the case the old separator-sharing encoding
         # got wrong ('aaaa' + (a,a) must give [aa, aa], not [aa, a, a])
         st.just("aaaa aaaaa aa"),
+        # '<'/'>' exercise the frame-bracket strip (ADVICE r04: un-stripped
+        # they forge symbol boundaries)
         st.lists(
-            st.text(alphabet="abc", min_size=1, max_size=8),
+            st.text(alphabet="abc<>", min_size=1, max_size=8),
             min_size=1,
             max_size=5,
         ).map(" ".join),
@@ -407,7 +409,13 @@ def test_bpe_apply_equals_model(spark, text):
             cur.append(sym)
     words.append(cur)
     got = [w for w in words if w]
-    want = [bpe_apply_model(w, merges) for w in text.split(" ") if w]
+    # a word that is ALL brackets strips to nothing and vanishes from the
+    # stream, so drop empty model outputs the same way
+    want = [
+        m
+        for m in (bpe_apply_model(w, merges) for w in text.split(" ") if w)
+        if m
+    ]
     assert got == want
 
 
@@ -452,7 +460,7 @@ def test_bpe_learn_equals_model(spark):
 @given(
     st.lists(
         st.lists(
-            st.text(alphabet="abr ", min_size=0, max_size=12),
+            st.text(alphabet="ab<> ", min_size=0, max_size=12),
             min_size=1,
             max_size=4,
         ).map(" ".join),
