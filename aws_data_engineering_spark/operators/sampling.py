@@ -346,3 +346,33 @@ def temperature_mixture_sql(
     WHERE {b} < th.thresh
     GROUP BY 1, 2, 3
     """
+
+
+def epoch_upsample(
+    df: DataFrame,
+    id_col: str | Column,
+    n_epochs: Column,
+    salt: str = "epoch-v1",
+) -> DataFrame:
+    """Quality-weighted epoch upsampling: repeat each row ``n_epochs`` times
+    (a per-row Column, e.g. 1–4 epochs from a quality score — the
+    repeat-good-data-more recipe of modern pretraining mixtures), stamping
+    each copy with ``copy_idx`` and a deterministic per-copy ``sample_key``
+    = md5(id ':' copy_idx salt). Sorting by sample_key yields a reproducible
+    global shuffle in which the copies of one document scatter instead of
+    clumping — no RNG, no permutation table, retry-idempotent.
+
+    Plan shape: ``sequence() + posexplode`` — a purely columnar fan-out in
+    the scan stage, zero shuffle (the optional global sort is the caller's
+    one exchange). At 100 TB the fan-out multiplies bytes by the mean epoch
+    count only; nothing collects and no state exists outside the row.
+    """
+    idc = _as_col(id_col)
+    out = df.withColumn("n_epochs", n_epochs.cast("int"))
+    out = out.select(
+        "*", F.posexplode(F.sequence(F.lit(1), F.col("n_epochs"))).alias("_pos", "copy_idx")
+    ).drop("_pos")
+    key = F.md5(
+        F.concat(idc.cast("string"), F.lit(":"), F.col("copy_idx").cast("string"), F.lit(salt))
+    )
+    return out.withColumn("sample_key", key)

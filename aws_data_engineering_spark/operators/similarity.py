@@ -1230,3 +1230,109 @@ def mmr_topk(
         F.col("rel").alias("relevance"),
         F.col("score").alias("mmr_score"),
     )
+
+
+def hard_negative_topk(
+    anchors: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    anchor_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_anchors: int = 4096,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor, the
+    top-k most-similar candidates with a DIFFERENT label (and a different
+    id) — the near-miss negatives that make embedding models learn, per the
+    standard dense-retrieval recipe (mine the highest-scoring wrong answers,
+    not random ones).
+
+    Plan shape mirrors :func:`brute_force_topk`: the anchor batch is small
+    by construction (a training batch, guarded by ``max_anchors``) and
+    ships inside a numpy ``mapInPandas`` kernel over the candidate table;
+    each Arrow batch emits only its per-anchor top-k, so the one shuffle
+    (the final per-anchor window) moves ~k·A rows per partition — never the
+    N×A score matrix, and the corpus never leaves the scan stage. At 100 TB
+    the corpus side streams map-side; mining for MORE anchors shards the
+    anchor set across repeated passes (or swaps in the s02/s06 ANN
+    candidates as the pool).
+
+    Floating-point contract: the kernel is :func:`_seq_cosine_fns`'s
+    dimension-by-dimension accumulation — the exact IEEE sequence of DuckDB
+    ``list_cosine_similarity`` — so scores bit-match the oracle.
+    """
+    a_proj = anchors.select(
+        F.col(anchor_id).alias("a_id"),
+        F.col(label_col).alias("a_label"),
+        _as_double(F.col(vec_col)).alias("a_vec"),
+    )
+    _guard_exact_path(
+        anchors.select(anchor_id),
+        max_anchors,
+        "hard_negative_topk",
+        "per-batch anchor sharding (mine k negatives per training batch)",
+    )
+    a_rows = a_proj.collect()
+    a_ids = [r["a_id"] for r in a_rows]
+    a_labels = [r["a_label"] for r in a_rows]
+    a_vecs = [list(r["a_vec"]) for r in a_rows]
+    kk = int(k)
+    seq_cos = _seq_cosine_fns()
+
+    def kernel(batches):
+        import numpy as np_w
+        import pandas as pd_w
+
+        am = np_w.asarray(a_vecs, dtype=np_w.float64)  # (A, D)
+        aid = np_w.asarray(a_ids)
+        alab = np_w.asarray(a_labels)
+        for pdf in batches:
+            if not len(pdf) or not len(aid):
+                continue
+            ids = pdf["negative_id"].to_numpy()
+            labs = pdf["negative_label"].to_numpy()
+            cm = np_w.array(list(pdf["c_vec"]), dtype=np_w.float64)  # (B, D)
+            sims = seq_cos(cm, am)  # (B, A)
+            out = {"anchor_id": [], "anchor_label": [], "negative_id": [],
+                   "negative_label": [], "sim": []}
+            for ai in range(len(aid)):
+                col = sims[:, ai]
+                mask = (ids != aid[ai]) & (labs != alab[ai])
+                n_ids, n_labs, n_sims = ids[mask], labs[mask], col[mask]
+                take = min(kk, n_ids.size)
+                if not take:
+                    continue
+                # batch-local partial top-k, ties broken by negative_id asc
+                order = np_w.lexsort((n_ids, -n_sims))[:take]
+                out["anchor_id"].extend([aid[ai]] * take)
+                out["anchor_label"].extend([alab[ai]] * take)
+                out["negative_id"].extend(n_ids[order])
+                out["negative_label"].extend(n_labs[order])
+                out["sim"].extend(n_sims[order])
+            yield pd_w.DataFrame(out)
+
+    spark = candidates.sparkSession
+    c = candidates.select(
+        F.col(cand_id).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    scored = c.mapInPandas(
+        kernel,
+        "anchor_id bigint, anchor_label int, negative_id bigint, "
+        "negative_label int, sim double",
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round("sim", 4).alias("sim"),
+            "rnk",
+        )
+    )
