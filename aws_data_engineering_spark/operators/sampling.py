@@ -362,6 +362,13 @@ def epoch_upsample(
     global shuffle in which the copies of one document scatter instead of
     clumping — no RNG, no permutation table, retry-idempotent.
 
+    ``n_epochs < 1`` (or NULL) means "drop this document" — the natural
+    zero of a quality-weighted mixture. The fan-out is guarded: a bare
+    ``sequence(1, n)`` DESCENDS for n < 1 (Spark ``sequence(1, 0)`` is
+    ``[1, 0]``), which would hand a zero-weighted doc TWO copies; instead
+    the sequence is replaced by an empty array, and exploding an empty
+    array drops the row (ADVICE r05).
+
     Plan shape: ``sequence() + posexplode`` — a purely columnar fan-out in
     the scan stage, zero shuffle (the optional global sort is the caller's
     one exchange). At 100 TB the fan-out multiplies bytes by the mean epoch
@@ -369,8 +376,11 @@ def epoch_upsample(
     """
     idc = _as_col(id_col)
     out = df.withColumn("n_epochs", n_epochs.cast("int"))
+    fan = F.when(
+        F.col("n_epochs") >= 1, F.sequence(F.lit(1), F.col("n_epochs"))
+    ).otherwise(F.array().cast("array<int>"))
     out = out.select(
-        "*", F.posexplode(F.sequence(F.lit(1), F.col("n_epochs"))).alias("_pos", "copy_idx")
+        "*", F.posexplode(fan).alias("_pos", "copy_idx")
     ).drop("_pos")
     key = F.md5(
         F.concat(idc.cast("string"), F.lit(":"), F.col("copy_idx").cast("string"), F.lit(salt))

@@ -3444,3 +3444,211 @@ _T29_ROUNDS = 6
 def t29_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.bpe_learn(docs, "text", rounds=_T29_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# s10 — hard-negative mining for contrastive training (round-6: wires the
+# round-5 operator into the oracle gate). For each of 4 anchor vectors,
+# the top-5 most-similar candidates with a DIFFERENT label — the
+# dense-retrieval recipe (mine the highest-scoring wrong answers, not
+# random ones). The anchor batch is a guarded broadcast inside a numpy
+# mapInPandas kernel over the candidate scan; each Arrow batch emits only
+# its per-anchor top-k, so the one shuffle moves ~k*A rows — the corpus
+# never leaves the scan stage. Cosines use the fold-order-matched
+# sequential kernel (bit-equal to DuckDB list_cosine_similarity).
+# --------------------------------------------------------------------------
+_S10_K, _S10_ANCHORS = 5, 4
+
+
+@register(
+    "s10_hard_negative_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), a AS (SELECT * FROM v WHERE vec_id < {_S10_ANCHORS}),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             list_cosine_similarity(c.e, a.e) AS sim
+      FROM a JOIN v c ON c.vec_id <> a.vec_id AND c.label <> a.label
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY sim DESC, negative_id) AS rnk
+      FROM scored
+    )
+    SELECT anchor_id, CAST(anchor_label AS INT) AS anchor_label,
+           negative_id, CAST(negative_label AS INT) AS negative_label,
+           ROUND(sim, 4) AS sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_S10_K}
+    """,
+    "hard-negative mining: per-anchor top-5 highest-cosine different-label "
+    "candidates via a guarded anchor broadcast + per-batch partial top-k "
+    "(corpus map-side only); bit-parity sequential cosine",
+)
+def s10_hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _S10_ANCHORS)
+    return SIM.hard_negative_topk(anchors, emb, k=_S10_K)
+
+
+# --------------------------------------------------------------------------
+# p13 — quality-weighted epoch upsampling (round-6: wires the round-5
+# operator into the oracle gate). n_epochs = doc_id % 5 plants the full
+# edge spectrum: 0 (drop — the guarded fan-out must emit NOTHING, the
+# ADVICE r05 bug), 1..4 (that many stamped copies). Output is the
+# per-copy_idx census plus min/max of the deterministic md5 sample keys,
+# proving both the copy counts and the key derivation. Purely columnar
+# sequence+posexplode in the scan stage — zero shuffle before the audit agg.
+# --------------------------------------------------------------------------
+_P13_SALT = "epoch-v1"
+
+
+@register(
+    "p13_epoch_upsample",
+    f"""
+    WITH src AS (
+      SELECT doc_id, CAST(doc_id % 5 AS INT) AS n_epochs FROM documents
+    ), fan AS (
+      SELECT doc_id, UNNEST(generate_series(1, n_epochs)) AS copy_idx
+      FROM src WHERE n_epochs >= 1
+    ), k AS (
+      SELECT doc_id, copy_idx,
+             md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(copy_idx AS VARCHAR) || '{_P13_SALT}') AS sample_key
+      FROM fan
+    )
+    SELECT CAST(copy_idx AS INT) AS copy_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           MIN(sample_key) AS min_key, MAX(sample_key) AS max_key
+    FROM k GROUP BY 1
+    """,
+    "quality-weighted epoch upsampling: per-row sequence+posexplode fan-out "
+    "(n_epochs<1 drops the row — guarded against the descending-sequence "
+    "bug), md5 sample keys for a reproducible global shuffle; per-copy "
+    "census output",
+)
+def p13_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.operators.sampling import epoch_upsample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 5).cast("int").alias("n_epochs")
+    )
+    up = epoch_upsample(docs, "doc_id", F.col("n_epochs"), salt=_P13_SALT)
+    return up.groupBy(F.col("copy_idx").cast("int").alias("copy_idx")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.min("sample_key").alias("min_key"),
+        F.max("sample_key").alias("max_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m14 — audio dynamics audit over the REAL WAV codec (round-6: wires the
+# round-5 operator into the oracle gate). Per doc_id, a synthesized
+# 512-sample clip with integer-exact planted segments (silence / ±32767
+# clipping / ±amp square wave), decoded back through the real WAV parser
+# into peak / silence-fraction / clip-fraction / RMS — the "is this clip
+# usable training audio" curation gate. Fractions are exact dyadic
+# rationals and RMS is one correctly-rounded sqrt of an exact int/2^9, so
+# every column hash-matches the closed-form oracle with NO rounding.
+# Blobs die inside the Arrow map stage; six scalars cross the shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "m14_audio_dynamics",
+    """
+    WITH f AS (
+      SELECT doc_id AS id,
+             64 + (doc_id % 4) * 32 AS n_sil,
+             (doc_id % 8) * 8 AS n_clip,
+             8000 + (doc_id % 5) * 1000 AS amp
+      FROM documents
+    ), g AS (
+      SELECT id, n_sil, n_clip, amp, 512 - n_sil - n_clip AS body FROM f
+    )
+    SELECT id, CAST(512 AS INT) AS n_samples,
+           CAST(CASE WHEN n_clip > 0 THEN 32767 ELSE amp END AS INT)
+             AS peak_abs,
+           CAST(n_sil AS DOUBLE) / 512 AS silence_frac,
+           CAST(n_clip AS DOUBLE) / 512 AS clip_frac,
+           sqrt((CAST(n_clip AS BIGINT) * 32767 * 32767
+                 + CAST(body AS BIGINT) * amp * amp) / 512.0) AS rms
+    FROM g
+    """,
+    "audio dynamics gate over the real WAV codec: synthesized integer-exact "
+    "clips, decode -> peak/silence/clip/RMS per clip; exact dyadic "
+    "fractions + one correctly-rounded sqrt, zero rounding in the oracle",
+)
+def m14_audio_dynamics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    wavs = MM.synthesize_dynamics_wavs(docs, "doc_id")
+    return MM.audio_dynamics_features(wavs, "id", "data")
+
+
+# --------------------------------------------------------------------------
+# g07 — triangle counting over the LSH near-dup graph: the scale-safe
+# composition the g02 verdict asked for (g02's registered edge source is
+# the exact O(N^2 D) cosine baseline, guarded at 4096 vectors; this one
+# builds its edges from e02's hyperplane-LSH buckets, so the edge join is
+# an equi-join on bucket id — the 100 TB path end-to-end). Same canonical
+# a<b<c two-equi-join triangle enumeration and corner explode as g02;
+# deterministic literal hyperplanes keep even the approximate edge set
+# bit-exactly oracle-checkable. Threshold 0.30 / 3 planes chosen so the
+# LSH recall leaves a non-empty triangle set at sf0.001 AND sf0.01.
+# --------------------------------------------------------------------------
+_G07_THRESHOLD, _G07_PLANES = 0.30, 3
+
+
+def _g07_oracle() -> str:
+    lsh = SIM.bucketed_neardup_oracle_sql(
+        threshold=_G07_THRESHOLD, n_planes=_G07_PLANES, dim=64
+    )
+    return f"""
+    WITH lsh_pairs AS ({lsh}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.dst = e2.src
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM corners GROUP BY node
+    """
+
+
+@register(
+    "g07_triangle_count_lsh",
+    _g07_oracle(),
+    "triangle counting over the LSH-bucketed near-dup graph: bucket-id "
+    "equi-join edges (no all-pairs cosine anywhere) feeding the canonical "
+    "a<b<c two-equi-join triangle enumeration — g02's scale-safe form",
+)
+def g07_triangle_count_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = SIM.bucketed_neardup_pairs(
+        emb, threshold=_G07_THRESHOLD, n_planes=_G07_PLANES, dim=64
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # the LSH pair scan is cheap but feeds three join branches; one eager
+    # materialization beats three bucket-join replays (g02 precedent)
+    edges = edges.localCheckpoint(eager=True)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

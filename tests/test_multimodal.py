@@ -270,3 +270,32 @@ def test_spectral_peak_matches_tone_bin(spark):
         assert r["peak_bin"] == k
         assert r["n_samples"] == M.TONE_N_SAMPLES
         assert r["dominant_hz"] == k * sr / float(M.TONE_N_SAMPLES)
+
+
+def test_audio_dynamics_closed_form(spark):
+    """synthesize_dynamics_wavs -> audio_dynamics_features must round-trip
+    the real WAV codec and reproduce the planted closed-form dynamics:
+    silence/clip fractions are exact dyadic rationals, peak is the planted
+    max, RMS is sqrt of the exact integer sum of squares / 512."""
+    import math
+
+    ids = [0, 1, 5, 7, 8, 13]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    wavs = M.synthesize_dynamics_wavs(df, "doc_id")
+    feats = {
+        r["id"]: r
+        for r in M.audio_dynamics_features(wavs, "id", "data").collect()
+    }
+    for i in ids:
+        n_sil = 64 + (i % 4) * 32
+        n_clip = (i % 8) * 8
+        amp = 8000 + (i % 5) * 1000
+        body = 512 - n_sil - n_clip
+        r = feats[i]
+        assert r["n_samples"] == 512
+        assert r["peak_abs"] == (32767 if n_clip else amp)
+        assert r["silence_frac"] == n_sil / 512
+        assert r["clip_frac"] == n_clip / 512
+        assert r["rms"] == math.sqrt(
+            (n_clip * 32767 * 32767 + body * amp * amp) / 512
+        )

@@ -171,3 +171,20 @@ def test_sequence_packing_semantics(spark):
     assert out[("b", 2)] == (4, 1, 1)
     with pytest.raises(ValueError):
         P.sequence_packing(df, "toks", budget=0)
+
+
+def test_epoch_upsample_edge_epochs(spark):
+    """n_epochs < 1 (or NULL) means DROP: the guarded fan-out must emit
+    nothing for 0 / negative / null weights (a bare sequence(1, 0) would
+    descend and emit TWO copies — ADVICE r05), and exactly n copies with
+    deterministic md5 sample keys for n >= 1."""
+    df = spark.createDataFrame(
+        [(1, 0), (2, 2), (3, -1), (4, None), (5, 1)],
+        "id bigint, n_epochs int",
+    )
+    out = P.epoch_upsample(df, "id", F.col("n_epochs"), salt="s").collect()
+    got = sorted((r["id"], r["copy_idx"]) for r in out)
+    assert got == [(2, 1), (2, 2), (5, 1)]
+    keys = {(r["id"], r["copy_idx"]): r["sample_key"] for r in out}
+    for (i, c), k in keys.items():
+        assert k == hashlib.md5(f"{i}:{c}s".encode()).hexdigest()

@@ -382,3 +382,57 @@ def test_mmr_topk_equals_numpy_model(spark, sf_dir):
         selected.append((cids[best[1]], best[1]))
     want = [(r + 1, int(s)) for r, (s, _) in enumerate(selected)]
     assert got == want
+
+
+def test_hard_negative_topk_equals_numpy_model(spark, sf_dir):
+    """hard_negative_topk must equal a dense numpy reference: per anchor,
+    the k most-cosine-similar candidates with a different label and a
+    different id, ties broken by negative_id ascending."""
+    import numpy as np
+
+    from aws_data_engineering_spark.operators.similarity import hard_negative_topk
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 3
+    anchors = emb.filter(F.col("vec_id") < 3)
+    got = [
+        (r.anchor_id, r.rnk, r.negative_id)
+        for r in hard_negative_topk(anchors, emb, k=k)
+        .orderBy("anchor_id", "rnk")
+        .collect()
+    ]
+
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    labs = np.array([r.label for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = []
+    for a in sorted(ids[ids < 3]):
+        av = Xn[ids == a][0]
+        alab = labs[ids == a][0]
+        sims = Xn @ av
+        cand = [
+            (float(-sims[i]), int(ids[i]))
+            for i in range(len(ids))
+            if ids[i] != a and labs[i] != alab
+        ]
+        cand.sort()
+        want.extend((int(a), r + 1, nid) for r, (_, nid) in enumerate(cand[:k]))
+    assert got == want
+
+
+def test_hard_negative_topk_guard(spark, sf_dir):
+    """The anchor-count guard must trip before collecting an unbounded set."""
+    import pytest
+
+    from aws_data_engineering_spark.operators.similarity import (
+        ExactPathScaleError,
+        hard_negative_topk,
+    )
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ExactPathScaleError):
+        hard_negative_topk(emb, emb, k=2, max_anchors=10)
