@@ -448,6 +448,8 @@ def bpe_apply(text: Column, merges: list[tuple[str, str]]) -> Column:
     input before encoding (they would otherwise forge frame brackets:
     merged symbols embedding '<' can false-match inside another symbol's
     encoding, and a learned '><' symbol round-trips as two empty symbols).
+    The strip is LOSSY by design — acceptable for the audit use-case (see
+    :func:`bpe_learn`'s docstring for the lossless-escape alternative).
     Pure JVM string expressions — no UDF; split on '><' downstream
     recovers the symbols.
     """
@@ -660,13 +662,31 @@ def bpe_learn(df, text_col: str, rounds: int = 6):
     blocks just aren't durable enough for a 1000-executor run.
 
     Literal '<'/'>' chars are stripped from the corpus before encoding
-    (see :func:`bpe_apply` — they would forge the frame brackets).
+    (see :func:`bpe_apply` — they would forge the frame brackets). This is
+    LOSSY by design: on bracket-heavy corpora (raw HTML) the learned merges
+    differ from a BPE that keeps brackets as ordinary symbols. Acceptable
+    for the audit use-case this operator serves (merge-table statistics,
+    not a production tokenizer); a production variant would escape
+    ('~'→'~0', '<'→'~1', '>'→'~2', split on '(~[012]|.)') instead of strip.
+
+    Eager-execution note: construction RUNS Spark jobs (the per-round
+    checkpoints) — callers get a materialized k-row result, not a lazy
+    plan. All intermediate checkpoint blocks (the per-round corpus streams
+    and 1-row winners) are unpersisted before returning; only the k-row
+    result block itself stays resident until the returned DataFrame is
+    GC'd, so repeated runs in one session don't accumulate executor-local
+    storage (ADVICE r05).
 
     Returns a ``rounds``-row DataFrame (round, left_sym, right_sym,
     pair_cnt). Pinned against the pure-Python model by
     ``test_bpe_learn_equals_model``.
     """
     spark = df.sparkSession
+
+    def _persistent_ids() -> set[int]:
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    pre_ids = _persistent_ids()
     # single-file corpora read as one split; spread the k corpus re-scans
     # across cores (the containment_pairs/exploded_shingles lesson)
     stream = df.repartition(spark.sparkContext.defaultParallelism).select(
@@ -703,6 +723,17 @@ def bpe_learn(df, text_col: str, rounds: int = 6):
                     F.concat(F.lit("<"), F.col("a"), F.col("b"), F.lit(">")),
                 ).alias("s")
             ).localCheckpoint(eager=True)
+    # release every intermediate checkpoint block (streams + 1-row winners):
+    # checkpoint the k-row result first so it no longer references them —
+    # unpersisting a localCheckpoint DESTROYS it (CHECKPOINT_RDD_BLOCK_ID_
+    # NOT_FOUND on reuse), so the order here is load-bearing
+    mid_ids = _persistent_ids()
+    out = out.localCheckpoint(eager=True)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in mid_ids - pre_ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
     return out
 
 

@@ -3439,7 +3439,11 @@ _T29_ROUNDS = 6
     "BPE merge-table learning: k rounds of pair-count/argmax/merge as one "
     "unrolled plan (1-row broadcast winners, Column-built replace "
     "patterns, per-round checkpoints so k merges = O(k) corpus scans, no "
-    "driver state) — the Sennrich algorithm Spark-first",
+    "driver state) — the Sennrich algorithm Spark-first. NOTE: "
+    "construction runs jobs eagerly (checkpoint materialization) and "
+    "returns a checkpointed k-row result; intermediates are unpersisted "
+    "before returning. '<'/'>' are stripped (audit-grade, lossy on "
+    "HTML-heavy corpora — documented in bpe_learn)",
 )
 def t29_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

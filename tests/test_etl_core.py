@@ -823,3 +823,70 @@ def test_simhash_kernel_equals_column(spark, sf_dir):
         for r in D.simhash_signatures(edge, "doc_id", "text").collect()
     }
     assert ek == ec
+
+
+def test_delta_merge_branch_executes_against_stub(spark, tmp_path, monkeypatch):
+    """Execute the Delta MERGE branch (sources/writers.py:136) against a
+    recording stub DeltaTable — delta-spark is not installable here, so
+    this is the only way the builder-call sequence ever runs. Asserts the
+    exact call chain (forPath -> alias 't' -> merge(source aliased 's',
+    cond) -> whenMatchedUpdateAll -> whenNotMatchedInsertAll -> execute)
+    and that the ON condition equals merge_condition's tested pure-Spark
+    semantics (FInal/load_script.py:94-96 parity)."""
+    import sys
+    import types
+
+    calls: list[tuple] = []
+
+    class FakeBuilder:
+        def whenMatchedUpdateAll(self):
+            calls.append(("whenMatchedUpdateAll",))
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            calls.append(("whenNotMatchedInsertAll",))
+            return self
+
+        def execute(self):
+            calls.append(("execute",))
+
+    class FakeDeltaTable:
+        @staticmethod
+        def forPath(sp, path):
+            calls.append(("forPath", path))
+            return FakeDeltaTable()
+
+        def alias(self, a):
+            calls.append(("alias", a))
+            return self
+
+        def merge(self, source, cond):
+            # source is the batch DataFrame aliased 's'; record the plan's
+            # alias node name and the ON condition string
+            alias_name = source._jdf.queryExecution().analyzed().toString()
+            calls.append(("merge", "s" if "`s`" in alias_name or "s\n" in alias_name else alias_name, cond))
+            return FakeBuilder()
+
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = FakeDeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+    monkeypatch.setattr(W, "HAS_DELTA", True)
+    monkeypatch.setattr(W, "_table_exists", lambda *a: True)
+
+    df = spark.createDataFrame([(1, "a", "2024-01-01")], "id int, v string, dt string")
+    W.merge_upsert(spark, df, str(tmp_path / "tbl"), ["id"], "dt", fmt="delta")
+
+    names = [c[0] for c in calls]
+    assert names == [
+        "forPath", "alias", "merge",
+        "whenMatchedUpdateAll", "whenNotMatchedInsertAll", "execute",
+    ]
+    assert calls[0] == ("forPath", str(tmp_path / "tbl"))
+    assert calls[1] == ("alias", "t")
+    cond = calls[2][2]
+    assert cond == W.merge_condition(["id"], "dt")
+    assert cond == "t.`id` = s.`id` AND t.`dt` = s.`dt`"
+    assert calls[2][1] == "s"

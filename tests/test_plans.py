@@ -373,3 +373,26 @@ def test_whole_registry_scalar_output_columns(spark, sf_dir):
         f"top-level nested output columns crash the driver canonicalizer; "
         f"serialize with concat_ws/to_json at the query edge: {bad}"
     )
+
+
+def test_bpe_learn_releases_intermediate_checkpoints(spark, sf_dir):
+    """bpe_learn must unpersist every intermediate checkpoint block before
+    returning (ADVICE r05: leaked localCheckpoints survive clearCache and
+    accumulate across repeated t29 runs) — only the k-row result block may
+    remain — and the returned result must still be usable afterwards."""
+    from aws_data_engineering_spark.operators import text as T
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    before = n_persistent()
+    out = T.bpe_learn(docs, "text", rounds=3)
+    rows = out.collect()
+    assert len(rows) == 3
+    # one block for the checkpointed k-row result, nothing else
+    assert n_persistent() <= before + 1
+    # result survives its intermediates being gone (re-collect hits the
+    # checkpointed block, not the destroyed lineage)
+    assert out.count() == 3
