@@ -91,6 +91,16 @@ HEADLINE = [
     # round-4 family: BPE merge learning (6 unrolled pair-count/argmax/merge
     # rounds — k corpus scans as one lazy plan).
     "t29_bpe_merge_learning",
+    # round-6: previously-unbenched heavy families (VERDICT r05 #6) —
+    # content-defined chunk dedup (rolling-hash boundaries + fingerprint
+    # inverted index), binary-quantized hamming ANN (sign-bit packing, JVM
+    # popcount), and the DSIR importance pair of the LM-scoring family
+    # (t20 subsumes t18's bigram machinery: both n-gram LM re-joins).
+    "d15_cdc_chunk_dedup",
+    "e13_binary_hamming_topk",
+    "t20_dsir_importance",
+    # round-6: the scale-safe LSH-edge triangle count (g02's 100 TB form).
+    "g07_triangle_count_lsh",
 ]
 
 
