@@ -217,6 +217,19 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def recommended_lsh_planes(n_vectors: int, target_bucket: int = 1024) -> int:
+    """Plane count for :func:`bucketed_neardup_pairs` at a given corpus
+    size. The per-bucket kernel materializes a (N/2^p)² similarity matrix,
+    so p must GROW WITH log2(N) to hold per-task memory constant: a plane
+    count that is fine at 20k vectors (p=4 → 1.2k/bucket → 12 MB matrices)
+    is a 5 GB/task hazard at 200k (measured in the round-6 100× scale
+    experiment, SURVEY §6.2). p = ceil(log2(N / target_bucket)); the
+    default 1024-vector buckets cost ~8 MB per task matrix."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
+
+
 def bucketed_neardup_pairs(
     df: DataFrame,
     threshold: float,
@@ -231,7 +244,13 @@ def bucketed_neardup_pairs(
     per-pair expressions with a vectorized BLAS call per bucket — measured
     ~10× faster — and is exactly the kernel shape a 100 TB run shards by
     bucket across executors (bucket count, via ``n_planes``, bounds the
-    per-task matrix size)."""
+    per-task matrix size).
+
+    ``n_planes`` must scale with corpus size — per-bucket work is
+    (N/2^p)², quadratic in bucket occupancy. Size it with
+    :func:`recommended_lsh_planes` (p ≈ log2(N/1024)); the constants in
+    the registered e02/g07 queries are tuned for the fixture corpora and
+    recall-checked there, not for an arbitrary N."""
     planes = _hyperplanes(dim, n_planes)
     thr = float(threshold)
     seq_cos = _seq_cosine_fns()  # the module's one bit-exact cosine kernel

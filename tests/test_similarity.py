@@ -436,3 +436,20 @@ def test_hard_negative_topk_guard(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ExactPathScaleError):
         hard_negative_topk(emb, emb, k=2, max_anchors=10)
+
+
+def test_recommended_lsh_planes_bounds_bucket_occupancy():
+    """The plane-count rule must keep expected bucket occupancy at or
+    under the target (so per-task matrices stay ~constant as N grows) and
+    never go below one plane."""
+    from aws_data_engineering_spark.operators.similarity import (
+        recommended_lsh_planes,
+    )
+
+    for n in (500, 2_000, 20_000, 200_000, 2_000_000, 10**9):
+        p = recommended_lsh_planes(n, target_bucket=1024)
+        assert p >= 1
+        assert n / (2**p) <= 1024 or p == 1, (n, p)
+    assert recommended_lsh_planes(200_000) == 8
+    assert recommended_lsh_planes(20_000) == 5
+    assert recommended_lsh_planes(500) == 1
