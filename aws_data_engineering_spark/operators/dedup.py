@@ -192,6 +192,7 @@ def minhash_candidate_pairs(
     text_col: str,
     num_hashes: int = 32,
     num_bands: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash-LSH.
 
@@ -200,6 +201,17 @@ def minhash_candidate_pairs(
     agreement. The only shuffle is keyed on band buckets, whose size is
     controlled by band count — the standard scale-out for fuzzy dedup at
     100 TB (docs never compare all-pairs).
+
+    ``max_bucket`` is the pair-emission valve the 100× scale experiment
+    (SURVEY §6.2) showed this operator needs on duplication-heavy corpora:
+    a band bucket holding n docs emits C(n,2) pairs, so at twin
+    multiplicity 100 the candidate set is quadratic in duplication (25 →
+    24.75M pairs measured). With the cap, band buckets larger than
+    ``max_bucket`` emit NO pairs — an oversized bucket is a duplicate
+    CLUSTER, which a pipeline should collapse by cluster key (the bucket
+    id / d10 connected components), never enumerate pairwise. Census is
+    one partial-agg groupBy on the same (band, band_hash) key the join
+    already shuffles on.
     """
     rows_per_band = num_hashes // num_bands
     spark = df.sparkSession
@@ -247,6 +259,17 @@ def minhash_candidate_pairs(
     banded = sigs.select(
         "id", "sig", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
     ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    if max_bucket is not None:
+        census = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bucket_n")
+        )
+        banded = (
+            banded.join(
+                census.filter(F.col("__bucket_n") <= max_bucket),
+                ["band", "band_hash"],
+            )
+            .drop("__bucket_n")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -847,9 +870,12 @@ def pagerank_oracle_sql(
     )
 
 
-def minhash_oracle_sql(num_hashes: int = 32, num_bands: int = 8) -> str:
+def minhash_oracle_sql(
+    num_hashes: int = 32, num_bands: int = 8, source_sql: str = "documents"
+) -> str:
     """DuckDB SQL reproducing :func:`minhash_candidate_pairs` exactly over
-    the ``documents`` view.
+    the ``documents`` view (or any ``source_sql`` relation exposing
+    ``doc_id, text`` — d17 passes the exact-collapse survivor set).
 
     Possible because every stage is engine-portable by construction: the
     shingle pipeline is the proven d05 CTE, the base hash is md5-derived
@@ -880,12 +906,40 @@ def minhash_oracle_sql(num_hashes: int = 32, num_bands: int = 8) -> str:
         f"bb.sig[{rows * b + 1}:{rows * b + rows}])"
         for b in range(num_bands)
     )
+    prefix = _minhash_sig_cte_sql(num_hashes, source_sql)
     return f"""
-    WITH toks AS (
+    WITH {prefix}
+    SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+           ROUND(CAST(list_sum([CASE WHEN a.sig[i] = bb.sig[i] THEN 1 ELSE 0 END
+                                FOR i IN generate_series(1, {num_hashes})])
+                      AS DOUBLE) / {num_hashes}, 4) AS est_jaccard
+    FROM sigs a JOIN sigs bb ON a.doc_id < bb.doc_id
+    WHERE {bands}
+    """
+
+
+def _minhash_sig_cte_sql(num_hashes: int, source_sql: str = "documents") -> str:
+    """Shared CTE body (toks -> grams -> hashed -> sigs) for the MinHash
+    oracles — byte-identical to the proven d04 prefix."""
+
+    def hexval(i: int, h: str) -> str:
+        a = f"ascii(substr({h}, {i}, 1))"
+        return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
+
+    h64 = " + ".join(
+        f"CAST({hexval(i + 1, 'md5(x)')} AS HUGEINT) * CAST({16 ** (15 - i)} AS HUGEINT)"
+        for i in range(16)
+    )
+    base = f"CAST(({h64}) % CAST({_MERSENNE_P} AS HUGEINT) AS BIGINT)"
+    sig_terms = ", ".join(
+        f"list_min([((h * {a}) + {b}) % {_MERSENNE_P} FOR h IN bases])"
+        for a, b in _hash_params(num_hashes)
+    )
+    return f"""toks AS (
       SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
                AS t
-      FROM documents
+      FROM {source_sql}
     ), grams AS (
       SELECT doc_id,
              CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
@@ -897,13 +951,44 @@ def minhash_oracle_sql(num_hashes: int = 32, num_bands: int = 8) -> str:
       SELECT doc_id, [{base} FOR x IN sh] AS bases FROM grams
     ), sigs AS (
       SELECT doc_id, [{sig_terms}] AS sig FROM hashed
+    )"""
+
+
+def minhash_capped_oracle_sql(
+    num_hashes: int = 32, num_bands: int = 8, max_bucket: int = 2
+) -> str:
+    """DuckDB SQL reproducing :func:`minhash_candidate_pairs` WITH the
+    ``max_bucket`` pair-emission valve: bands unnest into (band, slice)
+    rows, a census counts bucket occupancy, and only under-cap buckets
+    join pairwise. Slice equality stands in for the Spark side's xxhash64
+    band hash (collision-free on fixed test data — the same assumption the
+    uncapped oracle already makes)."""
+    rows = num_hashes // num_bands
+    prefix = _minhash_sig_cte_sql(num_hashes)
+    return f"""
+    WITH {prefix}
+    , bandrows AS (
+      SELECT doc_id, sig, b.band,
+             array_to_string(sig[b.band * {rows} + 1:b.band * {rows} + {rows}],
+                             ',') AS bkey
+      FROM sigs,
+           (SELECT UNNEST(generate_series(0, {num_bands - 1})) AS band) b
+    ), census AS (
+      SELECT band, bkey, COUNT(*) AS n FROM bandrows GROUP BY 1, 2
+    ), keep AS (
+      SELECT br.* FROM bandrows br
+      JOIN census c USING (band, bkey) WHERE c.n <= {max_bucket}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+             a.sig AS sig_a, bb.sig AS sig_b
+      FROM keep a JOIN keep bb USING (band, bkey)
+      WHERE a.doc_id < bb.doc_id
     )
-    SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
-           ROUND(CAST(list_sum([CASE WHEN a.sig[i] = bb.sig[i] THEN 1 ELSE 0 END
+    SELECT id_a, id_b,
+           ROUND(CAST(list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
                                 FOR i IN generate_series(1, {num_hashes})])
                       AS DOUBLE) / {num_hashes}, 4) AS est_jaccard
-    FROM sigs a JOIN sigs bb ON a.doc_id < bb.doc_id
-    WHERE {bands}
+    FROM cand
     """
 
 

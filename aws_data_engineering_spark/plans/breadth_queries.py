@@ -3656,3 +3656,36 @@ def g07_triangle_count_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --------------------------------------------------------------------------
+# d17 — MinHash pairs with the band-bucket pair-emission valve (round-6:
+# operationalizes the 100× scale finding, SURVEY §6.2). d04's candidate
+# set is C(n,2) per band bucket — quadratic in duplication multiplicity
+# (measured 25 → 24.75M pairs on the 100-twin corpus). Here band buckets
+# larger than max_bucket emit NO pairs: an oversized bucket is a duplicate
+# CLUSTER, to be collapsed by cluster key (d10 components), never
+# enumerated pairwise. The census is one partial-agg groupBy on the same
+# (band, band_hash) key the join already shuffles on — zero extra shuffle
+# keys. max_bucket=2 engages on the fixture corpora (size-3/4 buckets
+# exist at both sf0.001 and sf0.01), so the driver evidence is
+# non-vacuous: the output genuinely differs from d04's.
+# --------------------------------------------------------------------------
+_D17_MAX_BUCKET = 2
+
+
+@register(
+    "d17_capped_minhash_pairs",
+    DD.minhash_capped_oracle_sql(
+        num_hashes=32, num_bands=8, max_bucket=_D17_MAX_BUCKET
+    ),
+    "MinHash-LSH candidate pairs with a band-bucket size cap: buckets "
+    "larger than max_bucket emit no pairs (duplicate clusters are "
+    "collapsed by key, not enumerated pairwise) — the pair-emission valve "
+    "that bounds fuzzy dedup on duplication-heavy corpora",
+)
+def d17_capped_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_candidate_pairs(
+        docs, "doc_id", "text", max_bucket=_D17_MAX_BUCKET
+    )

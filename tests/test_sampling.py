@@ -188,3 +188,29 @@ def test_epoch_upsample_edge_epochs(spark):
     keys = {(r["id"], r["copy_idx"]): r["sample_key"] for r in out}
     for (i, c), k in keys.items():
         assert k == hashlib.md5(f"{i}:{c}s".encode()).hexdigest()
+
+
+def test_minhash_max_bucket_valve(spark):
+    """Planted skew: a 5-twin exact-duplicate group fills every band bucket
+    past the cap (no pairs may come out of it), while a distinct 2-doc
+    near-dup pair survives. Uncapped, the twin group alone emits C(5,2)=10
+    pairs — the quadratic-in-duplication behavior the valve exists to stop."""
+    twin = "the quick brown fox jumps over the lazy dog again and again"
+    pair_a = "completely different content about spark shuffle partitioning"
+    pair_b = "completely different content about spark shuffle partitioning ok"
+    rows = [(i, twin) for i in range(1, 6)]
+    rows += [(10, pair_a), (11, pair_b)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = D.minhash_candidate_pairs(docs, "doc_id", "text").collect()
+    capped = D.minhash_candidate_pairs(
+        docs, "doc_id", "text", max_bucket=2
+    ).collect()
+
+    twin_ids = set(range(1, 6))
+    assert sum(1 for r in uncapped if r["id_a"] in twin_ids) == 10
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert not any(a in twin_ids for a, _ in got), got
+    # the legit near-dup pair must survive the cap (if banding caught it)
+    un_pairs = {(r["id_a"], r["id_b"]) for r in uncapped}
+    assert got == un_pairs - {(a, b) for a, b in un_pairs if a in twin_ids}
