@@ -3689,3 +3689,35 @@ def d17_capped_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_candidate_pairs(
         docs, "doc_id", "text", max_bucket=_D17_MAX_BUCKET
     )
+
+
+# --------------------------------------------------------------------------
+# m15 — 4:2:0 color JPEG decode audit (round-6): the chroma-subsampled
+# baseline layout real web JPEGs use, through the REAL pure-Python codec —
+# interleaved-MCU entropy decode, per-component DC predictors and
+# quant/Huffman bindings, 2×2 chroma box-upsampling. Constant-valued MCUs
+# make the lossy pipeline exactly representable, so the full-res plane
+# sums are closed-form integers (no rounding anywhere). Progressive and
+# 4:2:2/4:4:4 streams are refused, never misdecoded (pytest).
+# --------------------------------------------------------------------------
+@register(
+    "m15_jpeg420_decode",
+    f"""
+    WITH mcu AS (
+      SELECT doc_id AS id, UNNEST(generate_series(0, 3)) AS m FROM documents
+    )
+    SELECT id, CAST({MM.JPEG420_DIM} AS INT) AS width,
+           CAST({MM.JPEG420_DIM} AS INT) AS height,
+           CAST(SUM(256 * ((3 * id + 17 * m) % 256)) AS BIGINT) AS y_sum,
+           CAST(SUM(256 * ((5 * id + 29 * m) % 256)) AS BIGINT) AS cb_sum,
+           CAST(SUM(256 * ((7 * id + 41 * m) % 256)) AS BIGINT) AS cr_sum
+    FROM mcu GROUP BY id
+    """,
+    "4:2:0 color JPEG decode through the real codec: interleaved MCUs, "
+    "per-component DC predictors, chroma box-upsampling — full-res plane "
+    "sums as exact int64, closed-form oracle",
+)
+def m15_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    jpegs = MM.synthesize_jpeg420_images(docs, "doc_id")
+    return MM.decode_jpeg420_features(jpegs, "id", "data")

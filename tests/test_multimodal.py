@@ -167,7 +167,7 @@ def test_jpeg_codec_roundtrip_multiblock():
     diffs of both signs across blocks) must decode to the exact per-block
     constants — exercising Huffman DC categories, EXTEND on negative
     diffs, byte stuffing, and the float IDCT's DC path."""
-    encode_jpeg, decode_jpeg = M._jpeg_worker_fns()
+    encode_jpeg, decode_jpeg, _, _ = M._jpeg_worker_fns()
     w, h = 19, 13  # 3x2 blocks, both edges partial
     vals = [255, 0, 128, 1, 254, 127]  # extreme swings -> max DC categories
     blob = encode_jpeg(w, h, vals)
@@ -183,7 +183,7 @@ def test_jpeg_codec_roundtrip_multiblock():
 def test_jpeg_malformed_rejected():
     import pytest
 
-    encode_jpeg, decode_jpeg = M._jpeg_worker_fns()
+    encode_jpeg, decode_jpeg, _, _ = M._jpeg_worker_fns()
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01rubbish")
     blob = bytearray(encode_jpeg(8, 8, [100]))
@@ -299,3 +299,45 @@ def test_audio_dynamics_closed_form(spark):
         assert r["rms"] == math.sqrt(
             (n_clip * 32767 * 32767 + body * amp * amp) / 512
         )
+
+
+def test_jpeg420_roundtrip_and_rejections():
+    """The 4:2:0 codec must reproduce every planted plane value exactly
+    (full interleaved entropy decode + predictors + box upsampling), and
+    refuse progressive, non-4:2:0 sampling, and truncated streams rather
+    than misdecode them."""
+    import pytest
+
+    _, _, enc_c, dec_c = M._jpeg_worker_fns()
+    W = H = 32
+    yv = [(11 + 17 * m) % 256 for m in range(4)]
+    cbv = [(23 + 29 * m) % 256 for m in range(4)]
+    crv = [(31 + 41 * m) % 256 for m in range(4)]
+    blob = enc_c(W, H, yv, cbv, crv)
+    w, h, y, cb, cr = dec_c(blob)
+    assert (w, h) == (W, H)
+    for m in range(4):
+        r, c = divmod(m, 2)
+        sl = (slice(r * 16, r * 16 + 16), slice(c * 16, c * 16 + 16))
+        assert (y[sl] == yv[m]).all()
+        assert (cb[sl] == cbv[m]).all()
+        assert (cr[sl] == crv[m]).all()
+
+    # progressive (SOF2) refused
+    bad = bytearray(blob)
+    bad[bytes(blob).index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        dec_c(bytes(bad))
+    # 4:2:2 sampling (Y 2x1) refused
+    bad = bytearray(blob)
+    sof = bytes(blob).index(b"\xff\xc0")
+    assert bad[sof + 11] == 0x22  # Y sampling byte in SOF payload
+    bad[sof + 11] = 0x21
+    with pytest.raises(ValueError, match="4:2:0"):
+        dec_c(bytes(bad))
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        dec_c(blob[:-12] + b"\xff\xd9")
+    # non-16-multiple dims refused at encode time
+    with pytest.raises(ValueError, match="16-multiple"):
+        enc_c(24, 32, yv, cbv, crv)
