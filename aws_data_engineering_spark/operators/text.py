@@ -431,7 +431,20 @@ def gopher_metrics(
     )
 
 
-def bpe_apply(text: Column, merges: list[tuple[str, str]]) -> Column:
+def bpe_escape_brackets(text: Column) -> Column:
+    """Lossless frame-bracket escape for the BPE pipeline: '~'→'~0',
+    '<'→'~1', '>'→'~2' (classic escape-char scheme — invertible for ALL
+    inputs). Paired with the '(~[012]|.)' char split, each escaped
+    sequence becomes ONE symbol, so bracket-bearing text tokenizes instead
+    of mutating (the ADVICE r05 alternative to the lossy strip)."""
+    esc = F.regexp_replace(text, "~", "~0")
+    esc = F.regexp_replace(esc, "<", "~1")
+    return F.regexp_replace(esc, ">", "~2")
+
+
+def bpe_apply(
+    text: Column, merges: list[tuple[str, str]], lossless: bool = False
+) -> Column:
     """Apply an ordered BPE merge table to whitespace text, returning the
     merged bracket-framed symbol stream ('<th><e>< ><f><ast>...').
 
@@ -448,12 +461,20 @@ def bpe_apply(text: Column, merges: list[tuple[str, str]]) -> Column:
     input before encoding (they would otherwise forge frame brackets:
     merged symbols embedding '<' can false-match inside another symbol's
     encoding, and a learned '><' symbol round-trips as two empty symbols).
-    The strip is LOSSY by design — acceptable for the audit use-case (see
-    :func:`bpe_learn`'s docstring for the lossless-escape alternative).
+    The strip is LOSSY by design — acceptable for the audit use-case.
+    ``lossless=True`` switches to the :func:`bpe_escape_brackets` scheme
+    ('~'→'~0', '<'→'~1', '>'→'~2'; char split '(~[012]|.)' keeps each
+    escaped sequence one symbol): bracket-bearing text then tokenizes
+    instead of mutating, and the stream is invertible for all inputs
+    (pinned by ``test_bpe_lossless_escape_*``). The registered t22/t29
+    queries keep the lossy default so their oracles are unchanged.
     Pure JVM string expressions — no UDF; split on '><' downstream
     recovers the symbols.
     """
-    s = F.regexp_replace(F.regexp_replace(text, "[<>]", ""), "(.)", "<$1>")
+    if lossless:
+        s = F.regexp_replace(bpe_escape_brackets(text), "(~[012]|.)", "<$1>")
+    else:
+        s = F.regexp_replace(F.regexp_replace(text, "[<>]", ""), "(.)", "<$1>")
     for a, b in merges:
         s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     return s
@@ -468,13 +489,21 @@ def bpe_symbols(stream: Column) -> Column:
     return F.filter(F.split(inner, "><"), lambda x: (x != " ") & (x != ""))
 
 
-def bpe_apply_model(word: str, merges: list[tuple[str, str]]) -> list[str]:
+def bpe_apply_model(
+    word: str, merges: list[tuple[str, str]], lossless: bool = False
+) -> list[str]:
     """Pure-Python reference model for ``bpe_apply`` on a single word:
     greedy left-to-right single-pass merge per rule (no rescan within a
     rule — a merge's output can't feed the SAME rule's later matches).
-    Mirrors :func:`bpe_apply`'s frame-bracket strip: literal '<'/'>' are
-    dropped before the char split."""
-    syms = list(word.replace("<", "").replace(">", ""))
+    Mirrors :func:`bpe_apply`'s frame-bracket handling: the lossy strip by
+    default, the '~0'/'~1'/'~2' escape under ``lossless=True``."""
+    if lossless:
+        import re as _re
+
+        esc = word.replace("~", "~0").replace("<", "~1").replace(">", "~2")
+        syms = _re.findall(r"~[012]|.", esc)
+    else:
+        syms = list(word.replace("<", "").replace(">", ""))
     for a, b in merges:
         out: list[str] = []
         i = 0
@@ -642,7 +671,7 @@ def bpe_pair_counts(stream: Column) -> Column:
     )
 
 
-def bpe_learn(df, text_col: str, rounds: int = 6):
+def bpe_learn(df, text_col: str, rounds: int = 6, lossless: bool = False):
     """LEARN a BPE merge table from a corpus: ``rounds`` iterations of
     (count adjacent symbol pairs) → (argmax pair, count DESC / lexicographic
     tiebreak) → (merge that pair corpus-wide), the Sennrich et al. 2016
@@ -689,10 +718,16 @@ def bpe_learn(df, text_col: str, rounds: int = 6):
     pre_ids = _persistent_ids()
     # single-file corpora read as one split; spread the k corpus re-scans
     # across cores (the containment_pairs/exploded_shingles lesson)
-    stream = df.repartition(spark.sparkContext.defaultParallelism).select(
-        F.regexp_replace(
+    if lossless:
+        framed = F.regexp_replace(
+            bpe_escape_brackets(F.col(text_col)), "(~[012]|.)", "<$1>"
+        )
+    else:
+        framed = F.regexp_replace(
             F.regexp_replace(F.col(text_col), "[<>]", ""), "(.)", "<$1>"
-        ).alias("s")
+        )
+    stream = df.repartition(spark.sparkContext.defaultParallelism).select(
+        framed.alias("s")
     ).localCheckpoint(eager=True)
     out = None
     for r in range(1, rounds + 1):
@@ -738,7 +773,7 @@ def bpe_learn(df, text_col: str, rounds: int = 6):
 
 
 def bpe_learn_model(
-    corpus: list[str], rounds: int = 6
+    corpus: list[str], rounds: int = 6, lossless: bool = False
 ) -> list[tuple[int, str, str, int]]:
     """Pure-Python reference model for :func:`bpe_learn`: same pair
     statistics (all adjacent occurrences, word boundary ' ' excluded), same
@@ -746,7 +781,18 @@ def bpe_learn_model(
     non-overlapping apply between rounds (via :func:`bpe_apply_model` on
     the whole char stream with ' ' kept as a never-merged symbol), same
     '<'/'>' strip before the char split."""
-    streams = [list(t.replace("<", "").replace(">", "")) for t in corpus]
+    if lossless:
+        import re as _re
+
+        streams = [
+            _re.findall(
+                r"~[012]|.",
+                t.replace("~", "~0").replace("<", "~1").replace(">", "~2"),
+            )
+            for t in corpus
+        ]
+    else:
+        streams = [list(t.replace("<", "").replace(">", "")) for t in corpus]
     out: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
         counts: dict[tuple[str, str], int] = {}

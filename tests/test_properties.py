@@ -590,3 +590,65 @@ def test_epoch_shuffle_orders_differ_but_multisets_match(spark, sf_dir):
     # leading 5 differ between epochs (md5 keys make a tie astronomically
     # unlikely on 500+ docs)
     assert orders[0] != orders[1] and orders[1] != orders[2]
+
+
+# ---------------------------------------------------------------------------
+# Lossless bracket escape (ADVICE r05 alternative): bracket/tilde-bearing
+# text must TOKENIZE instead of mutating, the Spark stream must equal the
+# model, and the escape must round-trip every input byte-for-byte.
+# ---------------------------------------------------------------------------
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab<>~", min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    ).map(" ".join)
+)
+def test_bpe_lossless_escape_parity_and_roundtrip(spark, text):
+    from aws_data_engineering_spark.operators.text import (
+        bpe_apply,
+        bpe_apply_model,
+    )
+
+    merges = [("a", "b"), ("~1", "~2"), ("a", "~1")]
+    df = spark.createDataFrame([(text,)], "text string")
+    stream = (
+        df.select(bpe_apply(F.col("text"), merges, lossless=True).alias("s"))
+        .first()
+        .s
+    )
+    syms = stream[1:-1].split("><") if len(stream) >= 2 else []
+    # parity vs the python model over the whole char stream (space kept)
+    want = bpe_apply_model(text, merges, lossless=True)
+    # the model merges per-word only when ' ' blocks rules; here rules never
+    # name ' ', and apply is a flat greedy pass — model the full stream
+    assert syms == want
+    # losslessness: unescape(concat symbols) == original text exactly
+    joined = "".join(syms)
+    restored = (
+        joined.replace("~2", ">").replace("~1", "<").replace("~0", "~")
+    )
+    assert restored == text
+
+
+def test_bpe_learn_lossless_brackets(spark):
+    """bpe_learn(lossless=True) must learn merges over bracket symbols
+    instead of deleting them: a corpus dominated by '<<' pairs yields
+    ('~1','~1') as the round-1 winner, matching the model."""
+    from aws_data_engineering_spark.operators.text import (
+        bpe_learn,
+        bpe_learn_model,
+    )
+
+    corpus = ["<<<< a", "<<<< b", "<< c"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_cnt"])
+        for r in bpe_learn(df, "text", rounds=2, lossless=True)
+        .orderBy("round")
+        .collect()
+    ]
+    want = bpe_learn_model(corpus, rounds=2, lossless=True)
+    assert got == want
+    assert got[0][1:3] == ("~1", "~1")
