@@ -396,3 +396,30 @@ def test_bpe_learn_releases_intermediate_checkpoints(spark, sf_dir):
     # result survives its intermediates being gone (re-collect hits the
     # checkpointed block, not the destroyed lineage)
     assert out.count() == 3
+
+
+def test_s10_corpus_stays_map_side(spark, sf_dir):
+    """Hard-negative mining: the candidate corpus must flow scan →
+    repartition → one Python map stage, with the ONLY post-kernel exchange
+    being the k·A-row per-anchor window — never an N×A score matrix. One
+    MapInPandas, and every Exchange in the plan sits above it."""
+    plan = _plan(queries()["s10_hard_negative_topk"](spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    kernel_pos = plan.index("MapInPandas")
+    # exchanges above the kernel (window + initial fan-out repartition) are
+    # fine; below it (i.e. later in the bottom-up string) only the fan-out
+    # RoundRobin repartition may appear — no hash shuffle of raw vectors
+    below = plan[kernel_pos:]
+    assert "hashpartitioning" not in below.lower().replace(
+        "roundrobinpartitioning", ""
+    )
+
+
+def test_m14_m15_codec_chain_shuffle_free(spark, sf_dir):
+    """The synthesize → decode codec chains are pure map pipelines: blobs
+    must die inside the Python stages with no Exchange anywhere (at 100 TB
+    of media the plan IS the scan)."""
+    for name in ("m14_audio_dynamics", "m15_jpeg420_decode"):
+        plan = _plan(queries()[name](spark, sf_dir))
+        assert "Exchange" not in plan, (name, plan)
+        assert plan.count("MapInPandas") >= 2, name
