@@ -3721,3 +3721,45 @@ def m15_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     jpegs = MM.synthesize_jpeg420_images(docs, "doc_id")
     return MM.decode_jpeg420_features(jpegs, "id", "data")
+
+
+# --------------------------------------------------------------------------
+# c15 — ORC source/sink roundtrip (round-6): ORC was dispatch-supported and
+# pytest-exercised but had no driver evidence. Write supplier to an ORC
+# table (uuid scratch path — fixed paths race concurrent sessions), read
+# it back through the format dispatch, aggregate; the oracle aggregates
+# the parquet source, so any column lost, retyped, or value-shifted by
+# the ORC writer/reader fails the hash. Money stays integer (floor cents)
+# so the check is order-free exact.
+# --------------------------------------------------------------------------
+@register(
+    "c15_orc_roundtrip",
+    """
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(FLOOR(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents,
+           MIN(s_name) AS first_name
+    FROM supplier GROUP BY s_nationkey
+    """,
+    "ORC sink+source roundtrip through the format dispatch: write "
+    "supplier to ORC, read back, aggregate — the oracle aggregates the "
+    "parquet source, so ORC data loss or retyping fails the hash",
+)
+def c15_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from aws_data_engineering_spark.sources.readers import read_table
+    from aws_data_engineering_spark.sources.writers import write_append
+
+    sup = _t(spark, sf_dir, "supplier")
+    path = f"/tmp/spark_graft_c15_{uuid.uuid4().hex[:8]}"
+    write_append(sup, path, partition_by=(), fmt="orc")
+    back = read_table(spark, path, fmt="orc")
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.floor(F.col("s_acctbal") * 100).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+        F.min("s_name").alias("first_name"),
+    )
