@@ -76,8 +76,13 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         # q20-q24, which re-earned green in round 5, and s04 (rows-only by
         # design, re-sampling it adds no evidence) — so CORRECTNESS_r06
         # re-validates the oldest evidence in its current form, alongside
-        # the four round-6 additions (s10/p13/m14/g07) and q71 (rows-only,
-        # kept sampling by design).
+        # the round-6 additions (s10/p13/m14/g07/d17/m15/c15). q71 is now
+        # LISTED: it is rows-only by design (no_oracle), has three
+        # rows-only driver rows already (r03-r05), and its substantive
+        # evidence is the local HLL error-bound + repartition-mergeability
+        # tests (both SFs, test_etl_core) — re-sampling it would only burn
+        # the 50th sample slot c15 needs.
+        "q71_hll_partial_union",
         "c01_python_datasource_scan", "c02_xml_roundtrip",
         "c03_managed_table_roundtrip", "c04_incremental_rollup",
         "c05_binaryfile_scan", "c06_python_datasource_sink",
