@@ -3763,3 +3763,34 @@ def c15_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("s_name").alias("first_name"),
     )
+
+
+# --------------------------------------------------------------------------
+# e17 — auto-planed LSH near-dup pairs (round-6): operationalizes the
+# 100×-measured plane-count rule as a first-class operator. The Spark side
+# COUNTS the corpus and picks p = recommended_lsh_planes(N) (=
+# ceil(log2(N/1024)) — per-bucket kernel matrices stay ~8 MB at any N),
+# so the same registered query is safe at 500 vectors and at 200k, where
+# e02's fixture constant (p=4) would build multi-GB per-task matrices.
+# On the fixture corpora (500 / 2000 vectors) the rule resolves to p=1,
+# which is what the fixed oracle bakes in — the oracle stays valid for
+# any fixture up to 2048 vectors, and the operator stays valid beyond.
+# --------------------------------------------------------------------------
+_E17_THRESHOLD = 0.45
+
+
+@register(
+    "e17_autoplaned_neardup_lsh",
+    SIM.bucketed_neardup_oracle_sql(
+        threshold=_E17_THRESHOLD, n_planes=1, dim=64
+    ),
+    "embedding near-dup pairs with DATA-SIZED hyperplane count: p = "
+    "ceil(log2(N/1024)) keeps per-bucket kernel matrices ~constant at any "
+    "corpus size (the measured 100x rule, similarity.recommended_lsh_planes)",
+)
+def e17_autoplaned_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    p = SIM.recommended_lsh_planes(emb.count())
+    return SIM.bucketed_neardup_pairs(
+        emb, threshold=_E17_THRESHOLD, n_planes=p, dim=64
+    )

@@ -81,8 +81,11 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         # rows-only driver rows already (r03-r05), and its substantive
         # evidence is the local HLL error-bound + repartition-mergeability
         # tests (both SFs, test_etl_core) — re-sampling it would only burn
-        # the 50th sample slot c15 needs.
-        "q71_hll_partial_union",
+        # the 50th sample slot c15 needs. t01 is likewise listed to make
+        # room for e17: it is the most trivial scan-agg in the registry and
+        # every operator it touches is exercised by driver-green t02/t03/
+        # t05; it re-earns direct evidence in round 7.
+        "q71_hll_partial_union", "t01_text_stats",
         "c01_python_datasource_scan", "c02_xml_roundtrip",
         "c03_managed_table_roundtrip", "c04_incremental_rollup",
         "c05_binaryfile_scan", "c06_python_datasource_sink",

@@ -214,3 +214,54 @@ def test_minhash_max_bucket_valve(spark):
     # the legit near-dup pair must survive the cap (if banding caught it)
     un_pairs = {(r["id_a"], r["id_b"]) for r in uncapped}
     assert got == un_pairs - {(a, b) for a, b in un_pairs if a in twin_ids}
+
+
+def test_minhash_cap_model_property(spark):
+    """Model property on a random-ish corpus: capped pairs must be exactly
+    the uncapped pairs reachable through some under-cap band bucket —
+    computed from the signature table itself, independent of the operator's
+    join."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = []
+    for i in range(1, 25):
+        # clusters of similar docs: base pattern + small mutation
+        base = vocab[: 4 + (i % 3)]
+        words = list(base) * 3
+        if i % 4 == 0:
+            words[rng.randrange(len(words))] = vocab[-1]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cap = 3
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(
+            docs, "doc_id", "text", max_bucket=cap
+        ).collect()
+    }
+    assert capped <= uncapped
+
+    # independent model: bucket membership from the signature expression
+    sig_rows = docs.select(
+        "doc_id", D.minhash_signature("text").alias("sig")
+    ).collect()
+    buckets: dict = {}
+    for r in sig_rows:
+        for band in range(8):
+            key = (band, tuple(r["sig"][band * 4 : band * 4 + 4]))
+            buckets.setdefault(key, []).append(r["doc_id"])
+    want = set()
+    for members in buckets.values():
+        if len(members) <= cap:
+            for a in members:
+                for b in members:
+                    if a < b:
+                        want.add((a, b))
+    assert capped == want
