@@ -187,9 +187,51 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 )
 
 
+# Names with PRIOR driver evidence that are deliberately un-listed from
+# _DRIVER_CHECKED for stale-first re-verification (round-6: the r01 cohort,
+# checked before four rounds of shared-operator refactors). They sort AFTER
+# never-driver-checked queries: a brand-new query must earn its first
+# CORRECTNESS row before a stale one re-earns its n-th, so adding a query
+# never silently drops it out of the 50-name sample prefix.
+_STALE_REVERIFY: frozenset[str] = frozenset(
+    {
+        "d01_exact_dedup_groups", "d02_latest_event_per_user",
+        "d03_fingerprint_dedup", "d04_minhash_candidate_pairs",
+        "d06_simhash", "d07_simhash_neardup_pairs",
+        "d08_winnowing_overlap_pairs", "d09_benchmark_contamination",
+        "d10_neardup_clusters", "e01_embedding_neardup_exact",
+        "e02_embedding_neardup_lsh", "m01_media_metadata",
+        "m02_image_decode_features", "m03_video_frame_sample",
+        "m04_audio_decode_features", "p01_train_val_test_split",
+        "p02_dataset_mixture", "p03_grouped_map_rank",
+        "p04_grouped_agg_udf", "p05_sequence_packing",
+        "pp01_training_data_pipeline", "q25_events_sessionization",
+        "q41_conversion_funnel", "q47_json_struct_parse",
+        "q59_variant_semistructured", "q61_builtin_session_window",
+        "s01_ann_bruteforce_topk", "s02_ann_lsh_topk",
+        "s03_embedding_stats_by_label", "s05_knn_graph",
+        "t02_quality_scores", "t03_token_counts_by_source",
+        "t04_lang_distribution", "t05_token_length_stats",
+        "t06_winnowing_fingerprints", "t07_repetition_signals",
+        "t08_pandas_udf_tokens", "t09_udtf_tokenize",
+        "t10_top_tokens", "t11_arrow_native_stats",
+        "t12_collapse_repeated_tokens", "t13_vocab_coverage",
+    }
+)
+
+
+def _tier(name: str) -> int:
+    if name in _DRIVER_CHECKED:
+        return 2
+    if name in _STALE_REVERIFY:
+        return 1
+    return 0  # never driver-checked — highest sampling priority
+
+
 def _ordered() -> list[tuple[str, Query]]:
-    # Stable sort: un-checked queries keep registration order, then checked.
-    return sorted(QUERIES.items(), key=lambda kv: kv[0] in _DRIVER_CHECKED)
+    # Stable three-tier sort (ties keep registration order):
+    # never-checked < stale-reverify < checked.
+    return sorted(QUERIES.items(), key=lambda kv: _tier(kv[0]))
 
 
 def queries() -> dict[str, SparkFn]:
