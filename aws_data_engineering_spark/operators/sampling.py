@@ -386,3 +386,97 @@ def epoch_upsample(
         F.concat(idc.cast("string"), F.lit(":"), F.col("copy_idx").cast("string"), F.lit(salt))
     )
     return out.withColumn("sample_key", key)
+
+
+def curriculum_phase(
+    difficulty_col: str | Column, thresholds: tuple[int, ...]
+) -> Column:
+    """Map a difficulty score to a curriculum phase 1..len(thresholds)+1 by
+    FIXED thresholds (phase 1 = easiest). Static boundaries instead of
+    ntile(): a global ntile is a total-order window (single-partition sort
+    at 100 TB), while a threshold bucket is a per-row expression in the
+    scan stage — the curriculum designer picks boundaries once (from an
+    approx-quantile profile run) and assignment stays embarrassingly
+    parallel and stable as the corpus grows.
+    """
+    d = _as_col(difficulty_col)
+    phase = F.lit(len(thresholds) + 1)
+    for i, t in enumerate(reversed(thresholds)):
+        phase = F.when(d < F.lit(t), F.lit(len(thresholds) - i)).otherwise(phase)
+    return phase.cast("int")
+
+
+def curriculum_schedule(
+    df: DataFrame,
+    id_col: str | Column,
+    difficulty_col: str | Column,
+    thresholds: tuple[int, ...],
+    n_epochs: int,
+    salt: str = "curr-v1",
+) -> DataFrame:
+    """Curriculum-ordered epoch schedule: easy documents first, harder ones
+    phased in each epoch (Bengio et al. 2009's curriculum learning as a
+    data-pipeline operator). Each row is assigned a ``phase`` by fixed
+    difficulty thresholds, then fanned out to the epochs that include it —
+    epoch ``e`` (1-based) trains on phases ``1..min(e, n_phases)``, so by
+    epoch ``n_phases`` the full corpus participates. Every emitted copy is
+    stamped with a deterministic ``sample_key`` = md5(id ':' epoch salt)
+    for a reproducible within-epoch shuffle (same contract as
+    :func:`epoch_upsample` — no RNG, retry-idempotent).
+
+    Plan shape: phase assignment is a scan-stage expression; the epoch
+    fan-out is ``sequence(phase..n_epochs) + posexplode`` (a row in phase p
+    appears in epochs p..n_epochs), purely columnar, zero shuffle. At
+    100 TB the output is at most ``n_epochs`` × input rows and each task
+    fans out locally — no coordination, no skew (phase is not a shuffle
+    key).
+    """
+    if n_epochs < 1:
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+    idc = _as_col(id_col)
+    out = df.withColumn(
+        "phase", curriculum_phase(difficulty_col, thresholds)
+    )
+    # phases beyond n_epochs never enter any epoch: empty-array fan-out
+    # (the epoch_upsample descending-sequence guard, same ADVICE r05 bug
+    # class — sequence(p, e) with p > e DESCENDS instead of being empty).
+    fan = F.when(
+        F.col("phase") <= F.lit(n_epochs),
+        F.sequence(F.col("phase"), F.lit(n_epochs)),
+    ).otherwise(F.array().cast("array<int>"))
+    out = out.select("*", F.posexplode(fan).alias("_pos", "epoch")).drop("_pos")
+    key = F.md5(
+        F.concat(
+            idc.cast("string"), F.lit(":"), F.col("epoch").cast("string"), F.lit(salt)
+        )
+    )
+    return out.withColumn("sample_key", key)
+
+
+def curriculum_sql(
+    id_expr: str,
+    difficulty_expr: str,
+    thresholds: tuple[int, ...],
+    n_epochs: int,
+    salt: str = "curr-v1",
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL twin of :func:`curriculum_schedule` (pre-aggregation
+    rows: id, phase, epoch, sample_key)."""
+    cases = " ".join(
+        f"WHEN {difficulty_expr} < {t} THEN {i + 1}"
+        for i, t in enumerate(thresholds)
+    )
+    phase = f"(CASE {cases} ELSE {len(thresholds) + 1} END)"
+    return f"""
+    WITH fan AS (
+      SELECT {id_expr} AS id, CAST({phase} AS INT) AS phase,
+             CAST(UNNEST(generate_series({phase}, {n_epochs})) AS INT)
+               AS epoch
+      FROM {table} WHERE {phase} <= {n_epochs}
+    )
+    SELECT id, phase, epoch,
+           md5(CAST(id AS VARCHAR) || ':' ||
+               CAST(epoch AS VARCHAR) || '{salt}') AS sample_key
+    FROM fan
+    """

@@ -858,3 +858,131 @@ def bpe_learn_oracle_sql(rounds: int = 6) -> str:
         for r in range(1, rounds + 1)
     )
     return "".join(parts) + "\n    " + selects
+
+
+def bm25_scores(
+    df,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Per-document BM25 relevance for a FIXED query-term tuple (Robertson &
+    Zaragoza 2009, the Lucene ``k1``/``b`` form with the +1-smoothed idf:
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``). Output: (id, ``bm25``
+    DOUBLE) for documents scoring > 0.
+
+    Spark-first shape — **no explode, no inverted index, zero data shuffle**:
+    per-term ``tf`` and the doc length ``dl`` are higher-order-function
+    expressions (``size(filter(tokens, x -> x = term))``) evaluated in the
+    scan stage, and the corpus statistics (N, Σdl, per-term df) are ONE
+    1-row aggregate broadcast-crossJoined back. At 100 TB the plan is two
+    corpus scans (stats + score) with only a single 1-row exchange between
+    them — the fixed-query retrieval recipe; for ad-hoc query sets, join a
+    broadcast term table against an inverted index instead (t16's shape).
+
+    Cross-engine determinism: every arithmetic step is written in the same
+    literal order as :func:`bm25_oracle_sql` (per-term scores summed
+    left-to-right with explicit parentheses, ``avgdl`` computed once as
+    ``double(Σdl)/N``), so scores are bit-identical to DuckDB modulo the
+    final ROUND the registered query applies.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def _eq(term: str):
+        # single-arg lambda: a 2-arg function would make pyspark pass the
+        # ELEMENT INDEX as the second argument (HOF arity dispatch)
+        return lambda x: x == F.lit(term)
+
+    feat = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("dl_sum"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = feat.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("dl_sum").cast("double") / F.col("n_docs")
+    )
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    score = None
+    for i in range(len(terms)):
+        tf, dfc = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.col("n_docs") - dfc) + F.lit(0.5)) / (dfc + F.lit(0.5))
+        )
+        tfn = (tf * F.lit(k1p1)) / (
+            tf + F.lit(k1) * (F.lit(one_minus_b) + (F.lit(b) * F.col("dl")) / F.col("avgdl"))
+        )
+        term_score = idf * tfn
+        score = term_score if score is None else score + term_score
+    return scored.select("id", score.alias("bm25")).filter(F.col("bm25") > 0)
+
+
+def bm25_oracle_sql(
+    terms: tuple[str, ...],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB SQL twin of :func:`bm25_scores` + top-k ranking — identical
+    literal arithmetic order so the unrounded doubles match bit-for-bit."""
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    k1p1, one_minus_b = repr(k1 + 1.0), repr(1.0 - b)
+    term_exprs = [
+        f"(ln(1.0 + ((n_docs - df{i}) + 0.5) / (df{i} + 0.5))"
+        f" * ((tf{i} * {k1p1}) / (tf{i} + {repr(k1)} *"
+        f" ({one_minus_b} + ({repr(b)} * dl) / avgdl))))"
+        for i in range(len(terms))
+    ]
+    score = term_exprs[0]
+    for t in term_exprs[1:]:
+        score = f"({score} + {t})"
+    return f"""
+    WITH base AS (
+      SELECT {id_expr} AS id,
+             string_split_regex(TRIM(LOWER({text_expr})), '\\s+') AS t
+      FROM {table}
+    ), feat AS (
+      SELECT id, len(t) AS dl,
+             {tf_cols}
+      FROM base
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {df_cols}
+      FROM feat
+    ), scored AS (
+      SELECT id, {score} AS bm25
+      FROM feat CROSS JOIN stats
+    )
+    SELECT id, ROUND(bm25, 6) AS bm25, rnk FROM (
+      SELECT id, bm25,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS INT) AS rnk
+      FROM scored WHERE bm25 > 0
+    ) WHERE rnk <= {k}
+    """

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_data_engineering_spark.operators import dedup as DD
+from aws_data_engineering_spark.operators import sampling as SAMP
 from aws_data_engineering_spark.operators import similarity as SIM
 from aws_data_engineering_spark.operators import text as T
 from aws_data_engineering_spark.plans.registry import register
@@ -3793,4 +3794,268 @@ def e17_autoplaned_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = SIM.recommended_lsh_planes(emb.count())
     return SIM.bucketed_neardup_pairs(
         emb, threshold=_E17_THRESHOLD, n_planes=p, dim=64
+    )
+
+
+# --------------------------------------------------------------------------
+# q99 — TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+# this schema's lateness proxy (no l_receiptdate/l_commitdate in the
+# fixtures; late = shipped > 60 days after order date). The classic
+# double-correlated EXISTS / NOT EXISTS is re-expressed as one per-(order,
+# supplier) aggregate + one per-order aggregate — "exists another supplier"
+# = n_supps > 1, "not exists another LATE supplier" = n_late = 1 — so the
+# whole query is equi-join/groupBy shaped: lineitem⨝orders shuffles on
+# orderkey once (AQE-sized), both dims broadcast, and the top-20 is a
+# TakeOrderedAndProject. No correlated re-scan of lineitem anywhere — the
+# form that survives 100 TB where a literal EXISTS-pair translation
+# rescans the fact table twice.
+# --------------------------------------------------------------------------
+_Q99_NATIONS = ("NATION_1", "NATION_7", "NATION_13")
+
+
+@register(
+    "q99_waiting_suppliers",
+    f"""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ), per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_supps, SUM(is_late) AS n_late
+      FROM late GROUP BY l_orderkey
+    ), waiters AS (
+      SELECT late.l_suppkey
+      FROM late JOIN per_order USING (l_orderkey)
+      WHERE late.is_late = 1 AND per_order.n_supps > 1
+        AND per_order.n_late = 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM waiters w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN {_Q99_NATIONS!r}
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    "TPC-H Q21 shape: sole-late supplier on multi-supplier finished orders "
+    "— EXISTS/NOT-EXISTS pair decorrelated into per-order counts (one "
+    "orderkey shuffle, dims broadcast, top-20 TakeOrdered)",
+)
+def q99_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("is_late")
+        )
+    )
+    per_order = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"), F.sum("is_late").alias("n_late")
+    )
+    waiters = (
+        late.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter(
+                (F.col("n_supps") > 1) & (F.col("n_late") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+        .select("l_suppkey")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*_Q99_NATIONS)
+    )
+    return (
+        waiters.join(
+            F.broadcast(sup), waiters["l_suppkey"] == sup["s_suppkey"]
+        )
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# t30 — BM25 retrieval for a fixed query over the corpus: the classic
+# sparse-retrieval scorer (Robertson & Zaragoza 2009) the dense-retrieval
+# operators (s01/s02/s06..) are usually hybridized with. Fixed query terms
+# make the whole thing scan-local: per-term tf and doc length are
+# higher-order-function expressions (no explode), corpus stats are one
+# 1-row broadcast aggregate, and the top-10 is a TakeOrderedAndProject —
+# zero data shuffle at any corpus size. Scores are bit-identical to the
+# oracle (same literal arithmetic order, ln parity as t15/t16), rounded
+# only at the output edge.
+# --------------------------------------------------------------------------
+_T30_TERMS = ("spark", "merge", "window")
+_T30_K = 10
+
+
+@register(
+    "t30_bm25_topk",
+    T.bm25_oracle_sql(terms=_T30_TERMS, k=_T30_K),
+    "BM25 top-10 for a fixed 3-term query: HOF tf/dl in the scan stage, "
+    "1-row broadcast corpus stats, TakeOrdered top-k — shuffle-free sparse "
+    "retrieval",
+)
+def t30_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = T.bm25_scores(docs, "doc_id", "text", terms=_T30_TERMS)
+    top = scored.orderBy(F.desc("bm25"), F.asc("id")).limit(_T30_K)
+    w = Window.orderBy(F.desc("bm25"), F.asc("id"))
+    return top.select(
+        "id",
+        F.round("bm25", 6).alias("bm25"),
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# p14 — curriculum-ordered epoch schedule: easy-first training mixtures
+# (Bengio et al. 2009) as a data-pipeline operator. Phase = fixed
+# difficulty thresholds on n_chars (a scan-stage expression — deliberately
+# NOT ntile(), whose global total-order window is a single-partition sort
+# at 100 TB); epoch e trains on phases 1..e via a guarded
+# sequence+posexplode fan-out (phase > n_epochs rows fan to NOTHING — the
+# same descending-sequence bug class p13 guards). Census output: per
+# (epoch, phase) doc counts + md5 sample-key extrema proving the
+# deterministic within-epoch shuffle keys.
+# --------------------------------------------------------------------------
+_P14_THRESHOLDS = (180, 300, 420)
+_P14_EPOCHS = 4
+_P14_SALT = "curr-v1"
+
+
+@register(
+    "p14_curriculum_schedule",
+    f"""
+    WITH fan AS ({{inner}})
+    SELECT epoch, phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(id) AS BIGINT) AS sum_doc_id,
+           MIN(sample_key) AS min_key, MAX(sample_key) AS max_key
+    FROM fan GROUP BY 1, 2
+    """.format(
+        inner=SAMP.curriculum_sql(
+            "doc_id", "n_chars", _P14_THRESHOLDS, _P14_EPOCHS, salt=_P14_SALT
+        )
+    ),
+    "curriculum schedule: fixed-threshold difficulty phases (scan-stage, "
+    "no global ntile sort), epoch fan-in via guarded sequence+posexplode, "
+    "deterministic md5 within-epoch shuffle keys; per-(epoch, phase) census",
+)
+def p14_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sched = SAMP.curriculum_schedule(
+        docs,
+        "doc_id",
+        "n_chars",
+        thresholds=_P14_THRESHOLDS,
+        n_epochs=_P14_EPOCHS,
+        salt=_P14_SALT,
+    )
+    return sched.groupBy(
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col("phase").cast("int").alias("phase"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.min("sample_key").alias("min_key"),
+        F.max("sample_key").alias("max_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# d18 — canonical-document selection over the LSH near-dup graph: the
+# "keep the BEST copy" dedup finisher. d10 resolves clusters with min-id
+# canonicals over the exact O(N²) pair baseline; this is the production
+# form — edges from e02's hyperplane-LSH buckets (equi-join on bucket id,
+# the 100 TB path), components via iterative min-label propagation, and
+# the kept doc per cluster chosen by QUALITY (longest n_chars, doc_id
+# tiebreak) — the heuristic real pipelines use so boilerplate fragments
+# don't survive as cluster representatives. Window argmax per cluster_id;
+# oracle walks the same LSH edges with a recursive CTE.
+# --------------------------------------------------------------------------
+_D18_THRESHOLD, _D18_PLANES = 0.30, 3
+
+
+def _d18_oracle() -> str:
+    lsh = SIM.bucketed_neardup_oracle_sql(
+        threshold=_D18_THRESHOLD, n_planes=_D18_PLANES, dim=64
+    )
+    return f"""
+    WITH RECURSIVE lsh_pairs AS ({lsh}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+              UNION SELECT id_b AS a, id_a AS b FROM lsh_pairs),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    labeled AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src),
+    j AS (SELECT d.doc_id, d.n_chars, l.cluster_id
+          FROM documents d JOIN labeled l USING (doc_id)),
+    ranked AS (
+      SELECT doc_id, cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+             FIRST_VALUE(doc_id) OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS canonical_doc_id
+      FROM j
+    )
+    SELECT doc_id, cluster_id, cluster_size, canonical_doc_id,
+           doc_id = canonical_doc_id AS kept
+    FROM ranked
+    """
+
+
+@register(
+    "d18_canonical_doc_selection",
+    _d18_oracle(),
+    "canonical-doc selection: LSH-bucketed near-dup edges -> connected "
+    "components -> keep the highest-quality (longest) doc per cluster via "
+    "window argmax — the scale-safe 'keep best copy' dedup finisher",
+)
+def d18_canonical_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.bucketed_neardup_pairs(
+        emb, threshold=_D18_THRESHOLD, n_planes=_D18_PLANES, dim=64
+    ).select("id_a", "id_b")
+    comp = DD.connected_components(pairs, "id_a", "id_b")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = docs.join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id", "n_chars", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    wsize = Window.partitionBy("cluster_id")
+    wcanon = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(wsize).cast("bigint").alias("cluster_size"),
+        F.first("doc_id").over(wcanon).alias("canonical_doc_id"),
+        (F.col("doc_id") == F.first("doc_id").over(wcanon)).alias("kept"),
     )

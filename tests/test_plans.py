@@ -149,23 +149,21 @@ def test_t15_vocab_rejoin_no_driver_vocab(spark, sf_dir):
 
 
 def test_registry_orders_unchecked_queries_first():
-    """The driver oracle-checks a prefix of the registry; queries not yet
-    driver-verified must sort before already-verified ones so coverage
-    rotates across rounds (see registry._DRIVER_CHECKED)."""
+    """The driver oracle-checks a prefix of the registry; ordering is a
+    three-tier stable sort — never-driver-checked first, then the stale
+    re-verification cohort, then checked — so a brand-new query always makes
+    the sample prefix and stale rotation fills the remainder (see
+    registry._DRIVER_CHECKED / _STALE_REVERIFY)."""
     from aws_data_engineering_spark.plans import registry as R
 
     names = list(R.queries())
-    seen_checked = False
-    for n in names:
-        if n in R._DRIVER_CHECKED:
-            seen_checked = True
-        else:
-            assert not seen_checked, (
-                f"unchecked query {n} sorts after a checked one — rotation broken"
-            )
-    # sanity: both groups exist and nothing was lost
-    assert any(n in R._DRIVER_CHECKED for n in names)
-    assert any(n not in R._DRIVER_CHECKED for n in names)
+    tiers = [R._tier(n) for n in names]
+    assert tiers == sorted(tiers), "registry not ordered by sampling tier"
+    # the tier sets are disjoint and reference only registered queries
+    assert not (R._DRIVER_CHECKED & R._STALE_REVERIFY)
+    assert (R._DRIVER_CHECKED | R._STALE_REVERIFY) <= set(names)
+    # sanity: never-checked and checked tiers both exist, nothing was lost
+    assert 0 in tiers and 2 in tiers
     assert set(R.oracle_sql()) <= set(names)
 
 
@@ -423,3 +421,21 @@ def test_m14_m15_codec_chain_shuffle_free(spark, sf_dir):
         plan = _plan(queries()[name](spark, sf_dir))
         assert "Exchange" not in plan, (name, plan)
         assert plan.count("MapInPandas") >= 2, name
+
+
+def test_t30_bm25_no_corpus_shuffle(spark, sf_dir):
+    """Fixed-query BM25 is scan-local: per-term tf/dl are HOF expressions,
+    corpus stats one 1-row broadcast aggregate, the top-k a
+    TakeOrderedAndProject — corpus rows must never hash-shuffle."""
+    plan = _plan(queries()["t30_bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_p14_curriculum_single_shuffle(spark, sf_dir):
+    """Phase assignment + epoch fan-out are scan-stage expressions; the only
+    exchange in the census is the final (epoch, phase) groupBy."""
+    plan = _plan(queries()["p14_curriculum_schedule"](spark, sf_dir))
+    assert "Generate" in plan  # posexplode fan-out, in the scan stage
+    assert plan.count("Exchange") == 1

@@ -652,3 +652,87 @@ def test_bpe_learn_lossless_brackets(spark):
     want = bpe_learn_model(corpus, rounds=2, lossless=True)
     assert got == want
     assert got[0][1:3] == ("~1", "~1")
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["spark", "merge", "window", "scan", "row", "agg"]),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_bm25_matches_python_model(spark, docs):
+    """BM25 operator vs a direct pure-Python model of the same formula
+    (Lucene k1/b form, +1-smoothed idf) on arbitrary small corpora — the
+    HOF tf/dl extraction, broadcast stats and arithmetic order all have to
+    agree to 1e-9 of the reference implementation."""
+    import math
+
+    from aws_data_engineering_spark.operators import text as T
+
+    terms = ("spark", "merge", "window")
+    k1, b = 1.2, 0.75
+    texts = [" ".join(ws) for ws in docs]
+    n = len(texts)
+    dls = [len(t.split()) for t in texts]
+    avgdl = sum(dls) / n
+    dfs = {t: sum(1 for ws in docs if t in ws) for t in terms}
+    expect = {}
+    for i, ws in enumerate(docs):
+        s = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            idf = math.log(1.0 + ((n - dfs[t]) + 0.5) / (dfs[t] + 0.5))
+            s += idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * dls[i]) / avgdl)))
+        if s > 0:
+            expect[i] = s
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r["id"]: r["bm25"]
+        for r in T.bm25_scores(df, "doc_id", "text", terms, k1=k1, b=b).collect()
+    }
+    assert set(got) == set(expect)
+    for i, v in expect.items():
+        assert abs(got[i] - v) < 1e-9, (i, got[i], v)
+
+
+def test_d18_canonical_invariants(spark, sf_dir):
+    """Canonical-doc selection: exactly one kept doc per cluster, every
+    member maps to the same canonical, the canonical is a member with
+    maximal n_chars (doc_id tiebreak), and cluster_size equals the actual
+    member count."""
+    from collections import defaultdict
+
+    from aws_data_engineering_spark.plans.registry import QUERIES, queries
+
+    queries()
+    rows = QUERIES["d18_canonical_doc_selection"].spark(spark, sf_dir).collect()
+    nchars = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r["cluster_id"]].append(r)
+    assert len(rows) == len(nchars)  # every doc labeled exactly once
+    for cid, members in clusters.items():
+        kept = [r for r in members if r["kept"]]
+        assert len(kept) == 1
+        canon = kept[0]["doc_id"]
+        best = min(
+            (r["doc_id"] for r in members),
+            key=lambda d: (-nchars[d], d),
+        )
+        assert canon == best
+        for r in members:
+            assert r["canonical_doc_id"] == canon
+            assert r["cluster_size"] == len(members)

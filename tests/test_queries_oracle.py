@@ -58,3 +58,46 @@ def test_d05_oracle_whitespace_parity(spark, tmp_path):
     # whitespace-only variation is invisible to the shingler
     assert got.get((1, 2)) == 1.0
     compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
+
+
+def test_q99_decorrelation_equals_literal_exists(sf_dir):
+    """The registered q99 oracle decorrelates TPC-H Q21's EXISTS/NOT-EXISTS
+    pair into per-order counts. Prove the rewrite: a literal
+    correlated-subquery formulation (straight from the Q21 text, adapted to
+    the shipdate-lateness proxy) must return the identical result set on
+    the fixture data — both run in DuckDB."""
+    from tests.oracle_utils import duckdb_conn
+
+    conn = duckdb_conn(sf_dir)
+    # numwait counts LATE (order, supplier) units — the literal EXISTS form
+    # is stated at the (orderkey, suppkey) grain the registered oracle
+    # aggregates at
+    literal = """
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), late_units AS (
+      SELECT DISTINCT a.l_orderkey, a.l_suppkey
+      FROM l1 a
+      WHERE a.l_shipdate > a.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM l1 b
+                    WHERE b.l_orderkey = a.l_orderkey
+                      AND b.l_suppkey <> a.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM l1 c
+                        WHERE c.l_orderkey = a.l_orderkey
+                          AND c.l_suppkey <> a.l_suppkey
+                          AND c.l_shipdate > c.o_orderdate + INTERVAL 60 DAY)
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late_units u
+    JOIN supplier s ON u.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_7', 'NATION_13')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """
+    got_literal = conn.sql(literal).fetchall()
+    got_registered = conn.sql(QUERIES["q99_waiting_suppliers"].oracle).fetchall()
+    assert got_literal == got_registered
+    assert len(got_registered) > 0

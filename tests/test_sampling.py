@@ -265,3 +265,43 @@ def test_minhash_cap_model_property(spark):
                     if a < b:
                         want.add((a, b))
     assert capped == want
+
+
+def test_curriculum_phase_thresholds(spark):
+    """Fixed-threshold phase assignment: strict < at every boundary, last
+    phase catches everything >= the top threshold."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 179), (3, 180), (4, 299), (5, 300), (6, 419), (7, 420), (8, 9999)],
+        "id bigint, d int",
+    )
+    out = df.select(
+        "id", P.curriculum_phase("d", (180, 300, 420)).alias("p")
+    ).collect()
+    got = {r["id"]: r["p"] for r in out}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+
+
+def test_curriculum_schedule_fanout_and_keys(spark):
+    """Phase-p rows appear in epochs p..n_epochs exactly once each; rows in
+    a phase beyond n_epochs are DROPPED (empty-array guard — the
+    descending-sequence bug class p13 guards); sample keys are the
+    documented md5."""
+    # thresholds (10, 20) -> 3 phases; n_epochs=2 -> phase-3 rows vanish
+    df = spark.createDataFrame(
+        [(1, 5), (2, 15), (3, 25)], "id bigint, d int"
+    )
+    out = P.curriculum_schedule(
+        df, "id", "d", thresholds=(10, 20), n_epochs=2, salt="s"
+    ).collect()
+    got = sorted((r["id"], r["phase"], r["epoch"]) for r in out)
+    assert got == [(1, 1, 1), (1, 1, 2), (2, 2, 2)]
+    for r in out:
+        assert r["sample_key"] == hashlib.md5(
+            f"{r['id']}:{r['epoch']}s".encode()
+        ).hexdigest()
+
+
+def test_curriculum_schedule_rejects_bad_epochs(spark):
+    df = spark.createDataFrame([(1, 5)], "id bigint, d int")
+    with pytest.raises(ValueError):
+        P.curriculum_schedule(df, "id", "d", thresholds=(10,), n_epochs=0)
