@@ -341,3 +341,69 @@ def test_jpeg420_roundtrip_and_rejections():
     # non-16-multiple dims refused at encode time
     with pytest.raises(ValueError, match="16-multiple"):
         enc_c(24, 32, yv, cbv, crv)
+
+
+def test_jpeg_progressive_equals_baseline_family():
+    """The same constant-block coefficients through the 4-scan progressive
+    wire layout and the single-scan baseline layout must decode to
+    identical pixels (both are lossless on the DC-only family)."""
+    import numpy as np
+
+    enc_base, dec_base, _, _ = M._jpeg_worker_fns()
+    enc_prog, dec_prog = M._jpeg_prog_worker_fns()
+    for w, h in [(8, 8), (24, 16), (16, 8)]:
+        nb = (w // 8) * (h // 8)
+        vals = [(v * 53 + 11) % 256 for v in range(nb)]
+        bw, bh, base_px = dec_base(enc_base(w, h, vals))
+        pw, ph, prog_px, n_scans = dec_prog(enc_prog(w, h, vals))
+        assert (bw, bh) == (pw, ph) == (w, h)
+        assert n_scans == 4
+        assert base_px == prog_px
+
+
+def test_jpeg_progressive_ac_reconstruction():
+    """Planted AC(0,1) coefficients through all four scans against an
+    independent numpy IDCT reference. |AC1|=1 is invisible to the first AC
+    scan's point transform and becomes NEWLY SIGNIFICANT in the refinement
+    scan; odd |AC1| exercises correction bits; sign handling both ways."""
+    import numpy as np
+
+    enc_prog, dec_prog = M._jpeg_prog_worker_fns()
+    vals = [10, 100, 200, 0, 255, 37, 128, 64]
+    acs = [0, 1, -1, 5, -2, 7, 0, -1]
+    w, h = 32, 16
+    gw, gh, px, n_scans = dec_prog(enc_prog(w, h, vals, acs))
+    assert (gw, gh, n_scans) == (w, h, 4)
+    got = np.frombuffer(px, np.uint8).reshape(h, w)
+
+    k = np.arange(8)
+    cos = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)
+    cf = np.full(8, np.sqrt(2 / 8))
+    cf[0] = np.sqrt(1 / 8)
+    basis = cos * cf[None, :]
+    exp = np.zeros((h, w))
+    bx_n = w // 8
+    for b, (v, a) in enumerate(zip(vals, acs)):
+        coef = np.zeros(64)
+        coef[M.JPEG_ZIGZAG[0]] = 8 * (v - 128)
+        coef[M.JPEG_ZIGZAG[1]] = a  # unit quant
+        blk = basis @ coef.reshape(8, 8) @ basis.T
+        by, bx = b // bx_n, b % bx_n
+        exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    expected = np.clip(np.round(exp + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, expected)
+
+
+def test_jpeg_progressive_rejections():
+    """The progressive decoder refuses baseline streams (and vice versa) —
+    misrouting a stream must raise, never misdecode."""
+    enc_base, dec_base, _, _ = M._jpeg_worker_fns()
+    enc_prog, dec_prog = M._jpeg_prog_worker_fns()
+    base_blob = enc_base(8, 8, [42])
+    prog_blob = enc_prog(8, 8, [42])
+    with pytest.raises(ValueError, match="progressive"):
+        dec_prog(base_blob)
+    with pytest.raises(ValueError, match="baseline"):
+        dec_base(prog_blob)
+    with pytest.raises(ValueError):
+        dec_prog(b"\x00\x01not a jpeg")

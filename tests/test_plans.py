@@ -417,7 +417,11 @@ def test_m14_m15_codec_chain_shuffle_free(spark, sf_dir):
     """The synthesize → decode codec chains are pure map pipelines: blobs
     must die inside the Python stages with no Exchange anywhere (at 100 TB
     of media the plan IS the scan)."""
-    for name in ("m14_audio_dynamics", "m15_jpeg420_decode"):
+    for name in (
+        "m14_audio_dynamics",
+        "m15_jpeg420_decode",
+        "m16_jpeg_progressive_decode",
+    ):
         plan = _plan(queries()[name](spark, sf_dir))
         assert "Exchange" not in plan, (name, plan)
         assert plan.count("MapInPandas") >= 2, name
