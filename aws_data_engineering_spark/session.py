@@ -30,22 +30,20 @@ def _default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-def get_spark(
+def build_session_builder(
     app_name: str = "aws-data-engineering-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     s3_endpoint: str | None = None,
     glue_warehouse: str | None = None,
     extra_conf: dict[str, str] | None = None,
-) -> SparkSession:
-    """Build (or reuse) a SparkSession tuned for lake-table analytics.
-
-    Scale posture: AQE owns shuffle sizing at runtime (coalesce small
-    partitions, split skewed ones, demote/promote broadcast joins), so the
-    same code runs on local[32] for tests and a 1000-executor cluster — only
-    ``shuffle_partitions`` (the pre-AQE upper bound) should grow with the
-    cluster.
-    """
+):
+    """Assemble the configured ``SparkSession.builder`` WITHOUT creating the
+    session. Split from :func:`get_spark` so the env-gated config branches
+    (Iceberg-on-Glue catalog, s3a endpoint, Delta extension) are executable
+    and assertable in pytest — catalog impl classes instantiate lazily on
+    first use, so the only thing testable without EMR jars is exactly this
+    builder contract (see tests/test_etl_core.py)."""
     cpus = _default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
@@ -97,7 +95,33 @@ def get_spark(
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    return builder
+
+
+def get_spark(
+    app_name: str = "aws-data-engineering-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    s3_endpoint: str | None = None,
+    glue_warehouse: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for lake-table analytics.
+
+    Scale posture: AQE owns shuffle sizing at runtime (coalesce small
+    partitions, split skewed ones, demote/promote broadcast joins), so the
+    same code runs on local[32] for tests and a 1000-executor cluster — only
+    ``shuffle_partitions`` (the pre-AQE upper bound) should grow with the
+    cluster.
+    """
+    return build_session_builder(
+        app_name=app_name,
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+        s3_endpoint=s3_endpoint,
+        glue_warehouse=glue_warehouse,
+        extra_conf=extra_conf,
+    ).getOrCreate()
 
 
 def stop_spark() -> None:

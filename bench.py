@@ -101,6 +101,11 @@ HEADLINE = [
     "t20_dsir_importance",
     # round-6: the scale-safe LSH-edge triangle count (g02's 100 TB form).
     "g07_triangle_count_lsh",
+    # round-6b: sparse retrieval (shuffle-free scan-local BM25), the Q21
+    # decorrelated join shape, and the progressive-JPEG codec chain.
+    "t30_bm25_topk",
+    "q99_waiting_suppliers",
+    "m16_jpeg_progressive_decode",
 ]
 
 

@@ -988,3 +988,43 @@ def test_ivf_recall_sf01(spark):
         for r in S.ivf_topk(qdf, emb, k=5, n_centroids=16, n_probe=6).collect()
     }
     assert len(part & exact) >= len(exact) * 0.5
+
+
+def test_session_builder_catalog_contract():
+    """E2 (Iceberg-on-Glue catalog, bootstrap.sh:60-64 analog) is env-gated:
+    the catalog jars only exist on EMR, and Spark instantiates catalog impls
+    lazily on first use — so the testable surface without a cluster is the
+    BUILDER contract. Execute the glue/s3a/extra-conf branches and assert
+    every config they are responsible for, plus the always-on scale posture
+    (AQE, Arrow, partition-type inference off)."""
+    from aws_data_engineering_spark.session import build_session_builder
+
+    b = build_session_builder(
+        glue_warehouse="s3://wh/iceberg",
+        s3_endpoint="http://localhost:9000",
+        shuffle_partitions=7,
+        extra_conf={"spark.custom.key": "v"},
+    )
+    opts = b._options
+    assert opts["spark.sql.catalog.glue"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert (
+        opts["spark.sql.catalog.glue.catalog-impl"]
+        == "org.apache.iceberg.aws.glue.GlueCatalog"
+    )
+    assert opts["spark.sql.catalog.glue.warehouse"] == "s3://wh/iceberg"
+    assert (
+        opts["spark.sql.catalog.glue.io-impl"] == "org.apache.iceberg.aws.s3.S3FileIO"
+    )
+    assert opts["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
+    assert opts["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert opts["spark.sql.shuffle.partitions"] == "7"
+    assert opts["spark.custom.key"] == "v"
+    # scale posture every session carries
+    assert opts["spark.sql.adaptive.enabled"] == "true"
+    assert opts["spark.sql.execution.arrow.pyspark.enabled"] == "true"
+    assert (
+        opts["spark.sql.sources.partitionColumnTypeInference.enabled"] == "false"
+    )
+    # no catalog/endpoint args -> none of the gated keys leak in
+    plain = build_session_builder()._options
+    assert not any("catalog.glue" in k or "s3a" in k for k in plain)
