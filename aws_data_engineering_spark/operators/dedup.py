@@ -1267,3 +1267,33 @@ def containment_pairs(
             ),
         )
     )
+
+
+def minhash_first_seen_oracle_sql(
+    num_hashes: int = 32, num_bands: int = 8, source_sql: str = "documents"
+) -> str:
+    """DuckDB SQL twin of the STREAMING MinHash dedup verdict
+    (:func:`aws_data_engineering_spark.streaming.streams.stream_minhash_dedup_sink`):
+    ``kept(d)`` iff no smaller doc_id shares any of d's band buckets.
+    Valid as a batch statement because the streaming rule is a pure
+    function of "docs that arrived no later than mine" and the registered
+    stream feeds files in doc_id order — same signature/band CTEs as the
+    d04 oracle, band keys as signature slices (collision-free stand-in for
+    the Spark side's xxhash64, the d04/d17 assumption)."""
+    rows = num_hashes // num_bands
+    prefix = _minhash_sig_cte_sql(num_hashes, source_sql)
+    return f"""
+    WITH {prefix}
+    , bandrows AS (
+      SELECT doc_id, b.band,
+             array_to_string(sig[b.band * {rows} + 1:b.band * {rows} + {rows}],
+                             ',') AS bkey
+      FROM sigs,
+           (SELECT UNNEST(generate_series(0, {num_bands - 1})) AS band) b
+    ), firsts AS (
+      SELECT band, bkey, MIN(doc_id) AS first_doc FROM bandrows GROUP BY 1, 2
+    )
+    SELECT br.doc_id, MIN(f.first_doc) = br.doc_id AS kept
+    FROM bandrows br JOIN firsts f USING (band, bkey)
+    GROUP BY br.doc_id
+    """

@@ -1355,3 +1355,59 @@ def hard_negative_topk(
             "rnk",
         )
     )
+
+
+def lsh_bucket_occupancy(
+    df: DataFrame,
+    n_planes: int,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-bucket occupancy audit for the hyperplane-LSH partitioner — the
+    pre-flight check the 100× scale experiment says to run BEFORE the
+    bucketed kernel: per bucket, the member count, the candidate-pair work
+    C(occ, 2) the kernel would enumerate, and the occ²·8-byte similarity
+    matrix a task would materialize. One groupBy on the bucket id (the
+    exact partitioning the kernel itself shuffles on); if any
+    ``est_task_bytes`` is above budget, raise ``n_planes`` per
+    :func:`recommended_lsh_planes` instead of discovering the 5 GB task
+    matrix in production.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    v = df.select(_as_double(F.col(vec_col)).alias("v")).withColumn(
+        "bucket", lsh_bucket(F.col("v"), planes)
+    )
+    occ = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("occupancy"))
+    return occ.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("occupancy").cast("bigint").alias("occupancy"),
+        F.floor(F.col("occupancy") * (F.col("occupancy") - 1) / 2)
+        .cast("bigint")
+        .alias("candidate_pairs"),
+        (F.col("occupancy") * F.col("occupancy") * 8)
+        .cast("bigint")
+        .alias("est_task_bytes"),
+    )
+
+
+def lsh_occupancy_oracle_sql(n_planes: int, dim: int = 64) -> str:
+    """DuckDB SQL twin of :func:`lsh_bucket_occupancy` — same literal LCG
+    hyperplanes and sign-pattern bucket id as
+    :func:`bucketed_neardup_oracle_sql`."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(e, [{', '.join(repr(v) for v in plane)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS (SELECT ({bucket}) AS bucket FROM v),
+    occ AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS occupancy
+            FROM b GROUP BY bucket)
+    SELECT bucket, occupancy,
+           CAST(occupancy * (occupancy - 1) // 2 AS BIGINT) AS candidate_pairs,
+           CAST(occupancy * occupancy * 8 AS BIGINT) AS est_task_bytes
+    FROM occ
+    """

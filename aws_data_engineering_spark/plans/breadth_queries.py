@@ -4106,3 +4106,83 @@ def m16_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     jpgs = MM.synthesize_progressive_jpegs(docs, "doc_id")
     return MM.decode_jpeg_progressive_features(jpgs, "id", "data")
+
+
+# --------------------------------------------------------------------------
+# e18 — LSH bucket-occupancy audit: the operational pre-flight for every
+# bucketed kernel in the repo (e02/e17/g07/d18). The 100× experiment's
+# core finding is that per-bucket kernel work is (N/2^p)² — quadratic in
+# occupancy — so the audit reports, per bucket, the member count, the
+# C(occ,2) candidate pairs the kernel would enumerate, and the occ²·8-byte
+# task matrix it would materialize. Plane count sized from the data like
+# e17 (p = recommended_lsh_planes(N)); one partial-agg groupBy on the same
+# bucket key the kernel shuffles on — the audit is strictly cheaper than
+# the kernel it budgets.
+# --------------------------------------------------------------------------
+@register(
+    "e18_lsh_bucket_occupancy",
+    SIM.lsh_occupancy_oracle_sql(n_planes=1, dim=64),
+    "LSH bucket-occupancy audit: per-bucket member count, C(occ,2) "
+    "candidate-pair work, and the occ^2*8-byte kernel task matrix — the "
+    "pre-flight that sizes n_planes before any bucketed similarity kernel "
+    "runs",
+)
+def e18_lsh_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    p = SIM.recommended_lsh_planes(emb.count())
+    return SIM.lsh_bucket_occupancy(emb, n_planes=p, dim=64)
+
+
+# --------------------------------------------------------------------------
+# st12 — STREAMING MinHash dedup: "is this newly-arriving doc a near-dup
+# of anything already in the corpus?" — the continuous-ingestion question
+# batch d04 can't answer without re-scanning the lake per increment. The
+# corpus is fed as doc_id-ordered files with maxFilesPerTrigger=1, so a
+# real multi-batch foreachBatch run (band-bucket state accumulated
+# merge-on-read across batches) must converge to the batch-SQL fixpoint:
+# kept(d) iff no smaller doc_id shares a band bucket. A dropped state row,
+# a verdict computed after the state append, or a batch-boundary leak all
+# flip verdicts and fail the hash.
+# --------------------------------------------------------------------------
+@register(
+    "st12_stream_minhash_dedup",
+    DD.minhash_first_seen_oracle_sql(num_hashes=32, num_bands=8),
+    "streaming fuzzy dedup: per-micro-batch MinHash band buckets joined "
+    "against merge-on-read first-seen state (append-only, min-folded) — "
+    "first-seen-wins verdicts over a genuinely multi-batch availableNow "
+    "run, oracle-checked against the batch first-seen rule",
+)
+def st12_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from aws_data_engineering_spark.streaming import (
+        read_documents_stream,
+        stream_minhash_dedup_sink,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = os.path.join(tempfile.gettempdir(), "spark_st12", uuid.uuid4().hex[:8])
+    in_dir = os.path.join(base, "in")
+    # feed the corpus as doc_id-RANGE files written sequentially: the file
+    # source processes oldest-modification-time first, so batch order ==
+    # doc_id order and the streaming first-seen rule equals the oracle's
+    # global min-id rule (any batch decomposition respecting that order
+    # yields identical verdicts — see stream_minhash_dedup_sink)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    n_files = 4
+    step = (int(max_id) + n_files) // n_files
+    for i in range(n_files):
+        docs.filter(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
+    q = stream_minhash_dedup_sink(
+        stream,
+        state_dir=os.path.join(base, "state"),
+        out_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(base, "out")).select("doc_id", "kept")

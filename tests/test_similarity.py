@@ -453,3 +453,21 @@ def test_recommended_lsh_planes_bounds_bucket_occupancy():
     assert recommended_lsh_planes(200_000) == 8
     assert recommended_lsh_planes(20_000) == 5
     assert recommended_lsh_planes(500) == 1
+
+
+def test_lsh_bucket_occupancy_audit_invariants(spark, sf_dir):
+    """The occupancy audit must partition the corpus exactly (occupancies
+    sum to N across any plane count), and its pair/bytes columns must be
+    the closed-form C(occ,2) and occ^2*8 of each reported occupancy —
+    i.e. the audit predicts precisely the work bucketed_neardup_pairs
+    would do on the same plane set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    for p in (1, 3, 5):
+        rows = S.lsh_bucket_occupancy(emb, n_planes=p, dim=64).collect()
+        assert sum(r["occupancy"] for r in rows) == n
+        assert len(rows) <= 2**p
+        for r in rows:
+            occ = r["occupancy"]
+            assert r["candidate_pairs"] == occ * (occ - 1) // 2
+            assert r["est_task_bytes"] == occ * occ * 8

@@ -472,3 +472,58 @@ def test_stream_partial_rollup_multibatch_equals_batch(spark, sf_dir, split_even
         .collect()
     }
     assert view == batch
+
+
+def test_stream_minhash_dedup_cross_batch_state(spark, tmp_path):
+    """Planted twins split across micro-batches: a doc arriving in a LATER
+    batch that near-dups a doc from an EARLIER batch must be dropped (the
+    state join), twins within one batch resolve to the smaller doc_id (the
+    batch-local minima), and originals stay kept. Files feed one per
+    trigger, so the state genuinely crosses batch boundaries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"alt{i}" for i in range(30))
+    batches = [
+        # batch 0: originals
+        [(0, base), (1, other)],
+        # batch 1: exact twin of doc 0 (cross-batch dup) + fresh doc
+        [(10, base), (11, " ".join(f"new{i}" for i in range(30)))],
+        # batch 2: two twins of each other (on FRESH tokens — a suffix of
+        # batch 0's text would still share most shingles and near-dup it),
+        # first-seen-in-batch wins
+        [
+            (20, " ".join(f"pair{i}" for i in range(30))),
+            (21, " ".join(f"pair{i}" for i in range(30))),
+        ],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    import time
+
+    for bi, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["s"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(in_dir / f"b{bi}.parquet"))
+        time.sleep(1.1)  # distinct modification times -> deterministic order
+    stream = ST.read_documents_stream(spark, str(in_dir), max_files_per_trigger=1)
+    q = ST.stream_minhash_dedup_sink(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {0: True, 1: True, 10: False, 11: True, 20: True, 21: False}
