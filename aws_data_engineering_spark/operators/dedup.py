@@ -740,10 +740,12 @@ def connected_components(
     one shuffle (groupBy node); ``localCheckpoint`` cuts lineage so round
     ``k`` doesn't replan rounds ``1..k-1``. The label table it caches is two
     integer columns per distinct node — negligible storage at any scale.
-    For adversarially chain-shaped graphs at 100 TB, swap the round body for
-    the alternating large-star/small-star step (Kiveris et al., "Connected
-    Components in MapReduce"), which converges in O(log n) rounds on the
-    same DataFrame skeleton.
+    For adversarially chain-shaped graphs (diameter > ``max_iter``) this
+    propagation cannot finish — and an unconverged label table is silently
+    WRONG (labels stop mid-chain), so exhaustion raises RuntimeError naming
+    the fix: :func:`connected_components_star`, the alternating
+    large-star/small-star contraction (Kiveris et al.) that closes the same
+    graph in O(log n) rounds.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -778,6 +780,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "the graph's diameter exceeds the iteration budget and the "
+            "partial labels would be silently wrong; use "
+            "connected_components_star (O(log n) star contraction) for "
+            "high-diameter graphs"
+        )
     return labels
 
 
@@ -1297,3 +1307,104 @@ def minhash_first_seen_oracle_sql(
     FROM bandrows br JOIN firsts f USING (band, bkey)
     GROUP BY br.doc_id
     """
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round algorithm :func:`connected_components`'s
+    docstring names as the 100 TB swap for chain-shaped graphs, as actual
+    code. Same contract: (``node``, ``label``) with label = component
+    minimum.
+
+    Why it exists: min-label propagation converges in diameter rounds —
+    fine for near-dup cliques, pathological for chains (a 100-node path
+    needs 100 shuffles). Star contraction halves component height every
+    alternation, so the same path closes in ~log2(n) rounds. Each round is
+    two groupBy shuffles over the current edge set:
+
+    - **large-star**: per node u with symmetric neighborhood N(u), let
+      m = min(N(u) ∪ {u}); rewire every LARGER neighbor v > u to m;
+    - **small-star**: orient edges (a > b); per a let m = min(N(a) ∪ {a});
+      rewire every smaller neighbor (and a itself) to m.
+
+    Convergence when the canonical (greater, smaller) edge set reaches a
+    fixpoint (checked by count + order-free hash-sum — two scalar aggs,
+    no driver-side edge sets); the fixpoint is a star forest rooted at
+    each component's minimum. Edges localCheckpoint per round: round k
+    never re-plans rounds 1..k-1.
+    """
+    e0 = pairs.select(
+        F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+        F.least(F.col(id_a), F.col(id_b)).alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = e0.localCheckpoint(eager=True)
+
+    def _sig(e: DataFrame):
+        # order-free set signature: count + xor-fold of row hashes (bit_xor
+        # can't overflow under ANSI, unlike SUM(xxhash64); edges are
+        # distinct so xor cancellation needs a hash collision to lie, and
+        # the signature only gates EARLY stop — max_iter still bounds)
+        return e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+
+    prev = _sig(edges)
+    for _ in range(max_iter):
+        # large-star over the symmetric view: rewire larger neighbors to m
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_large = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(m_large, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star over (greater, smaller) orientation: rewire smaller
+        # neighbors AND the center to m
+        e = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m_small = e.groupBy("u").agg(F.min("v").alias("m"))
+        joined = e.join(m_small, "u")
+        small = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m_small.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+        )
+        edges = (
+            small.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint star forest: every non-root points at its root (u > v = root)
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    roots = edges.select(F.col("v").alias("node"), F.col("v").alias("label")).distinct()
+    resolved = labels.union(roots).distinct()
+    return (
+        nodes.join(resolved, "node", "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
+    )

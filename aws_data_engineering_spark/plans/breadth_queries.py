@@ -4186,3 +4186,64 @@ def st12_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(os.path.join(base, "out")).select("doc_id", "kept")
+
+
+# --------------------------------------------------------------------------
+# g08 — connected components via large-star/small-star contraction
+# (Kiveris et al.): the O(log n)-round algorithm d10's min-label docstring
+# promised "in prose" since round 1, now registered code. Min-label
+# propagation needs diameter rounds — a chain of 100 near-identical
+# crawl snapshots (each similar only to its neighbors) is a diameter-100
+# graph that d10's 25-round budget now REFUSES (RuntimeError) rather than
+# silently mislabeling; star contraction closes it in ~log2(n)
+# alternations, each two groupBy shuffles over the shrinking edge set.
+# Edges from the LSH buckets (the 100 TB path, as g07/d18); oracle walks
+# the same edges with a recursive CTE, so both algorithms' cluster
+# labelings are pinned to the same ground truth.
+# --------------------------------------------------------------------------
+def _g08_oracle() -> str:
+    lsh = SIM.bucketed_neardup_oracle_sql(
+        threshold=_D18_THRESHOLD, n_planes=_D18_PLANES, dim=64
+    )
+    return f"""
+    WITH RECURSIVE lsh_pairs AS ({lsh}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+              UNION SELECT id_b AS a, id_a AS b FROM lsh_pairs),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    labeled AS (SELECT src AS vec_id, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src)
+    SELECT vec_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM labeled
+    """
+
+
+@register(
+    "g08_star_components",
+    _g08_oracle(),
+    "connected components by alternating large-star/small-star contraction "
+    "(O(log n) rounds, two shuffles each) over the LSH near-dup graph — "
+    "the high-diameter-safe form of d10's min-label propagation, same "
+    "min-id labels",
+)
+def g08_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.bucketed_neardup_pairs(
+        emb, threshold=_D18_THRESHOLD, n_planes=_D18_PLANES, dim=64
+    ).select("id_a", "id_b")
+    comp = DD.connected_components_star(pairs, "id_a", "id_b")
+    labeled = (
+        emb.select("vec_id")
+        .join(comp, F.col("vec_id") == comp["node"], "left")
+        .select("vec_id", F.coalesce("label", "vec_id").alias("cluster_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "vec_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
