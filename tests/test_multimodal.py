@@ -407,3 +407,80 @@ def test_jpeg_progressive_rejections():
         dec_base(prog_blob)
     with pytest.raises(ValueError):
         dec_prog(b"\x00\x01not a jpeg")
+
+
+def test_mjpeg_mux_demux_roundtrip():
+    """Every sample sliced via stco+stsz must decode to the planted
+    closed-form frame (m07's block family shifted by frame index), for
+    several (n_frames, dims) lattice points including 8-clipped edges."""
+    enc, dec = M._mjpeg_worker_fns()
+    for vid in (0, 1, 7, 11, 123, 4567):
+        n, w, h = 1 + vid % 4, 4 + vid % 16, 4 + vid % 12
+        frames = dec(enc(vid, n, w, h))
+        assert [f for f, *_ in frames] == list(range(n))
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        for f, fw, fh, s in frames:
+            assert (fw, fh) == (w, h)
+            assert s == sum(
+                ((vid + f + b) * 31) % 256
+                * min(8, w - (b % bx) * 8)
+                * min(8, h - (b // bx) * 8)
+                for b in range(bx * by)
+            )
+
+
+def test_mjpeg_malformed_rejected():
+    """Wrong sample-entry fourcc, out-of-range sample, multi-chunk stco,
+    and box garbage are refused — never misdecoded."""
+    enc, dec = M._mjpeg_worker_fns()
+    blob = enc(3, 2, 8, 8)
+
+    bad = bytearray(blob)
+    i = blob.index(b"jpeg", blob.index(b"stsd"))
+    bad[i : i + 4] = b"avc1"
+    with pytest.raises(ValueError, match="avc1"):
+        dec(bytes(bad))
+
+    # inflate the last stsz entry so the sample escapes the file
+    import struct
+
+    sz = blob.index(b"stsz")
+    n = struct.unpack(">I", blob[sz + 12 : sz + 16])[0]
+    last = sz + 16 + 4 * (n - 1)
+    bad = bytearray(blob)
+    bad[last : last + 4] = struct.pack(">I", 1 << 24)
+    with pytest.raises(ValueError, match="escapes"):
+        dec(bytes(bad))
+
+    # stco chunk-count != 1 refused (single-chunk layout is the contract)
+    co = blob.index(b"stco")  # fourcc; +4 version/flags, +8 entry_count
+    bad = bytearray(blob)
+    bad[co + 8 : co + 12] = struct.pack(">I", 2)
+    with pytest.raises(ValueError, match="chunk"):
+        dec(bytes(bad))
+
+    with pytest.raises(ValueError):
+        dec(blob[:40])
+
+
+def test_mjpeg_frame_features_spark(spark, ids_df):
+    """Spark-side chain: synthesize → demux+decode emits one row per frame
+    with the closed-form pixel sums."""
+    movies = M.synthesize_mjpeg_videos(ids_df, "doc_id")
+    rows = M.decode_mjpeg_frame_features(movies, "id", "data").collect()
+    by_key = {(r["id"], r["frame_idx"]): r for r in rows}
+    ids = [r["doc_id"] for r in ids_df.collect()]
+    assert len(rows) == sum(1 + i % 4 for i in ids)
+    for i in ids:
+        w, h = 4 + i % 16, 4 + i % 12
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        for f in range(1 + i % 4):
+            r = by_key[(i, f)]
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["n_pixels"] == w * h
+            assert r["sum_pixel"] == sum(
+                ((i + f + b) * 31) % 256
+                * min(8, w - (b % bx) * 8)
+                * min(8, h - (b // bx) * 8)
+                for b in range(bx * by)
+            )

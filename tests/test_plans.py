@@ -332,6 +332,10 @@ _BNLJ_ALLOW = {
     # t29's per-round 1-row argmax winners broadcast back into the corpus
     # scan (Column-built replace patterns)
     "t29_bpe_merge_learning",
+    # t30 broadcasts the 1-row corpus-stats aggregate (N, Σdl, per-term df)
+    # back into the scoring scan — test_t30_bm25_no_corpus_shuffle pins
+    # that exact shape
+    "t30_bm25_topk",
 }
 
 
@@ -421,6 +425,7 @@ def test_m14_m15_codec_chain_shuffle_free(spark, sf_dir):
         "m14_audio_dynamics",
         "m15_jpeg420_decode",
         "m16_jpeg_progressive_decode",
+        "m17_mjpeg_frame_decode",
     ):
         plan = _plan(queries()[name](spark, sf_dir))
         assert "Exchange" not in plan, (name, plan)
