@@ -4508,3 +4508,222 @@ def dq16_mean_shift_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("lead_days") == _DQ16_WIN)
         ).alias("is_changepoint"),
     )
+
+
+# --------------------------------------------------------------------------
+# p15 — token-budget waterfill mixture planning (round-6): given per-
+# source token capacities and a global training budget B (here 90% of the
+# corpus so the answer mixes fully-granted and truncated sources), find
+# the waterfill level L with sum_s min(c_s, L) <= B and allocate
+# a_s = min(c_s, L) — the standard "spend the budget proportionally but
+# never over-sample a source" planning step that sits in front of p06's
+# per-doc budget sampling. Exact INTEGER algorithm on both engines:
+# sources sorted by (capacity, name), a source is FULL when topping every
+# remaining source up to its capacity still fits the remaining budget
+# (cum_prev + c_i * rem_i <= B, monotone in i), and the first non-full
+# prefix fixes L = (B - cum_prev) div rem (floor division on
+# non-negatives). The fact table collapses to one row per source before
+# any window runs, so the window stage is vocabulary-bounded at any data
+# scale. Zero floating point end-to-end.
+# --------------------------------------------------------------------------
+@register(
+    "p15_token_budget_waterfill",
+    r"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(
+                    string_split_regex(lower(TRIM(text)), '\s+'),
+                    x -> x <> ''))) AS BIGINT) AS c_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT source, c_tokens,
+             SUM(c_tokens) OVER () AS total,
+             (SUM(c_tokens) OVER () * 9) // 10 AS budget,
+             COUNT(*) OVER () AS n_src,
+             ROW_NUMBER() OVER (ORDER BY c_tokens, source) AS i,
+             COALESCE(SUM(c_tokens) OVER (ORDER BY c_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM per_src
+    ), flagged AS (
+      SELECT *,
+             (cum_prev + c_tokens * (n_src - i + 1) <= budget) AS is_full,
+             MIN(CASE WHEN NOT (cum_prev + c_tokens * (n_src - i + 1) <= budget)
+                 THEN i END) OVER () AS first_nf
+      FROM tot
+    ), lvl AS (
+      -- the waterfill level comes from the FIRST infeasible prefix only
+      -- (infeasibility is monotone in i; later prefixes have cum_prev >
+      -- budget and would yield negative levels)
+      SELECT *,
+             MIN(CASE WHEN i = first_nf
+                 THEN (budget - cum_prev) // (n_src - i + 1) END) OVER ()
+               AS level
+      FROM flagged
+    )
+    SELECT source, c_tokens,
+           CAST(CASE WHEN is_full THEN c_tokens
+                     ELSE least(c_tokens, level) END AS BIGINT) AS allocation,
+           CAST(COALESCE(level, c_tokens) AS BIGINT) AS fill_level,
+           CAST(budget AS BIGINT) AS budget,
+           is_full
+    FROM lvl
+    """,
+    "token-budget waterfill mixture planning: per-source capacities, "
+    "global budget = 90% of corpus tokens, exact integer waterfill level "
+    "via the sorted-prefix feasibility test — the allocation step in "
+    "front of per-doc budget sampling (p06); vocabulary-bounded window "
+    "stage, zero floating point",
+)
+def p15_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("n_tok"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("c_tokens")
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = Window.partitionBy(F.lit(1)).orderBy("c_tokens", "source")
+    tot = per_src.withColumn("total", F.sum("c_tokens").over(w_all))
+    tot = (
+        tot.withColumn("budget", F.expr("(total * 9) div 10"))
+        .withColumn("n_src", F.count(F.lit(1)).over(w_all))
+        .withColumn("i", F.row_number().over(w_ord))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum("c_tokens").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    feasible = (
+        F.col("cum_prev") + F.col("c_tokens") * (F.col("n_src") - F.col("i") + 1)
+        <= F.col("budget")
+    )
+    flagged = tot.withColumn("is_full", feasible).withColumn(
+        "first_nf", F.min(F.when(~feasible, F.col("i"))).over(w_all)
+    )
+    # level from the FIRST infeasible prefix only — infeasibility is
+    # monotone in i, and later prefixes (cum_prev > budget) would yield
+    # negative levels
+    lvl = flagged.withColumn(
+        "level",
+        F.min(
+            F.when(
+                F.col("i") == F.col("first_nf"),
+                F.expr("(budget - cum_prev) div (n_src - i + 1)"),
+            )
+        ).over(w_all),
+    )
+    return lvl.select(
+        "source",
+        "c_tokens",
+        F.when(F.col("is_full"), F.col("c_tokens"))
+        .otherwise(F.least("c_tokens", "level"))
+        .cast("bigint")
+        .alias("allocation"),
+        F.coalesce("level", "c_tokens").cast("bigint").alias("fill_level"),
+        F.col("budget").cast("bigint").alias("budget"),
+        "is_full",
+    )
+
+
+# --------------------------------------------------------------------------
+# st13 — watermark late-data drop audit (round-6): the one watermark
+# behavior no other streaming query pins — rows arriving AFTER their
+# window closed are DROPPED, and the drop boundary is modeled exactly.
+# The corpus is fed as three event_id%3 files (each spans the full time
+# range, so later batches are massively late) with maxFilesPerTrigger=1.
+# Empirically pinned semantics (Spark 4.1, probed at equality edges):
+# the watermark batch b RUNS with is max-event-time over batches < b
+# (ms-truncated) minus the delay, the LATE-DATA FILTER in batch b uses
+# the watermark batch b-1 ran with (one further batch of lag), equality
+# DROPS (window_end <= filter-wm), and the availableNow drain ends with
+# an empty batch that advances the watermark to the global max, emitting
+# every window with end <= final watermark. With three files the only
+# drop-exposed batch is the third (filter-wm = max of file 0 - delay);
+# the oracle reproduces the admitted set and the final emission set in
+# closed form. 37-minute delay keeps watermarks off hour boundaries.
+# --------------------------------------------------------------------------
+@register(
+    "st13_stream_late_data_audit",
+    """
+    WITH bat AS (
+      SELECT *, event_id % 3 AS b FROM events
+    ), m0 AS (
+      SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 37 MINUTE AS wm
+      FROM bat WHERE b = 0
+    ), mall AS (
+      SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 37 MINUTE AS wm
+      FROM bat
+    ), admitted AS (
+      SELECT bat.* FROM bat, m0
+      WHERE b <= 1 OR date_trunc('hour', ts) + INTERVAL 1 HOUR > m0.wm
+    ), agg AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+      FROM admitted GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n_events, total_value
+    FROM agg, mall
+    WHERE ws + INTERVAL 1 HOUR <= mall.wm
+    """,
+    "watermark late-data drop audit: corpus fed as three full-time-range "
+    "files so the third batch is massively late; append-mode tumbling agg "
+    "under a 37-minute watermark — the oracle reproduces the empirically "
+    "pinned drop rule (one-batch-lagged filter watermark, equality drops) "
+    "and the final emission set exactly",
+)
+def st13_stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from aws_data_engineering_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    base = os.path.join(tempfile.gettempdir(), "spark_st13", uuid.uuid4().hex[:8])
+    in_dir = os.path.join(base, "in")
+    # one file per event_id%3 class, written sequentially: the file source
+    # processes oldest-modification-time first, so batch order == class
+    # order (the st12 feed pattern). ts re-encoded as nanos bigint — the
+    # EVENTS_DDL raw-INT64 contract (Spark's own timestamp writer emits
+    # INT96, which the bigint stream schema refuses)
+    feed = events.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    for b in range(3):
+        feed.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    stream = read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "37 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"st13_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(agg, name, "append")

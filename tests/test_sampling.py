@@ -305,3 +305,67 @@ def test_curriculum_schedule_rejects_bad_epochs(spark):
     df = spark.createDataFrame([(1, 5)], "id bigint, d int")
     with pytest.raises(ValueError):
         P.curriculum_schedule(df, "id", "d", thresholds=(10,), n_epochs=0)
+
+
+def _waterfill_ref(caps: dict[str, int], budget: int) -> dict[str, int]:
+    """Reference integer waterfill: sort asc, first infeasible prefix
+    fixes level = (B - cum_prev) // remaining."""
+    items = sorted(caps.items(), key=lambda kv: (kv[1], kv[0]))
+    n, cum, alloc = len(items), 0, {}
+    level = None
+    for idx, (src, c) in enumerate(items):
+        rem = n - idx
+        if level is None and cum + c * rem <= budget:
+            alloc[src] = c
+            cum += c
+        else:
+            if level is None:
+                level = (budget - cum) // rem
+            alloc[src] = min(c, level)
+    return alloc
+
+
+def test_waterfill_planted_skew(spark, tmp_path):
+    """Skewed planted corpus (one giant source, several small): the
+    registered p15 query must reproduce the reference waterfill exactly,
+    with small sources granted in full and the giant truncated to the
+    level."""
+    from aws_data_engineering_spark.plans.registry import QUERIES, queries
+
+    queries()
+    rows, caps = [], {}
+    doc_id = 0
+    for src, n_tok in [("tiny", 5), ("small", 20), ("mid", 40), ("huge", 400)]:
+        caps[src] = n_tok
+        text = " ".join(f"w{i}" for i in range(n_tok))
+        rows.append((doc_id, text, "en", src, len(text)))
+        doc_id += 1
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    total = sum(caps.values())  # 465
+    budget = total * 9 // 10  # 418
+    expected = _waterfill_ref(caps, budget)
+    got = {
+        r["source"]: (r["allocation"], r["is_full"])
+        for r in QUERIES["p15_token_budget_waterfill"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert {s: a for s, (a, _) in got.items()} == expected
+    # small sources full, the giant truncated
+    assert got["tiny"][1] and got["small"][1] and got["mid"][1]
+    assert not got["huge"][1]
+    assert sum(expected.values()) <= budget
+    assert budget - sum(expected.values()) < len(caps)
