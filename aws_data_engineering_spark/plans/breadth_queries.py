@@ -4727,3 +4727,185 @@ def st13_stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"st13_{uuid.uuid4().hex[:8]}"
     return run_to_memory_sink(agg, name, "append")
+
+
+# --------------------------------------------------------------------------
+# c16 — parquet zone-map (row-group skipping) audit (round-6): the
+# physical-layout property a 100 TB scan lives or dies by. Lineitem is
+# laid out the way a date-partitioned lake table would be — one file per
+# ship-month, rows sorted by (shipdate, orderkey, linenumber), written
+# EXECUTOR-SIDE by pyarrow with a fixed 512-row row-group size so the
+# row-group boundaries are closed-form — then a footer-only second pass
+# reads each file's REAL row-group statistics (min/max, counts; never the
+# data pages) and decides, per row group, whether a Q1-1996 predicate
+# could skip it (mid-range of the fixture's 1995-2001 shipdates: 159 of
+# 165 row groups skip at sf0.01, 6 scan). The oracle recomputes every row group's extent from the
+# sort order, so a writer that mis-sorts, mis-chunks, or drops statistics
+# fails the hash. This is the min/max pruning contract Spark's own
+# parquet reader, DuckDB, and every lakehouse format (Iceberg/Delta
+# data-skipping stats) rely on, made auditable as a query.
+# --------------------------------------------------------------------------
+_C16_RG_ROWS = 512
+_C16_LO, _C16_HI = "1996-01-01", "1996-03-31"
+
+
+@register(
+    "c16_parquet_zonemap_audit",
+    f"""
+    WITH r AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             CAST(l_shipdate AS DATE) AS d,
+             ROW_NUMBER() OVER (
+               PARTITION BY strftime(l_shipdate, '%Y-%m')
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS rn
+      FROM lineitem
+    ), g AS (
+      SELECT month, rn // {_C16_RG_ROWS} AS rg_idx,
+             COUNT(*) AS n_rows, MIN(d) AS min_date, MAX(d) AS max_date
+      FROM r GROUP BY 1, 2
+    )
+    SELECT month, CAST(rg_idx AS INT) AS rg_idx,
+           CAST(n_rows AS BIGINT) AS n_rows, min_date, max_date,
+           (max_date < DATE '{_C16_LO}' OR min_date > DATE '{_C16_HI}')
+             AS skippable
+    FROM g
+    """,
+    "parquet zone-map audit: month-partitioned, shipdate-sorted files "
+    "written executor-side with fixed 512-row row groups; a footer-only "
+    "pass reads the real row-group min/max statistics and decides Q1-1996 "
+    "skippability per group — the data-skipping contract lakehouse scans "
+    "rely on, hash-checked against the closed-form layout",
+)
+def c16_parquet_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "spark_c16", uuid.uuid4().hex[:8]
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    rg_rows, lo, hi = _C16_RG_ROWS, _C16_LO, _C16_HI
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+    def write_month(pdf):
+        import os as os_w
+
+        import pandas as pd_w
+        import pyarrow as pa_w
+        import pyarrow.parquet as pq_w
+
+        pdf = pdf.sort_values(
+            ["d", "l_orderkey", "l_linenumber"], kind="mergesort"
+        ).reset_index(drop=True)
+        month = str(pdf["month"].iloc[0])
+        path = os_w.path.join(out_dir, f"{month}.parquet")
+        tbl = pa_w.table({"d": pa_w.array(list(pdf["d"]), type=pa_w.date32())})
+        pq_w.write_table(tbl, path, row_group_size=rg_rows)
+        return pd_w.DataFrame({"month": [month], "path": [path]})
+
+    files = li.groupBy("month").applyInPandas(
+        write_month, "month string, path string"
+    )
+
+    def read_footers(batches):
+        import datetime as dt_w
+
+        import pandas as pd_w
+        import pyarrow.parquet as pq_w
+
+        lo_d = dt_w.date.fromisoformat(lo)
+        hi_d = dt_w.date.fromisoformat(hi)
+        cols = ("month", "rg_idx", "n_rows", "min_date", "max_date", "skippable")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for month, path in zip(pdf["month"], pdf["path"]):
+                pf = pq_w.ParquetFile(path)
+                for rg in range(pf.metadata.num_row_groups):
+                    meta = pf.metadata.row_group(rg)
+                    st = meta.column(0).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(f"{path} rg {rg}: missing statistics")
+                    out["month"].append(month)
+                    out["rg_idx"].append(rg)
+                    out["n_rows"].append(meta.num_rows)
+                    out["min_date"].append(st.min)
+                    out["max_date"].append(st.max)
+                    out["skippable"].append(st.max < lo_d or st.min > hi_d)
+            yield pd_w.DataFrame(out)
+
+    return files.mapInPandas(
+        read_footers,
+        "month string, rg_idx int, n_rows bigint, min_date date, "
+        "max_date date, skippable boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# p16 — deterministic source interleave (round-6): build the single
+# global training order a sharded dataloader walks, with sources
+# round-robin interleaved so any prefix of the stream preserves the
+# source mixture (the property epoch-level shuffling alone does not
+# give). Within-source order is the p12 md5 shuffle (seedless,
+# crash-resumable); the global position is within_rank * n_sources +
+# source_index — a collision-free affine interleave computed with ZERO
+# global sort: the only full-table window partitions BY SOURCE (parallel
+# across sources), and source_index/n_sources come from a broadcast
+# vocabulary-bounded source table. A 100 TB corpus gets a total order
+# without any single-partition stage.
+# --------------------------------------------------------------------------
+@register(
+    "p16_source_interleave",
+    """
+    WITH srcs AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS source_index,
+             COUNT(*) OVER () AS n_sources
+      FROM (SELECT DISTINCT source FROM documents)
+    ), ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR))) - 1
+               AS within_rank
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.within_rank AS BIGINT) AS within_rank,
+           CAST(r.within_rank * s.n_sources + s.source_index AS BIGINT)
+             AS global_pos
+    FROM ranked r JOIN srcs s ON r.source = s.source
+    """,
+    "deterministic source interleave: md5 within-source shuffle + affine "
+    "round-robin global position (within_rank * n_sources + source_index) "
+    "— any prefix of the stream preserves the source mixture; no global "
+    "sort, windows partition by source, source table broadcast",
+)
+def p16_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    srcs = docs.select("source").distinct()
+    w_src = Window.partitionBy(F.lit(1)).orderBy("source")
+    srcs = srcs.select(
+        "source",
+        (F.row_number().over(w_src) - 1).alias("source_index"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n_sources"),
+    )
+    w_in = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string"))
+    )
+    ranked = docs.select(
+        "doc_id", "source", (F.row_number().over(w_in) - 1).alias("within_rank")
+    )
+    return ranked.join(F.broadcast(srcs), "source").select(
+        "doc_id",
+        "source",
+        F.col("within_rank").cast("bigint").alias("within_rank"),
+        (F.col("within_rank") * F.col("n_sources") + F.col("source_index"))
+        .cast("bigint")
+        .alias("global_pos"),
+    )
