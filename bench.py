@@ -106,6 +106,13 @@ HEADLINE = [
     "t30_bm25_topk",
     "q99_waiting_suppliers",
     "m16_jpeg_progressive_decode",
+    # round-6c: MP4 sample decode (demux + per-frame JPEG through the map
+    # stage), the parquet zone-map audit (executor-side layout write +
+    # footer-only stats pass), and Kneser-Ney smoothing (the LM family's
+    # heaviest join fan — five count tables re-joined on the gram).
+    "m17_mjpeg_frame_decode",
+    "c16_parquet_zonemap_audit",
+    "t31_kneser_ney_bigram",
 ]
 
 
