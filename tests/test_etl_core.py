@@ -1028,3 +1028,173 @@ def test_session_builder_catalog_contract():
     # no catalog/endpoint args -> none of the gated keys leak in
     plain = build_session_builder()._options
     assert not any("catalog.glue" in k or "s3a" in k for k in plain)
+
+
+# ---------------------------------------------------------------------------
+# Round-6c semantic pins: planted scenarios for the new operators, beyond
+# the oracle-differential gate (which only proves Spark == DuckDB, not that
+# either is RIGHT — see the p15 level-selection bug the invariant check
+# caught while both engines agreed).
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+
+def test_t31_kneser_ney_hand_computed(spark, tmp_path):
+    """Single-source corpus 'a b a b a c' ('a b','b a','a b','b a','a c'):
+    hand-computed interpolated KN probabilities. Counts: c(a b)=2, c(b a)=2,
+    c(a c)=1; prefixes: a->(tot 3, follow 2), b->(tot 2, follow 1);
+    suffixes: N1+(.b)=1, N1+(.a)=1, N1+(.c)=1, B=3."""
+    import math
+
+    from aws_data_engineering_spark.plans.registry import QUERIES, queries
+
+    queries()
+    _write_docs(tmp_path, [(1, "a b a b a c", "en", "s", 11)])
+    rows = (
+        QUERIES["t31_kneser_ney_bigram"].spark(spark, str(tmp_path)).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    d = 0.75
+    p_ab = (2 - d) / 3 + (d * 2) / 3 * (1 / 3)
+    p_ba = (2 - d) / 2 + (d * 1) / 2 * (1 / 3)
+    p_ac = (1 - d) / 3 + (d * 2) / 3 * (1 / 3)
+    nlls = [-math.log(p) for p in (p_ab, p_ba, p_ab, p_ba, p_ac)]
+    ce = sum(nlls) / len(nlls)
+    assert r["n_docs"] == 1
+    assert r["avg_kn_cross_entropy"] == round(ce, 3)
+
+
+def test_dq16_planted_level_shift(spark, tmp_path):
+    """A flat daily series with one injected step change: the changepoint
+    flag must fire exactly inside the 7-day neighborhood of the step and
+    nowhere else."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_data_engineering_spark.plans.registry import QUERIES, queries
+
+    queries()
+    rows = []
+    day0 = dt.datetime(2024, 1, 1)
+    for i in range(40):
+        # flat 100.00/day, stepping to 200.00/day at day 20
+        price = 100.0 if i < 20 else 200.0
+        rows.append((i, i, "O", price, day0 + dt.timedelta(days=i), "1-URGENT"))
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    got = {
+        r["day"].isoformat(): r["is_changepoint"]
+        for r in QUERIES["dq16_mean_shift_changepoints"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    flagged = sorted(d for d, f in got.items() if f)
+    # |lead - trail| * 4 > trail with a 2x step: fires while the leading
+    # window overlaps the step, i.e. days 13..26 (both windows complete)
+    assert flagged, "step change not detected"
+    assert all("2024-01-14" <= d <= "2024-01-26" for d in flagged), flagged
+    # the flat far field (complete windows, away from the step) is quiet
+    assert not got["2024-01-10"] and not got["2024-01-31"]
+
+
+def test_p16_prefix_mixture_property(spark, sf_dir):
+    """Any prefix of the interleaved global order contains per-source
+    counts within 1 of each other (the round-robin property), and
+    global_pos is a collision-free total order."""
+    from aws_data_engineering_spark.plans.registry import QUERIES, queries
+
+    queries()
+    rows = (
+        QUERIES["p16_source_interleave"]
+        .spark(spark, sf_dir)
+        .orderBy("global_pos")
+        .collect()
+    )
+    pos = [r["global_pos"] for r in rows]
+    assert len(set(pos)) == len(pos)
+    n_sources = len({r["source"] for r in rows})
+    for cut in (n_sources * 3, n_sources * 17):
+        prefix = rows[:cut]
+        counts = {}
+        for r in prefix:
+            counts[r["source"]] = counts.get(r["source"], 0) + 1
+        assert max(counts.values()) - min(counts.values()) <= 1, counts
+
+
+def test_st13_probe_scenario(spark, tmp_path):
+    """The planted 4-batch watermark probe as a regression pin: drops use a
+    one-batch-lagged filter watermark (a row arriving one batch after its
+    window's data is NOT dropped while state lives; a row arriving after
+    eviction IS), and the availableNow drain emits exactly the windows
+    whose end <= global max - delay."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_data_engineering_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+    import uuid as _uuid
+
+    in_dir = str(tmp_path / "in")
+    batches = [
+        [(1, "2024-01-01 10:15:00"), (2, "2024-01-01 12:30:00")],
+        [(3, "2024-01-01 10:20:00"), (4, "2024-01-01 11:40:00"),
+         (5, "2024-01-01 13:05:00")],
+        [(6, "2024-01-01 11:45:00"), (7, "2024-01-01 12:50:00"),
+         (8, "2024-01-01 14:10:00")],
+        [(9, "2024-01-01 10:30:00"), (10, "2024-01-01 14:20:00")],
+    ]
+    for b in batches:
+        df = spark.createDataFrame(
+            [(i, ts, 1, "t", 1.0, "{}") for i, ts in b],
+            "event_id bigint, ts_s string, user_id bigint, "
+            "event_type string, value double, props string",
+        ).select(
+            "event_id",
+            (F.unix_micros(F.to_timestamp("ts_s")) * 1000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        time.sleep(1.1)
+    stream = read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "37 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("ws"), "n")
+    )
+    out = run_to_memory_sink(agg, f"st13pin_{_uuid.uuid4().hex[:8]}", "append")
+    got = {r["ws"]: r["n"] for r in out.collect()}
+    # row 3 (10:20, batch 1) joins [10,11) — NOT dropped (lagged filter);
+    # row 9 (10:30, batch 3) arrives after eviction — dropped;
+    # [13,14) and [14,15) end after the final watermark 13:43 — unemitted
+    assert got == {"10:00": 2, "11:00": 2, "12:00": 2}
