@@ -2628,3 +2628,77 @@ def decode_mjpeg_frame_features(
 
     src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
     return src.mapInPandas(features, MJPEG_FRAME_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Audio resampling (round-6c): decimate-by-2 through a FULL real-codec
+# round trip — decode RIFF/PCM16 → pairwise-mean downsample → re-ENCODE a
+# genuine WAV at half the rate → fresh decode for features. The second
+# decode proves the re-encoded container is spec-valid (a wrong fmt
+# block, RIFF length, or byte order fails there, not silently). The
+# decimator is integer mean with TRUNCATION toward zero, matching DuckDB's
+# `//` so the oracle is exact on negative amplitudes. Blobs live and die
+# inside the Arrow map stages; at 100 TB the plan is one Python map over
+# the media scan — the m05/m07 shape.
+# ---------------------------------------------------------------------------
+
+AUDIO_RESAMPLE_DDL = (
+    "id bigint, orig_rate int, new_rate int, n_in int, n_out int, "
+    "sum_amplitude bigint, peak_amplitude int, duration_ms double"
+)
+
+
+def resample_wavs_half(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """Decode → decimate by 2 (y[j] = trunc((x[2j] + x[2j+1]) / 2)) →
+    re-encode a real WAV at rate//2. Output: (id, data, n_in)."""
+    encode_wav, decode_wav = _wav_worker_fns()
+
+    def work(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids, blobs, n_ins = [], [], []
+            for i, data in zip(pdf["id"], pdf["data"]):
+                rate, nch, x = decode_wav(bytes(data))
+                if nch != 1:
+                    raise ValueError("resample supports mono only")
+                y = [int((x[2 * j] + x[2 * j + 1]) / 2) for j in range(len(x) // 2)]
+                ids.append(i)
+                blobs.append(encode_wav(rate // 2, y))
+                n_ins.append(len(x))
+            yield pd_w.DataFrame({"id": ids, "data": blobs, "n_in": n_ins})
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(work, "id bigint, data binary, n_in int")
+
+
+def resampled_wav_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """Fresh decode of the re-encoded half-rate WAVs → per-clip features.
+    Expects the ``n_in`` column from :func:`resample_wavs_half`."""
+    _, decode_wav = _wav_worker_fns()
+
+    def feats(batches):
+        import pandas as pd_w
+
+        cols = (
+            "id", "orig_rate", "new_rate", "n_in", "n_out",
+            "sum_amplitude", "peak_amplitude", "duration_ms",
+        )
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for i, data, n_in in zip(pdf["id"], pdf["data"], pdf["n_in"]):
+                rate, _, y = decode_wav(bytes(data))
+                out["id"].append(i)
+                out["orig_rate"].append(rate * 2)
+                out["new_rate"].append(rate)
+                out["n_in"].append(n_in)
+                out["n_out"].append(len(y))
+                out["sum_amplitude"].append(sum(y))
+                out["peak_amplitude"].append(max(abs(v) for v in y) if y else 0)
+                out["duration_ms"].append(len(y) * 1000.0 / rate)
+            yield pd_w.DataFrame(out)
+
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(data_col).alias("data"), "n_in"
+    )
+    return src.mapInPandas(feats, AUDIO_RESAMPLE_DDL)

@@ -4909,3 +4909,50 @@ def p16_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("global_pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# m18 — audio resample through a full real-codec round trip (round-6c):
+# decode RIFF/PCM16 → decimate by 2 (integer pairwise mean, truncation
+# toward zero to match DuckDB's `//` on negative amplitudes) → re-ENCODE
+# a genuine half-rate WAV → fresh decode for features. The second decode
+# proves the re-encoded container is spec-valid; the closed-form oracle
+# reproduces every output sample from the synthesis lattice, so a wrong
+# fmt block, byte order, or off-by-one pairing fails the hash.
+# --------------------------------------------------------------------------
+@register(
+    "m18_audio_resample",
+    """
+    WITH a AS (
+      SELECT doc_id AS id,
+             8000 + (doc_id % 4) * 4000 AS rate,
+             CAST(256 + doc_id % 512 AS INT) AS n
+      FROM documents
+    ), res AS (
+      SELECT id, rate, n,
+             [(((id + 2*j) * 31 % 256 - 128)
+               + ((id + 2*j + 1) * 31 % 256 - 128)) // 2
+              FOR j IN generate_series(0, n // 2 - 1)] AS y
+      FROM a
+    )
+    SELECT id,
+           CAST(rate AS INT) AS orig_rate,
+           CAST(rate // 2 AS INT) AS new_rate,
+           n AS n_in,
+           CAST(n // 2 AS INT) AS n_out,
+           CAST(list_aggregate(y, 'sum') AS BIGINT) AS sum_amplitude,
+           CAST(list_aggregate(list_transform(y, v -> abs(v)), 'max') AS INT)
+             AS peak_amplitude,
+           (n // 2) * 1000.0 / (rate // 2) AS duration_ms
+    FROM res
+    """,
+    "audio decimate-by-2 through a full real-codec round trip: decode "
+    "RIFF/PCM16, integer pairwise-mean downsample (truncation-matched to "
+    "the oracle), re-encode a genuine half-rate WAV, fresh decode for "
+    "features — container validity and every output sample hash-checked",
+)
+def m18_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    clips = MM.synthesize_wav_audio(docs, "doc_id")
+    half = MM.resample_wavs_half(clips, "id", "data")
+    return MM.resampled_wav_features(half, "id", "data")

@@ -484,3 +484,29 @@ def test_mjpeg_frame_features_spark(spark, ids_df):
                 * min(8, h - (b // bx) * 8)
                 for b in range(bx * by)
             )
+
+
+def test_wav_resample_roundtrip_and_truncation(spark, ids_df):
+    """Decimate-by-2 through the real codec: every output sample equals
+    trunc((x[2j]+x[2j+1])/2) of the planted lattice — including negative
+    pairs, where floor and truncation differ — and the re-encoded blob
+    decodes as a spec-valid half-rate WAV."""
+    clips = M.synthesize_wav_audio(ids_df, "doc_id")
+    half = M.resample_wavs_half(clips, "id", "data")
+    rows = {r["id"]: r for r in
+            M.resampled_wav_features(half, "id", "data").collect()}
+    for i in [r["doc_id"] for r in ids_df.collect()]:
+        n = 256 + i % 512
+        x = [((i + k) * 31) % 256 - 128 for k in range(n)]
+        y = [int((x[2 * j] + x[2 * j + 1]) / 2) for j in range(n // 2)]
+        r = rows[i]
+        assert r["orig_rate"] == 8000 + (i % 4) * 4000
+        assert r["new_rate"] == r["orig_rate"] // 2
+        assert (r["n_in"], r["n_out"]) == (n, n // 2)
+        assert r["sum_amplitude"] == sum(y)
+        assert r["peak_amplitude"] == max(abs(v) for v in y)
+    # at least one pair in the lattice is negative-sum (truncation visible)
+    assert any(
+        ((0 + 2 * j) * 31 % 256 - 128) + ((0 + 2 * j + 1) * 31 % 256 - 128) < 0
+        for j in range(128)
+    )
