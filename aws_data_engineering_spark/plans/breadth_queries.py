@@ -4956,3 +4956,95 @@ def m18_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = MM.synthesize_wav_audio(docs, "doc_id")
     half = MM.resample_wavs_half(clips, "id", "data")
     return MM.resampled_wav_features(half, "id", "data")
+
+
+# --------------------------------------------------------------------------
+# e19 — IVF probe-recall sweep (round-6c): the operational tuning table
+# for the inverted-file index — recall@5 as a function of n_probe (1, 2,
+# 4, 8 of 16 lists) against the exact-cosine ground truth on the guarded
+# 10-anchor query set. This is THE decision faiss users make before any
+# billion-scale deployment (probe more lists = more recall, linearly more
+# scan), and here the whole frontier is one oracle-checked query: both
+# rankings are bit-reproducible (fold-order-matched cosine, centroid-id
+# tie-breaks), so the per-probe overlap counts are exact integers. At
+# 100 TB the exact side stays O(anchors x corpus) on a sampled query set
+# — recall auditing never touches all-pairs.
+# --------------------------------------------------------------------------
+_E19_PROBES = (1, 2, 4, 8)
+_E19_CENTROIDS = SIM._hyperplanes(dim=64, n_planes=16, seed=7)
+
+
+def _e19_oracle() -> str:
+    parts = [f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), exact_rank AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.e, c.e) DESC,
+                                         c.vec_id) AS rnk
+      FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ), ex5 AS (
+      SELECT query_id, list_sort(list(neighbor_id)) AS ex_arr
+      FROM exact_rank WHERE rnk <= 5 GROUP BY query_id
+    )"""]
+    selects = []
+    for npb in _E19_PROBES:
+        ivf = SIM.ivf_fixed_oracle_sql(
+            _E19_CENTROIDS, k=5, n_probe=npb, query_pred="vec_id < 10"
+        )
+        parts.append(f""", iv{npb} AS ({ivf})
+    , iv{npb}_arr AS (
+      SELECT query_id, list_sort(list(neighbor_id)) AS iv_arr
+      FROM iv{npb} GROUP BY query_id
+    )""")
+        selects.append(f"""
+    SELECT CAST({npb} AS INT) AS n_probe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(len(list_intersect(ex_arr, iv_arr))) AS BIGINT)
+             AS sum_overlap,
+           ROUND(SUM(len(list_intersect(ex_arr, iv_arr)))
+                 / (5.0 * COUNT(*)), 4) AS recall_at_5
+    FROM ex5 JOIN iv{npb}_arr USING (query_id)""")
+    return "".join(parts) + " UNION ALL ".join(selects)
+
+
+@register(
+    "e19_ivf_probe_recall_sweep",
+    _e19_oracle(),
+    "IVF tuning table: recall@5 vs n_probe (1/2/4/8 of 16 lists) against "
+    "exact-cosine ground truth on the guarded anchor set — the probe-vs-"
+    "recall frontier as one oracle-checked query; exact integer overlap "
+    "counts, one final division",
+)
+def e19_ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(q, emb, k=5)
+    ex5 = exact.groupBy("query_id").agg(
+        F.sort_array(F.collect_list("neighbor_id")).alias("ex_arr")
+    )
+    out = None
+    for npb in _E19_PROBES:
+        ivf = SIM.ivf_fixed_topk(q, emb, _E19_CENTROIDS, k=5, n_probe=npb)
+        iv5 = ivf.groupBy("query_id").agg(
+            F.sort_array(F.collect_list("neighbor_id")).alias("iv_arr")
+        )
+        ov = F.size(F.array_intersect(F.col("ex_arr"), F.col("iv_arr")))
+        row = (
+            ex5.join(iv5, "query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.sum(ov).alias("sum_overlap"),
+            )
+            .select(
+                F.lit(npb).cast("int").alias("n_probe"),
+                F.col("n_queries").cast("bigint").alias("n_queries"),
+                F.col("sum_overlap").cast("bigint").alias("sum_overlap"),
+                F.round(
+                    F.col("sum_overlap") / (F.lit(5.0) * F.col("n_queries")), 4
+                ).alias("recall_at_5"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -471,3 +471,21 @@ def test_lsh_bucket_occupancy_audit_invariants(spark, sf_dir):
             occ = r["occupancy"]
             assert r["candidate_pairs"] == occ * (occ - 1) // 2
             assert r["est_task_bytes"] == occ * occ * 8
+
+
+def test_e19_probe_recall_monotone(spark, sf_dir):
+    """Probing more inverted lists can only add candidates, so recall@5 is
+    non-decreasing in n_probe — the frontier property the tuning table
+    exists to expose."""
+    from aws_data_engineering_spark.plans.registry import QUERIES, queries
+
+    queries()
+    rows = sorted(
+        (r["n_probe"], r["sum_overlap"])
+        for r in QUERIES["e19_ivf_probe_recall_sweep"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    overlaps = [o for _, o in rows]
+    assert overlaps == sorted(overlaps), rows
+    assert overlaps[-1] > overlaps[0], "sweep is flat — probes not applied"
