@@ -336,6 +336,10 @@ _BNLJ_ALLOW = {
     # back into the scoring scan — test_t30_bm25_no_corpus_shuffle pins
     # that exact shape
     "t30_bm25_topk",
+    # q100's rank walk: 5 quantile ranks non-equi-joined against the
+    # digest-sized cumulative table and the domain-bounded leaf histogram
+    # — BNLJ over sketch state, never the fact table
+    "q100_qdigest_quantiles",
 }
 
 
