@@ -113,6 +113,9 @@ HEADLINE = [
     "m17_mjpeg_frame_decode",
     "c16_parquet_zonemap_audit",
     "t31_kneser_ney_bigram",
+    # round-6c: the deterministic mergeable q-digest (eager per-level
+    # checkpoints — the sketch family's round-over-round number).
+    "q100_qdigest_quantiles",
 ]
 
 
