@@ -1127,3 +1127,122 @@ def g01_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = S.exact_neardup_pairs(emb, threshold=0.45).select("id_a", "id_b")
     ranks = D.pagerank(pairs, "id_a", "id_b", damping=0.85, iterations=3)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# d19 — LSH S-curve audit (round-6c): does the banded MinHash actually
+# detect near-dups at the rate theory promises? Ground truth = every
+# exact (uncapped) 3-gram Jaccard pair sharing >= 1 shingle — the fixture
+# pair population is bimodal (thousands of j < 0.1 accidental-overlap
+# pairs, a planted j >= 0.9 cohort), so the audit pins BOTH ends of the
+# S-curve: near-zero detection at the bottom, ~1.0 at the top. Detection
+# = membership in
+# d04's banded candidate set (32 hashes, 8 bands x 4 rows). Per exact-
+# Jaccard decile: pair count, detected count, the empirical detection
+# rate, and the closed-form S-curve 1 - (1 - s^r)^b at the bin midpoint —
+# computed with MULTIPLICATION ONLY (s2=s*s, ... u8=u4*u4) because
+# pow() is not correctly rounded and differs across engines by ulps. The
+# audit that validates (b, r) parameterization before a 100 TB dedup run;
+# at scale both inputs swap to their capped forms (d17 / d05's max_df)
+# over the exact-collapse survivor set.
+# --------------------------------------------------------------------------
+_D19_BANDS, _D19_ROWS = 8, 4
+
+
+def _d19_oracle() -> str:
+    mh = D.minhash_oracle_sql(num_hashes=32, num_bands=_D19_BANDS)
+    # strip the leading WITH so it nests as one CTE body
+    mh_body = mh.strip()
+    assert mh_body.upper().startswith("WITH ")
+    return f"""
+    WITH exact AS (
+      WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents
+      ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                        FOR i IN generate_series(1, len(t) - 2)])
+               END AS sh
+        FROM toks
+      ), exploded AS (
+        SELECT doc_id, UNNEST(sh) AS shingle FROM grams
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sh_size FROM exploded GROUP BY doc_id
+      ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b,
+             n_inter / (za.sh_size + zb.sh_size - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes za ON inter.id_a = za.doc_id
+      JOIN sizes zb ON inter.id_b = zb.doc_id
+    ), detected AS (
+      {mh_body.replace("WITH ", "WITH ", 1)}
+    ), joined AS (
+      SELECT LEAST(CAST(FLOOR(e.jaccard * 10) AS INT), 9) AS j_bin,
+             CASE WHEN d.id_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM exact e LEFT JOIN detected d
+        ON e.id_a = d.id_a AND e.id_b = d.id_b
+    ), binned AS (
+      SELECT j_bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(hit) AS BIGINT) AS n_detected
+      FROM joined GROUP BY j_bin
+    )
+    , curve AS (
+      SELECT *, (j_bin + 0.5) / 10 AS s FROM binned
+    ), curve2 AS (
+      SELECT *, (1 - s * s * s * s) * (1 - s * s * s * s) AS u2 FROM curve
+    )
+    SELECT j_bin, n_pairs, n_detected,
+           ROUND(CAST(n_detected AS DOUBLE) / n_pairs, 4) AS detect_rate,
+           ROUND(1 - (u2 * u2) * (u2 * u2), 4) AS theory_rate
+    FROM curve2
+    """
+
+
+@register(
+    "d19_lsh_scurve_audit",
+    _d19_oracle(),
+    "LSH parameter validation: empirical banded-MinHash detection rate "
+    "per exact-Jaccard decile vs the closed-form S-curve 1-(1-s^4)^8 at "
+    "the bin midpoint (multiplication-only — pow() is not correctly "
+    "rounded across engines); the audit run before any 100 TB dedup",
+)
+def d19_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, min_jaccard=0.0, max_df=None
+    )
+    detected = D.minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=32, num_bands=_D19_BANDS
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    joined = exact.join(detected, ["id_a", "id_b"], "left").select(
+        F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)).alias(
+            "j_bin"
+        ),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    binned = joined.groupBy("j_bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("hit").cast("bigint").alias("n_detected"),
+    )
+    s = (F.col("j_bin") + 0.5) / 10
+    s4 = s * s * s * s
+    u = F.lit(1) - s4
+    u2 = u * u
+    theory = F.lit(1) - (u2 * u2) * (u2 * u2)
+    return binned.select(
+        "j_bin",
+        "n_pairs",
+        "n_detected",
+        F.round(F.col("n_detected").cast("double") / F.col("n_pairs"), 4).alias(
+            "detect_rate"
+        ),
+        F.round(theory, 4).alias("theory_rate"),
+    )
