@@ -1183,7 +1183,7 @@ def _d19_oracle() -> str:
       JOIN sizes za ON inter.id_a = za.doc_id
       JOIN sizes zb ON inter.id_b = zb.doc_id
     ), detected AS (
-      {mh_body.replace("WITH ", "WITH ", 1)}
+      {mh_body}
     ), joined AS (
       SELECT LEAST(CAST(FLOOR(e.jaccard * 10) AS INT), 9) AS j_bin,
              CASE WHEN d.id_a IS NULL THEN 0 ELSE 1 END AS hit
