@@ -5224,3 +5224,79 @@ def q100_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("digest_size").cast("bigint").alias("digest_size"),
         F.col("n_total").cast("bigint").alias("n_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# c17 — dynamic partition pruning (round-6c): the optimization that makes
+# star-schema joins survive a 100 TB partitioned lake — the selective dim
+# filter prunes FACT PARTITIONS AT RUNTIME through the join, so the scan
+# reads 3 of 84 month directories instead of all of them. The fact table
+# is written month-partitioned, a month→quarter dim is derived and
+# filtered to one quarter, and the broadcast join's pruning subquery
+# (SubqueryAdaptiveBroadcast … dynamicpruning#N) is plan-asserted in
+# tests/test_plans.py. The oracle recomputes from the raw table, so a
+# pruning bug that DROPS a partition fails the hash, not just the plan
+# shape. Money stays integer cents.
+# --------------------------------------------------------------------------
+_C17_QUARTER = "1996Q2"
+
+
+@register(
+    "c17_dynamic_partition_pruned_join",
+    f"""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    WHERE strftime(l_shipdate, '%Y') || 'Q' ||
+          CAST((CAST(strftime(l_shipdate, '%m') AS INT) - 1) // 3 + 1 AS VARCHAR)
+            = '{_C17_QUARTER}'
+    GROUP BY 1
+    """,
+    "dynamic partition pruning: month-partitioned fact lake table joined "
+    "to a quarter-filtered month dim — the runtime pruning subquery scans "
+    "3 of 84 partition directories (plan-asserted); oracle recomputes "
+    "from the raw table so a dropped partition fails the hash",
+)
+def c17_dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    li = _t(spark, sf_dir, "lineitem")
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_c17", uuid.uuid4().hex[:8]
+    )
+    (
+        li.withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    dim = (
+        back.select("ship_month")
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("ship_month", 1, 4),
+                F.lit("Q"),
+                (
+                    (F.substring("ship_month", 6, 2).cast("int") - 1) / 3 + 1
+                ).cast("int"),
+            ),
+        )
+    )
+    joined = back.join(
+        F.broadcast(dim.filter(F.col("quarter") == _C17_QUARTER)), "ship_month"
+    )
+    return joined.groupBy(
+        F.col("ship_month").cast("string").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

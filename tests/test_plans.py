@@ -452,3 +452,12 @@ def test_p14_curriculum_single_shuffle(spark, sf_dir):
     plan = _plan(queries()["p14_curriculum_schedule"](spark, sf_dir))
     assert "Generate" in plan  # posexplode fan-out, in the scan stage
     assert plan.count("Exchange") == 1
+
+
+def test_c17_dynamic_partition_pruning(spark, sf_dir):
+    """The quarter-filtered dim must reach the fact scan as a RUNTIME
+    pruning subquery (dynamicpruning / SubqueryAdaptiveBroadcast in the
+    fact FileScan's PartitionFilters) — the star-schema optimization the
+    100 TB lake layout exists for."""
+    plan = _plan(queries()["c17_dynamic_partition_pruned_join"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
