@@ -22,6 +22,23 @@ QDIGEST_LEVELS = 19  # domain [0, 2^19): whole-dollar order totals
 QDIGEST_K = 64  # compression: keep nodes with count > n // k
 
 
+def qdigest_leaves(
+    df: DataFrame, value: Column, levels: int = QDIGEST_LEVELS
+) -> DataFrame:
+    """Exact leaf histogram of the integer value clamped to [0, 2^levels):
+    the MERGEABLE partial of the q-digest — leaf histograms from any data
+    split sum exactly, and compressing the summed leaves equals building
+    from the whole multiset (st14 streams these per micro-batch)."""
+    cap = (1 << levels) - 1
+    return (
+        df.select(
+            F.least(F.greatest(value.cast("long"), F.lit(0)), F.lit(cap)).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def qdigest_nodes(
     df: DataFrame,
     value: Column,
@@ -46,20 +63,22 @@ def qdigest_nodes(
     Returns (level, node_id, cnt, lo, hi) — [lo, hi) the node's value
     range — plus the same ``n_total`` on every row.
     """
-    spark = df.sparkSession
+    return qdigest_nodes_from_leaves(
+        qdigest_leaves(df, value, levels), levels=levels, k=k
+    )
+
+
+def qdigest_nodes_from_leaves(
+    leaves: DataFrame, levels: int = QDIGEST_LEVELS, k: int = QDIGEST_K
+) -> DataFrame:
+    """Canonical compression over a (v, cnt) leaf histogram — see
+    :func:`qdigest_nodes` for the contract and invariants."""
+    spark = leaves.sparkSession
 
     def _persistent_ids() -> set[int]:
         return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
     pre_ids = _persistent_ids()
-    cap = (1 << levels) - 1
-    leaves = (
-        df.select(
-            F.least(F.greatest(value.cast("long"), F.lit(0)), F.lit(cap)).alias("v")
-        )
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     # n and T ride a 1-task window over the DOMAIN-BOUNDED leaf table
     # (<= 2^levels rows at any corpus size — never the fact table)
     w_all = Window.partitionBy(F.lit(1))
@@ -161,3 +180,150 @@ def qdigest_quantiles(digest: DataFrame, qs: tuple[float, ...]) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def qdigest_report(
+    digest: DataFrame,
+    leaves: DataFrame,
+    qs: tuple[float, ...],
+    levels: int = QDIGEST_LEVELS,
+    k: int = QDIGEST_K,
+) -> DataFrame:
+    """Quantile report from a digest + its leaf histogram: per q, the
+    rank, the (hi,lo)-walk estimate, the exact percentile, the achieved
+    rank, the overshoot, the 2*levels*T bound, digest size and n. The
+    post-digest block q100 and st14 share (both produce bit-identical
+    digests — merge == rebuild — so both hash-match the same oracle)."""
+    spark = digest.sparkSession
+    w = Window.partitionBy(F.lit(1)).orderBy("hi", "lo")
+    cum = digest.select("lo", "hi", "cnt", F.sum("cnt").over(w).alias("cum"))
+    meta = digest.groupBy("n_total").agg(F.count(F.lit(1)).alias("digest_size"))
+    qs_df = spark.createDataFrame([(q,) for q in qs], "q double")
+    ranks = qs_df.crossJoin(F.broadcast(meta)).select(
+        "q",
+        F.ceil(F.col("q") * F.col("n_total")).cast("long").alias("rank"),
+        "n_total",
+        "digest_size",
+    )
+    # bounded non-equi joins: |qs| ranks x a digest-sized (resp. domain-
+    # bounded) table — BNLJ over sketch state, never the fact table
+    w_q = Window.partitionBy("q").orderBy("hi", "lo")
+    pick = (
+        ranks.join(cum, cum["cum"] >= ranks["rank"])
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") == 1)
+        .select("q", "rank", (F.col("hi") - 1).alias("est"),
+                "n_total", "digest_size")
+    )
+    lcum = leaves.select(
+        "v",
+        F.sum("cnt").over(Window.partitionBy(F.lit(1)).orderBy("v")).alias("cum"),
+    )
+    exact = (
+        ranks.select("q", "rank")
+        .join(lcum, lcum["cum"] >= F.col("rank"))
+        .groupBy("q")
+        .agg(F.min("v").alias("exact_v"))
+    )
+    achieved = (
+        pick.select("q", "est")
+        .join(lcum, lcum["v"] <= F.col("est"))
+        .groupBy("q")
+        .agg(F.max("cum").alias("rank_achieved"))
+    )
+    t = F.expr(f"n_total div {k}")
+    return pick.join(exact, "q").join(achieved, "q").select(
+        "q",
+        "rank",
+        "est",
+        F.col("exact_v").alias("exact"),
+        "rank_achieved",
+        (F.col("rank_achieved") - F.col("rank")).alias("rank_overshoot"),
+        (F.lit(2 * levels) * t).cast("bigint").alias("rank_err_bound"),
+        F.col("digest_size").cast("bigint").alias("digest_size"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+    )
+
+
+def qdigest_oracle_sql(
+    levels: int = QDIGEST_LEVELS,
+    k: int = QDIGEST_K,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> str:
+    """DuckDB SQL reproducing the whole q-digest pipeline over the
+    ``orders`` view bit-for-bit: 19 MATERIALIZED compression levels (the
+    default CTE inlining re-executes each level's prefix — O(L^2)), the
+    conservation root, the (hi,lo) rank walk, exact percentiles and the
+    achieved-rank overshoot. Shared by q100 (batch) and st14 (streaming
+    partial-merge — same digest by the merge==rebuild property)."""
+    cap = (1 << levels) - 1
+    parts = [f"""
+    WITH vals AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice) AS BIGINT), 0), {cap}) AS v
+      FROM orders
+    ), l0 AS MATERIALIZED (
+      SELECT v AS node_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY v
+    ), tot AS MATERIALIZED (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) // {k} AS t
+      FROM l0
+    )"""]
+    prev = "l0"
+    keeps = []
+    for lvl in range(levels):
+        # MATERIALIZED: inlining re-executes each level's whole prefix
+        # (O(L^2) — measured 90s at sf0.01 vs ~1s materialized)
+        parts.append(f""", k{lvl} AS MATERIALIZED (
+      SELECT {lvl} AS level, node_id, cnt FROM {prev}, tot WHERE cnt > t
+    ), p{lvl} AS MATERIALIZED (
+      SELECT node_id // 2 AS node_id, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM {prev}, tot WHERE cnt <= t GROUP BY node_id // 2
+    )""")
+        keeps.append(f"SELECT * FROM k{lvl}")
+        prev = f"p{lvl}"
+    parts.append(f""", digest0 AS MATERIALIZED ({' UNION ALL '.join(keeps)}),
+    root AS (
+      -- conservation: root = n minus emitted mass (see sketch.py — the
+      -- push chain can die early, but mass is preserved)
+      SELECT {levels} AS level, CAST(0 AS BIGINT) AS node_id,
+             CAST(tot.n - COALESCE((SELECT SUM(cnt) FROM digest0), 0)
+                  AS BIGINT) AS cnt
+      FROM tot
+    ), digest AS (SELECT * FROM digest0 UNION ALL SELECT * FROM root),
+    walk AS (
+      SELECT level, node_id, cnt,
+             node_id * (CAST(1 AS BIGINT) << level) AS lo,
+             (node_id + 1) * (CAST(1 AS BIGINT) << level) AS hi
+      FROM digest
+    ), cum AS (
+      SELECT *, CAST(SUM(cnt) OVER (ORDER BY hi, lo) AS BIGINT) AS cum FROM walk
+    ), dsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS digest_size FROM digest),
+    qs(q) AS (VALUES {', '.join(f'({q})' for q in qs)}),
+    est AS (SELECT q, CAST(CEIL(q * n) AS BIGINT) AS r FROM qs, tot),
+    pick AS (
+      SELECT e.q, e.r, c.hi,
+             ROW_NUMBER() OVER (PARTITION BY e.q ORDER BY c.hi, c.lo) AS rn
+      FROM est e JOIN cum c ON c.cum >= e.r
+    ), lcum AS (
+      SELECT node_id AS v, CAST(SUM(cnt) OVER (ORDER BY node_id) AS BIGINT)
+               AS cum
+      FROM l0
+    ), exact AS (
+      SELECT e.q, MIN(s.v) AS exact_v FROM est e JOIN lcum s ON s.cum >= e.r
+      GROUP BY e.q
+    )
+    , achieved AS (
+      SELECT p.q, MAX(s.cum) AS rank_achieved
+      FROM pick p JOIN lcum s ON s.v <= p.hi - 1
+      WHERE p.rn = 1 GROUP BY p.q
+    )
+    SELECT CAST(p.q AS DOUBLE) AS q, p.r AS rank, p.hi - 1 AS est,
+           x.exact_v AS exact,
+           a.rank_achieved,
+           a.rank_achieved - p.r AS rank_overshoot,
+           CAST(2 * {levels} * tot.t AS BIGINT) AS rank_err_bound,
+           dsize.digest_size, tot.n AS n_total
+    FROM pick p JOIN exact x USING (q) JOIN achieved a USING (q), tot, dsize
+    WHERE p.rn = 1
+    """)
+    return "".join(parts)

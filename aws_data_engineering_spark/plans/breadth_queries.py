@@ -5068,83 +5068,9 @@ def e19_ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q100_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
-def _q100_oracle(levels: int = SK.QDIGEST_LEVELS, k: int = SK.QDIGEST_K) -> str:
-    cap = (1 << levels) - 1
-    parts = [f"""
-    WITH vals AS (
-      SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice) AS BIGINT), 0), {cap}) AS v
-      FROM orders
-    ), l0 AS MATERIALIZED (
-      SELECT v AS node_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY v
-    ), tot AS MATERIALIZED (
-      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
-             CAST(SUM(cnt) AS BIGINT) // {k} AS t
-      FROM l0
-    )"""]
-    prev = "l0"
-    keeps = []
-    for lvl in range(levels):
-        # MATERIALIZED: inlining re-executes each level's whole prefix
-        # (O(L^2) — measured 90s at sf0.01 vs ~1s materialized)
-        parts.append(f""", k{lvl} AS MATERIALIZED (
-      SELECT {lvl} AS level, node_id, cnt FROM {prev}, tot WHERE cnt > t
-    ), p{lvl} AS MATERIALIZED (
-      SELECT node_id // 2 AS node_id, CAST(SUM(cnt) AS BIGINT) AS cnt
-      FROM {prev}, tot WHERE cnt <= t GROUP BY node_id // 2
-    )""")
-        keeps.append(f"SELECT * FROM k{lvl}")
-        prev = f"p{lvl}"
-    parts.append(f""", digest0 AS MATERIALIZED ({' UNION ALL '.join(keeps)}),
-    root AS (
-      -- conservation: root = n minus emitted mass (see sketch.py — the
-      -- push chain can die early, but mass is preserved)
-      SELECT {levels} AS level, CAST(0 AS BIGINT) AS node_id,
-             CAST(tot.n - COALESCE((SELECT SUM(cnt) FROM digest0), 0)
-                  AS BIGINT) AS cnt
-      FROM tot
-    ), digest AS (SELECT * FROM digest0 UNION ALL SELECT * FROM root),
-    walk AS (
-      SELECT level, node_id, cnt,
-             node_id * (CAST(1 AS BIGINT) << level) AS lo,
-             (node_id + 1) * (CAST(1 AS BIGINT) << level) AS hi
-      FROM digest
-    ), cum AS (
-      SELECT *, CAST(SUM(cnt) OVER (ORDER BY hi, lo) AS BIGINT) AS cum FROM walk
-    ), dsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS digest_size FROM digest),
-    qs(q) AS (VALUES {', '.join(f'({q})' for q in _Q100_QS)}),
-    est AS (SELECT q, CAST(CEIL(q * n) AS BIGINT) AS r FROM qs, tot),
-    pick AS (
-      SELECT e.q, e.r, c.hi,
-             ROW_NUMBER() OVER (PARTITION BY e.q ORDER BY c.hi, c.lo) AS rn
-      FROM est e JOIN cum c ON c.cum >= e.r
-    ), lcum AS (
-      SELECT node_id AS v, CAST(SUM(cnt) OVER (ORDER BY node_id) AS BIGINT)
-               AS cum
-      FROM l0
-    ), exact AS (
-      SELECT e.q, MIN(s.v) AS exact_v FROM est e JOIN lcum s ON s.cum >= e.r
-      GROUP BY e.q
-    )
-    , achieved AS (
-      SELECT p.q, MAX(s.cum) AS rank_achieved
-      FROM pick p JOIN lcum s ON s.v <= p.hi - 1
-      WHERE p.rn = 1 GROUP BY p.q
-    )
-    SELECT CAST(p.q AS DOUBLE) AS q, p.r AS rank, p.hi - 1 AS est,
-           x.exact_v AS exact,
-           a.rank_achieved,
-           a.rank_achieved - p.r AS rank_overshoot,
-           CAST(2 * {levels} * tot.t AS BIGINT) AS rank_err_bound,
-           dsize.digest_size, tot.n AS n_total
-    FROM pick p JOIN exact x USING (q) JOIN achieved a USING (q), tot, dsize
-    WHERE p.rn = 1
-    """)
-    return "".join(parts)
-
-
 @register(
     "q100_qdigest_quantiles",
-    _q100_oracle(),
+    SK.qdigest_oracle_sql(qs=_Q100_QS),
     "deterministic mergeable q-digest quantile sketch: 19 canonical "
     "bottom-up compression levels over whole-dollar order totals, "
     "(hi,lo)-rank-walk estimates vs exact percentiles vs the rank-error "
@@ -5154,76 +5080,13 @@ def _q100_oracle(levels: int = SK.QDIGEST_LEVELS, k: int = SK.QDIGEST_K) -> str:
 )
 def q100_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
+    leaves = SK.qdigest_leaves(orders, F.floor("o_totalprice"))
     # the digest is tiny (<= ~levels * k rows) but its lineage is 19
     # unrolled groupBy levels; eager-localCheckpoint it ONCE so the walk,
     # the metadata row, and the quantile joins read a few-KB block instead
     # of re-running the compression per reference (the bpe_learn lesson)
-    digest = SK.qdigest_nodes(orders, F.floor("o_totalprice")).localCheckpoint(
-        eager=True
-    )
-    w = Window.partitionBy(F.lit(1)).orderBy("hi", "lo")
-    cum = digest.select(
-        "lo", "hi", "cnt", F.sum("cnt").over(w).alias("cum")
-    )
-    meta = digest.groupBy("n_total").agg(
-        F.count(F.lit(1)).alias("digest_size")
-    )
-    qs_df = spark.createDataFrame([(q,) for q in _Q100_QS], "q double")
-    ranks = qs_df.crossJoin(F.broadcast(meta)).select(
-        "q",
-        F.ceil(F.col("q") * F.col("n_total")).cast("long").alias("rank"),
-        "n_total",
-        "digest_size",
-    )
-    # bounded non-equi joins: 5 ranks x a digest-sized (resp. domain-
-    # bounded) table — BNLJ over sketch state, never the fact table
-    w_q = Window.partitionBy("q").orderBy("hi", "lo")
-    pick = (
-        ranks.join(cum, cum["cum"] >= ranks["rank"])
-        .withColumn("rn", F.row_number().over(w_q))
-        .filter(F.col("rn") == 1)
-        .select("q", "rank", (F.col("hi") - 1).alias("est"),
-                "n_total", "digest_size")
-    )
-    leaves = (
-        orders.select(
-            F.least(
-                F.greatest(F.floor("o_totalprice").cast("long"), F.lit(0)),
-                F.lit((1 << SK.QDIGEST_LEVELS) - 1),
-            ).alias("v")
-        )
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    lcum = leaves.select(
-        "v", F.sum("cnt").over(Window.partitionBy(F.lit(1)).orderBy("v")).alias("cum")
-    )
-    exact = (
-        ranks.select("q", "rank")
-        .join(lcum, lcum["cum"] >= F.col("rank"))
-        .groupBy("q")
-        .agg(F.min("v").alias("exact_v"))
-    )
-    achieved = (
-        pick.select("q", "est")
-        .join(lcum, lcum["v"] <= F.col("est"))
-        .groupBy("q")
-        .agg(F.max("cum").alias("rank_achieved"))
-    )
-    t = F.expr(f"n_total div {SK.QDIGEST_K}")
-    return pick.join(exact, "q").join(achieved, "q").select(
-        "q",
-        "rank",
-        "est",
-        F.col("exact_v").alias("exact"),
-        "rank_achieved",
-        (F.col("rank_achieved") - F.col("rank")).alias("rank_overshoot"),
-        (F.lit(2 * SK.QDIGEST_LEVELS) * t).cast("bigint").alias(
-            "rank_err_bound"
-        ),
-        F.col("digest_size").cast("bigint").alias("digest_size"),
-        F.col("n_total").cast("bigint").alias("n_total"),
-    )
+    digest = SK.qdigest_nodes_from_leaves(leaves).localCheckpoint(eager=True)
+    return SK.qdigest_report(digest, leaves, _Q100_QS)
 
 
 # --------------------------------------------------------------------------

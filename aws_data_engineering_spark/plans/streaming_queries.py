@@ -15,6 +15,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_data_engineering_spark.operators import sketch as _SK
 from aws_data_engineering_spark.plans.registry import register
 from aws_data_engineering_spark.streaming import (
     read_events_stream,
@@ -295,3 +296,50 @@ def st11_stream_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value"),
     )
+
+
+@register(
+    "st14_stream_qdigest_quantiles",
+    # EXACTLY q100's oracle: the streaming sketch is bit-identical to the
+    # batch sketch over the same rows — leaf histograms (the mergeable
+    # partial) sum exactly across micro-batches, and the compression is
+    # canonical-after-merge (merge == rebuild, pytest-pinned in
+    # tests/test_sketch.py)
+    _SK.qdigest_oracle_sql(),
+    "STREAMING mergeable q-digest: orders fed as 3 files, each micro-"
+    "batch appends its leaf histogram via foreachBatch (no state store, "
+    "no history re-scan), merge-on-read sums the partials and compresses "
+    "once — the streaming sketch hash-matches the BATCH q-digest oracle "
+    "bit-for-bit, the strongest possible statement of mergeability",
+)
+def st14_stream_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_data_engineering_spark.sources.tables import load_table
+    from aws_data_engineering_spark.streaming import (
+        read_orders_stream,
+        read_qdigest_view,
+        stream_qdigest_partial_sink,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = os.path.join(tempfile.gettempdir(), "spark_st14", uuid.uuid4().hex[:8])
+    in_dir = os.path.join(base, "in")
+    # three orderkey-class files -> a genuinely multi-batch availableNow run
+    for b in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    stream = read_orders_stream(spark, in_dir, max_files_per_trigger=1)
+    q = stream_qdigest_partial_sink(
+        stream,
+        "o_totalprice",
+        partials_dir=os.path.join(base, "partials"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    leaves = read_qdigest_view(spark, os.path.join(base, "partials"))
+    digest = _SK.qdigest_nodes_from_leaves(leaves).localCheckpoint(eager=True)
+    return _SK.qdigest_report(digest, leaves, (0.25, 0.5, 0.75, 0.9, 0.99))

@@ -702,3 +702,75 @@ def stream_minhash_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming mergeable q-digest maintenance (round-6c): the sketch twin of
+# stream_partial_rollup_sink. Each micro-batch appends its LEAF HISTOGRAM
+# (the q-digest's exactly-mergeable partial — operators/sketch.py) to an
+# append-only store; readers sum leaves and compress ONCE, so the
+# streaming sketch is BIT-IDENTICAL to the batch sketch over the same
+# rows (merge == rebuild, the canonical-compression property). At 100 TB
+# of continuous ingest this is the maintenance shape for quantile
+# monitoring: O(2^levels)-bounded partials per batch, no state store, no
+# re-scan of history.
+# ---------------------------------------------------------------------------
+
+ORDERS_STREAM_DDL = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def read_orders_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over a directory of orders parquet (Spark-written
+    INT96 or timestamp[us] both read into the declared TimestampType)."""
+    import os
+
+    if os.path.isfile(path):
+        path = path + "*"
+    reader = spark.readStream.schema(ORDERS_STREAM_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def stream_qdigest_partial_sink(
+    orders: DataFrame,
+    value_col: str,
+    partials_dir: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch: append each micro-batch's leaf histogram (v, cnt).
+
+    Leaves are the mergeable partial: any batch decomposition sums to the
+    same global histogram, so the read-side compression yields the same
+    digest as a batch build — no ordering sensitivity, retry-safe via the
+    checkpointed batch log (a replayed batch overwrites its own output
+    through foreachBatch's exactly-once contract with deterministic
+    batch ids).
+    """
+    from aws_data_engineering_spark.operators import sketch as SK
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        leaves = SK.qdigest_leaves(batch_df, F.floor(F.col(value_col)))
+        leaves.write.mode("append").parquet(partials_dir)
+
+    return (
+        orders.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_qdigest_view(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Merge-on-read: sum the per-batch leaf partials into the global leaf
+    histogram (exact — integer counts sum)."""
+    return (
+        spark.read.parquet(partials_dir)
+        .groupBy("v")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
