@@ -137,7 +137,7 @@ def decode_images(df: DataFrame, id_col: str, data_col: str, mime_col: str) -> D
     (pure-Python zlib+numpy decoder — see _png_worker_fns); JPEG stays
     stubbed (needs PIL)."""
     _, decode_fimg = _fimg_worker_fns()
-    _, decode_png, _ = _png_worker_fns()
+    _, decode_png, _, _ = _png_worker_fns()
 
     def features(batches):
         import pandas as pd_w
@@ -385,16 +385,12 @@ def _png_worker_fns():
             + _struct.pack(">I", _zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    def encode_png(
-        width: int,
-        height: int,
-        pixels: bytes,
-        filter_type: int = 0,
-        text_meta=None,
+    def _filter_scanlines(
+        width: int, height: int, pixels: bytes, filter_type: int
     ) -> bytes:
-        """8-bit grayscale PNG; every scanline uses ``filter_type`` (0..4).
-        ``text_meta``: optional [(keyword, value)] Latin-1 pairs emitted as
-        spec-conformant tEXt chunks between IHDR and IDAT."""
+        """Apply one PNG scanline filter (0..4) to 1-byte-per-pixel rows —
+        shared by the grayscale and palette encoders (filtering operates on
+        the byte stream, so index bytes filter exactly like gray bytes)."""
         raw = bytearray()
         for y in range(height):
             row = pixels[y * width : (y + 1) * width]
@@ -418,6 +414,19 @@ def _png_worker_fns():
                     pr = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
                     v = b - pr
                 raw.append(v % 256)
+        return bytes(raw)
+
+    def encode_png(
+        width: int,
+        height: int,
+        pixels: bytes,
+        filter_type: int = 0,
+        text_meta=None,
+    ) -> bytes:
+        """8-bit grayscale PNG; every scanline uses ``filter_type`` (0..4).
+        ``text_meta``: optional [(keyword, value)] Latin-1 pairs emitted as
+        spec-conformant tEXt chunks between IHDR and IDAT."""
+        raw = _filter_scanlines(width, height, pixels, filter_type)
         ihdr = _struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
         texts = b"".join(
             _chunk(b"tEXt", k.encode("latin-1") + b"\0" + v.encode("latin-1"))
@@ -431,6 +440,33 @@ def _png_worker_fns():
             + _chunk(b"IEND", b"")
         )
 
+    def encode_png_palette(
+        width: int,
+        height: int,
+        indices: bytes,
+        palette,
+        filter_type: int = 0,
+    ) -> bytes:
+        """8-bit indexed-color PNG (color type 3): a PLTE chunk of (r,g,b)
+        triples plus one palette-index byte per pixel, scanline-filtered
+        exactly like grayscale (filters act on bytes, not samples). This is
+        the layout icons / screenshots / chart images actually use on the
+        web — the third real PNG pixel layout beside gray and truecolor."""
+        if not 1 <= len(palette) <= 256:
+            raise ValueError("PLTE must hold 1..256 entries")
+        if any(i >= len(palette) for i in indices):
+            raise ValueError("palette index out of range")
+        raw = _filter_scanlines(width, height, indices, filter_type)
+        ihdr = _struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+        plte = b"".join(bytes((r, g, b)) for r, g, b in palette)
+        return (
+            magic
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", plte)
+            + _chunk(b"IDAT", _zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+
     def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         """→ (width, height, channels, reconstructed pixel bytes)."""
         import numpy as np_w
@@ -438,6 +474,7 @@ def _png_worker_fns():
         if data[:8] != magic:
             raise ValueError("not a PNG")
         pos, w, h, color_type, idat = 8, None, None, None, b""
+        plte = None
         while pos < len(data):
             (ln,) = _struct.unpack(">I", data[pos : pos + 4])
             tag = data[pos + 4 : pos + 8]
@@ -451,10 +488,15 @@ def _png_worker_fns():
                 w, h, depth, color_type, comp, filt, interlace = _struct.unpack(
                     ">IIBBBBB", payload
                 )
-                if depth != 8 or color_type not in (0, 2) or interlace:
+                if depth != 8 or color_type not in (0, 2, 3) or interlace:
                     raise ValueError(
-                        "only 8-bit non-interlaced grayscale/RGB PNGs supported"
+                        "only 8-bit non-interlaced gray/RGB/palette PNGs "
+                        "supported"
                     )
+            elif tag == b"PLTE":
+                if ln % 3:
+                    raise ValueError("PLTE length not a multiple of 3")
+                plte = payload
             elif tag == b"IDAT":
                 idat += payload
             elif tag == b"IEND":
@@ -464,7 +506,10 @@ def _png_worker_fns():
             # malformed stream (no IHDR, or truncated before it): keep the
             # ValueError contract instead of an opaque TypeError downstream
             raise ValueError("missing IHDR chunk")
-        ch = 1 if color_type == 0 else 3
+        if color_type == 3 and plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        # filtering operates per byte: 1 byte/px for gray AND palette
+        ch = 3 if color_type == 2 else 1
         stride = w * ch
         raw = _zlib.decompress(idat)
         if len(raw) != h * (stride + 1):
@@ -498,7 +543,16 @@ def _png_worker_fns():
                     else:
                         raise ValueError(f"unknown PNG filter {f}")
                     cur[x] = v % 256
-        return w, h, ch, out.astype(np_w.uint8).tobytes()
+        px = out.astype(np_w.uint8)
+        if color_type == 3:
+            # palette lookup: reconstructed bytes are PLTE indices; expand
+            # to RGB through the (<=256 x 3) palette table (vectorized)
+            pal = np_w.frombuffer(plte, np_w.uint8).reshape(-1, 3)
+            idx = px.reshape(-1)
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                raise ValueError("palette index out of range")
+            return w, h, 3, pal[idx].tobytes()
+        return w, h, ch, px.tobytes()
 
     def png_text_chunks(data: bytes) -> list:
         """CRC-verified walk collecting tEXt (keyword, value) pairs."""
@@ -521,7 +575,7 @@ def _png_worker_fns():
                 break
         return out
 
-    return encode_png, decode_png, png_text_chunks
+    return encode_png, decode_png, png_text_chunks, encode_png_palette
 
 
 def synthesize_png_images(
@@ -530,7 +584,7 @@ def synthesize_png_images(
     """Deterministic REAL PNGs keyed by id — same dims and pixel formula as
     the FIMG generator ((id + k) * 31 % 256), so closed-form oracles carry
     over; the filter type cycles per id to exercise every unfilter path."""
-    encode_png, _, _ = _png_worker_fns()
+    encode_png, _, _, _ = _png_worker_fns()
     wm, hm = width_mod, height_mod
 
     def gen(batches):
@@ -547,6 +601,76 @@ def synthesize_png_images(
 
     src = df.select(F.col(id_col).alias("id"))
     return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+_PALETTE_PNG_COLORS = 16
+
+
+def synthesize_palette_png_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL indexed-color PNGs keyed by id: palette entry j =
+    ((j*17)%256, (j*29)%256, (j*43)%256), pixel k's index = (id + 3k) %
+    16 — every channel sum is closed-form for the oracle. Filter type
+    cycles per id so each unfilter path also runs on index bytes."""
+    _, _, _, encode_png_palette = _png_worker_fns()
+    ncol = _PALETTE_PNG_COLORS
+
+    def gen(batches):
+        import pandas as pd_w
+
+        palette = [((j * 17) % 256, (j * 29) % 256, (j * 43) % 256) for j in range(ncol)]
+        for pdf in batches:
+            ids = list(pdf["id"])
+            blobs = []
+            for i in ids:
+                w, h = 4 + int(i) % 16, 4 + int(i) % 12
+                idx = bytes((int(i) + 3 * k) % ncol for k in range(w * h))
+                blobs.append(
+                    encode_png_palette(w, h, idx, palette, filter_type=int(i) % 5)
+                )
+            yield pd_w.DataFrame({"id": ids, "data": blobs, "mime": "image/png"})
+
+    src = df.select(F.col(id_col).alias("id"))
+    return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+PNG_CHANNEL_SUMS_DDL = (
+    "id bigint, width int, height int, channels int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def png_channel_sums(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """Decode PNGs (gray, truecolor or palette) → exact per-channel pixel
+    sums. Grayscale reports its single channel in all three sums. Blobs die
+    inside the Arrow map stage; only 7 scalars per image cross the shuffle."""
+    _, decode_png, _, _ = _png_worker_fns()
+
+    def features(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("id", "width", "height", "channels", "sum_r", "sum_g", "sum_b")
+            }
+            for i, data in zip(pdf["id"], pdf["data"]):
+                w, h, ch, px = decode_png(bytes(data))
+                if ch == 3:
+                    sums = [sum(px[c::3]) for c in range(3)]
+                else:
+                    s = sum(px)
+                    sums = [s, s, s]
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["sum_r"].append(sums[0])
+                out["sum_g"].append(sums[1])
+                out["sum_b"].append(sums[2])
+            yield pd_w.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(features, PNG_CHANNEL_SUMS_DDL)
 
 
 # ---------------------------------------------------------------------------
@@ -1544,7 +1668,7 @@ def scene_changes(
 def synthesize_tagged_pngs(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic 4x4 gradient PNGs carrying three tEXt chunks keyed by
     id (Title/Author/Software) — closed-form for the oracle."""
-    encode_png, _, _ = _png_worker_fns()
+    encode_png, _, _, _ = _png_worker_fns()
 
     def gen(batches):
         import pandas as pd_w
@@ -1569,7 +1693,7 @@ def synthesize_tagged_pngs(df: DataFrame, id_col: str) -> DataFrame:
 def png_text_metadata(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
     """Extract tEXt (keyword, value) pairs from PNG blobs — one output row
     per chunk, CRC-verified; the image bytes never leave the worker."""
-    _, _, png_text_chunks = _png_worker_fns()
+    _, _, png_text_chunks, _ = _png_worker_fns()
 
     def kernel(batches):
         import pandas as pd_w
@@ -1598,7 +1722,7 @@ def image_pixel_histogram(
     evidence than a mean: the full pixel MULTISET must survive the
     zlib/unfilter round-trip, not just its sum. Blobs die inside the
     Python worker; only (id, bucket, cnt) rows shuffle."""
-    _, decode_png, _ = _png_worker_fns()
+    _, decode_png, _, _ = _png_worker_fns()
 
     def kernel(batches):
         import numpy as np_w

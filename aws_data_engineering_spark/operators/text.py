@@ -986,3 +986,47 @@ def bm25_oracle_sql(
       FROM scored WHERE bm25 > 0
     ) WHERE rnk <= {k}
     """
+
+
+def cms_report_oracle_sql(depth: int = 4, topk: int = 20) -> str:
+    """DuckDB oracle for the count-min-sketch frequency report (t28's
+    shape): exact token counts, per-row md5 cell buckets, min-over-rows
+    estimates for the top-k tokens. Shared by the batch (t28) and
+    streaming (st15) registrations — the streaming sketch merges per-batch
+    cell partials and must land on the identical report."""
+    from aws_data_engineering_spark.operators.sampling import bucket_sql
+
+    cells = "\n      UNION ALL ".join(
+        f"SELECT {r} AS r, {bucket_sql('token', f'cms{r}')} AS bucket, "
+        f"CAST(SUM(cnt) AS BIGINT) AS cell FROM tc GROUP BY 2"
+        for r in range(depth)
+    )
+    keys = "\n      UNION ALL ".join(
+        f"SELECT token, cnt, {r} AS r, {bucket_sql('token', f'cms{r}')} "
+        f"AS bucket FROM top"
+        for r in range(depth)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+      WHERE text IS NOT NULL
+    ), tc AS (
+      SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> ''
+      GROUP BY token
+    ), cells AS (
+      {cells}
+    ), top AS (
+      SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT {topk}
+    ), keys AS (
+      {keys}
+    ), est AS (
+      SELECT k.token, MIN(c.cell) AS est
+      FROM keys k JOIN cells c ON k.r = c.r AND k.bucket = c.bucket
+      GROUP BY k.token
+    )
+    SELECT t.token,
+           CAST(t.cnt AS BIGINT) AS exact_cnt,
+           CAST(e.est AS BIGINT) AS cms_est,
+           CAST(e.est - t.cnt AS BIGINT) AS overcount
+    FROM top t JOIN est e ON t.token = e.token
+    """

@@ -2931,42 +2931,8 @@ _T28_DEPTH, _T28_TOPK = 4, 20
 
 
 def _t28_oracle() -> str:
-    from aws_data_engineering_spark.operators.sampling import bucket_sql
-
-    cells = "\n      UNION ALL ".join(
-        f"SELECT {r} AS r, {bucket_sql('token', f'cms{r}')} AS bucket, "
-        f"CAST(SUM(cnt) AS BIGINT) AS cell FROM tc GROUP BY 2"
-        for r in range(_T28_DEPTH)
-    )
-    keys = "\n      UNION ALL ".join(
-        f"SELECT token, cnt, {r} AS r, {bucket_sql('token', f'cms{r}')} "
-        f"AS bucket FROM top"
-        for r in range(_T28_DEPTH)
-    )
-    return f"""
-    WITH toks AS (
-      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
-      WHERE text IS NOT NULL
-    ), tc AS (
-      SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> ''
-      GROUP BY token
-    ), cells AS (
-      {cells}
-    ), top AS (
-      SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT {_T28_TOPK}
-    ), keys AS (
-      {keys}
-    ), est AS (
-      SELECT k.token, MIN(c.cell) AS est
-      FROM keys k JOIN cells c ON k.r = c.r AND k.bucket = c.bucket
-      GROUP BY k.token
-    )
-    SELECT t.token,
-           CAST(t.cnt AS BIGINT) AS exact_cnt,
-           CAST(e.est AS BIGINT) AS cms_est,
-           CAST(e.est - t.cnt AS BIGINT) AS overcount
-    FROM top t JOIN est e ON t.token = e.token
-    """
+    # shared with the streaming twin st15 — see text.cms_report_oracle_sql
+    return T.cms_report_oracle_sql(depth=_T28_DEPTH, topk=_T28_TOPK)
 
 
 @register(
@@ -5163,3 +5129,552 @@ def c17_dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataF
         .cast("bigint")
         .alias("revenue_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q101 — exact per-group median via value-census prefix sum (round-6d):
+# the scalable exact-median recipe. A naive exact median sorts every row
+# per group; this form first QUANTIZES to a bounded domain (whole dollars,
+# like q100's q-digest) and partial-agg collapses the fact table to a
+# (group, value, cnt) census, then one window over the census — bounded by
+# distinct quantized values per group, not rows — walks the prefix sums to
+# the two middle positions. median = (lo + hi) / 2 is an exact dyadic
+# double, so no rounding is needed and DuckDB's interpolating median()
+# (an INDEPENDENT implementation) must agree bit-for-bit. Complements
+# q100: same census collapse, exact answer instead of a sketch.
+# --------------------------------------------------------------------------
+@register(
+    "q101_exact_group_median",
+    """
+    WITH census AS (
+      SELECT o_orderpriority AS priority,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+      FROM orders
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           median(v) AS median_dollars,
+           CAST(MIN(v) AS BIGINT) AS min_dollars,
+           CAST(MAX(v) AS BIGINT) AS max_dollars
+    FROM census GROUP BY priority
+    """,
+    "exact per-group median the scalable way: whole-dollar census "
+    "(partial-agg collapse) + prefix-sum walk to the two middle positions "
+    "over the bounded census — (lo+hi)/2 is exact dyadic, hash-matched "
+    "against DuckDB's independent interpolating median()",
+)
+def q101_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    census = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.floor("o_totalprice").cast("bigint").alias("v"),
+        )
+        .groupBy("priority", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.partitionBy("priority").orderBy("v")
+    wall = Window.partitionBy("priority")
+    walk = census.select(
+        "priority",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+        F.min("v").over(wall).alias("min_v"),
+        F.max("v").over(wall).alias("max_v"),
+    ).withColumn("prev", F.col("cum") - F.col("cnt"))
+    # positions of the two middles: lo = (n+1) div 2, hi = (n+2) div 2
+    lo_pos = F.floor((F.col("n") + 1) / 2).cast("bigint")
+    hi_pos = F.floor((F.col("n") + 2) / 2).cast("bigint")
+    return walk.groupBy("priority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        (
+            (
+                F.max(
+                    F.when(
+                        (F.col("prev") < lo_pos) & (F.col("cum") >= lo_pos),
+                        F.col("v"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        (F.col("prev") < hi_pos) & (F.col("cum") >= hi_pos),
+                        F.col("v"),
+                    )
+                )
+            )
+            / F.lit(2.0)
+        ).alias("median_dollars"),
+        F.max("min_v").cast("bigint").alias("min_dollars"),
+        F.max("max_v").cast("bigint").alias("max_dollars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t32 — Cavnar–Trenkle character-n-gram language identification (round-6d):
+# the classic rank-profile langid algorithm (Cavnar & Trenkle 1994), the
+# standard pre-neural language filter in web-corpus pipelines. Train: per
+# labeled lang, char-trigram counts -> top-K profile ranked by (count DESC,
+# gram ASC). Classify: each doc's own top-K trigram profile scored against
+# every lang profile by out-of-place distance (|doc_rank - lang_rank|,
+# missing gram -> K penalty); predicted lang = argmin with lang tie-break.
+# Output is the actual x predicted confusion matrix. Scale: lang profiles
+# are a bounded |langs| x K broadcast; the only corpus-sized stages are the
+# trigram explode (map-side) and the per-doc top-K window (keyed by doc).
+# --------------------------------------------------------------------------
+_T32_K = 40
+
+
+def _t32_oracle() -> str:
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, lang, substr(s, g, 3) AS gram
+      FROM (SELECT doc_id, lang, s,
+                   UNNEST(generate_series(1, len(s) - 2)) AS g
+            FROM norm WHERE len(s) >= 3)
+    ), lang_cnt AS (
+      SELECT lang, gram, COUNT(*) AS cnt FROM grams GROUP BY lang, gram
+    ), lang_prof AS (
+      SELECT lang, gram,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, gram) AS lrank
+      FROM lang_cnt
+      QUALIFY lrank <= {_T32_K}
+    ), doc_cnt AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram
+    ), doc_prof AS (
+      SELECT doc_id, gram,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, gram) AS drank
+      FROM doc_cnt
+      QUALIFY drank <= {_T32_K}
+    ), langs AS (
+      SELECT DISTINCT lang AS cand FROM documents
+    ), dist AS (
+      SELECT d.doc_id, l.cand,
+             SUM(COALESCE(ABS(d.drank - p.lrank), {_T32_K})) AS oop
+      FROM doc_prof d
+      CROSS JOIN langs l
+      LEFT JOIN lang_prof p ON p.lang = l.cand AND p.gram = d.gram
+      GROUP BY d.doc_id, l.cand
+    ), pred AS (
+      SELECT doc_id, cand AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY oop, cand) AS rn
+      FROM dist
+      QUALIFY rn = 1
+    )
+    SELECT n.lang AS actual_lang, p.predicted AS predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM norm n JOIN pred p ON n.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "t32_langid_ngram_profile",
+    _t32_oracle(),
+    "Cavnar-Trenkle char-trigram language ID: per-lang top-40 rank "
+    "profiles (bounded broadcast) scored against per-doc profiles by "
+    "out-of-place distance, argmin prediction, actual x predicted "
+    "confusion matrix — exact integer distances, deterministic ranks",
+)
+def t32_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("s"),
+    )
+    grams = (
+        norm.filter(F.length("s") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.length("s") - 2)).alias("g"),
+            "s",
+        )
+        .select("doc_id", "lang", F.col("s").substr(F.col("g"), F.lit(3)).alias("gram"))
+    )
+    lang_prof = (
+        grams.groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "lrank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("lrank") <= _T32_K)
+        .select("lang", "gram", "lrank")
+    )
+    doc_prof = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "drank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("drank") <= _T32_K)
+        .select("doc_id", "gram", "drank")
+    )
+    langs = docs.select(F.col("lang").alias("cand")).distinct()
+    dist = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(lang_prof.withColumnRenamed("lang", "cand")),
+            ["cand", "gram"],
+            "left",
+        )
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("lrank")), F.lit(_T32_K)
+                )
+            ).alias("oop")
+        )
+    )
+    pred = (
+        dist.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("oop"), F.asc("cand"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("predicted"))
+    )
+    return (
+        norm.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy(
+            F.col("lang").alias("actual_lang"),
+            F.col("predicted").alias("predicted_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# t33 — Heaps'-law vocabulary-growth fit (round-6d): V(n) ~ K * n^beta,
+# the standard sublinear vocab-growth law (the planning number behind
+# "how big must the tokenizer vocab be at 10x the corpus"). Docs are
+# ordered by md5(doc_id) — a deterministic, engine-portable shuffle —
+# and the cumulative (tokens_seen, vocab_size) curve is ln-ln regressed.
+# "Cumulative distinct" is rewritten scalably: each token collapses to its
+# FIRST-SEEN doc position (one groupBy), so the curve needs only running
+# SUMs. The running sums themselves use a TWO-PHASE prefix sum — per-range
+# bucket partials + broadcast bucket offsets + within-bucket windows — so
+# no global single-task window appears anywhere (the 1000-executor form of
+# q24/q93's running totals; the oracle uses the naive global window, so
+# the hash match PROVES two-phase == global). regr_* moments are order-
+# free; 4dp rounding absorbs summation ulp drift (the t25 idiom).
+# --------------------------------------------------------------------------
+_T33_BUCKETS = 64
+
+
+def _t33_oracle() -> str:
+    return """
+    WITH docs AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), ordered AS (
+      SELECT doc_id, toks, len(toks) AS n_toks,
+             ROW_NUMBER() OVER (ORDER BY k) AS doc_order
+      FROM docs
+    ), tok_pos AS (
+      SELECT UNNEST(toks) AS token, doc_order FROM ordered
+    ), first_seen AS (
+      SELECT token, MIN(doc_order) AS fs FROM tok_pos GROUP BY token
+    ), new_types AS (
+      SELECT fs AS doc_order, COUNT(*) AS nt FROM first_seen GROUP BY fs
+    ), series AS (
+      SELECT o.doc_order, o.n_toks, COALESCE(n.nt, 0) AS nt
+      FROM ordered o LEFT JOIN new_types n ON o.doc_order = n.doc_order
+    ), curve AS (
+      SELECT doc_order,
+             SUM(n_toks) OVER (ORDER BY doc_order
+                               ROWS UNBOUNDED PRECEDING) AS cum_toks,
+             SUM(nt) OVER (ORDER BY doc_order
+                           ROWS UNBOUNDED PRECEDING) AS cum_vocab
+      FROM series
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(cum_toks) AS BIGINT) AS total_tokens,
+           CAST(MAX(cum_vocab) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                            ln(CAST(cum_toks AS DOUBLE))), 4) AS heaps_beta,
+           ROUND(regr_intercept(ln(CAST(cum_vocab AS DOUBLE)),
+                                ln(CAST(cum_toks AS DOUBLE))), 4) AS heaps_lnk,
+           ROUND(regr_r2(ln(CAST(cum_vocab AS DOUBLE)),
+                         ln(CAST(cum_toks AS DOUBLE))), 4) AS r2
+    FROM curve WHERE cum_toks >= 1 AND cum_vocab >= 1
+    """
+
+
+@register(
+    "t33_heaps_law_fit",
+    _t33_oracle(),
+    "Heaps'-law vocab-growth fit V(n) ~ K*n^beta over an md5-shuffled doc "
+    "order: first-seen collapse turns cumulative-distinct into running "
+    "sums, computed via a TWO-PHASE prefix sum (bucket partials + "
+    "broadcast offsets — no global window task); ln-ln regr_* fit, 4dp",
+)
+def t33_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("k"),
+            F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+        )
+    )
+    # ---- global doc_order WITHOUT a global window: md5-prefix range
+    # buckets give a deterministic partition of the md5 ORDER (hex sorts
+    # lexicographically), ranks are computed within-bucket, and the
+    # 256-row bucket-offset table is broadcast back.
+    withb = docs.withColumn("b", F.substring("k", 1, 2))
+    wrank = F.row_number().over(Window.partitionBy("b").orderBy("k"))
+    ranked = withb.withColumn("wr", wrank).withColumn(
+        "n_toks", F.size("toks").cast("bigint")
+    )
+    bstats = ranked.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
+    woff = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bstats.select(
+        "b", F.coalesce(F.sum("bn").over(woff), F.lit(0)).alias("off")
+    )
+    ordered = ranked.join(F.broadcast(boff), "b").select(
+        "doc_id",
+        "toks",
+        "n_toks",
+        (F.col("off") + F.col("wr")).cast("bigint").alias("doc_order"),
+    )
+    tok_pos = ordered.select(
+        F.explode("toks").alias("token"), "doc_order"
+    )
+    first_seen = tok_pos.groupBy("token").agg(F.min("doc_order").alias("fs"))
+    new_types = first_seen.groupBy(F.col("fs").alias("doc_order")).agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    series = (
+        ordered.select("doc_order", "n_toks")
+        .join(new_types, "doc_order", "left")
+        .withColumn("nt", F.coalesce(F.col("nt"), F.lit(0)).cast("bigint"))
+    )
+    # ---- two-phase prefix sums over doc_order (range buckets of 64):
+    # per-bucket partial sums -> broadcast cumulative offsets -> within-
+    # bucket running windows. Identical to the global window by
+    # construction; the oracle computes the global form.
+    series = series.withColumn(
+        "pb", F.floor((F.col("doc_order") - 1) / _T33_BUCKETS).cast("bigint")
+    )
+    parts = series.groupBy("pb").agg(
+        F.sum("n_toks").alias("pt"), F.sum("nt").alias("pv")
+    )
+    wpoff = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    poffs = parts.select(
+        "pb",
+        F.coalesce(F.sum("pt").over(wpoff), F.lit(0)).alias("off_toks"),
+        F.coalesce(F.sum("pv").over(wpoff), F.lit(0)).alias("off_vocab"),
+    )
+    wwin = Window.partitionBy("pb").orderBy("doc_order").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = series.join(F.broadcast(poffs), "pb").select(
+        "doc_order",
+        (F.col("off_toks") + F.sum("n_toks").over(wwin)).alias("cum_toks"),
+        (F.col("off_vocab") + F.sum("nt").over(wwin)).alias("cum_vocab"),
+    )
+    pts = curve.filter((F.col("cum_toks") >= 1) & (F.col("cum_vocab") >= 1))
+    lnv = F.log(F.col("cum_vocab").cast("double"))
+    lnt = F.log(F.col("cum_toks").cast("double"))
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("cum_toks").cast("bigint").alias("total_tokens"),
+        F.max("cum_vocab").cast("bigint").alias("vocab_size"),
+        F.round(F.regr_slope(lnv, lnt), 4).alias("heaps_beta"),
+        F.round(F.regr_intercept(lnv, lnt), 4).alias("heaps_lnk"),
+        F.round(F.regr_r2(lnv, lnt), 4).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t34 — pairwise Jensen-Shannon divergence between language subcorpora
+# (round-6d): the corpus-mixture diagnostic — how far apart are the
+# unigram distributions of each pair of langs (0 = identical, ln 2 =
+# disjoint support). Every KL term's ln() argument is the exact integer
+# ratio 2*c_a*N_b / (c_a*N_b + c_b*N_a), so both engines feed ln bit-
+# identical doubles (the t15/t20 integer-products discipline); each
+# token's contribution is FLOOR-quantized to integer picounits and summed
+# exactly, so summation order can't move the hash. Scale: count tables
+# are (lang x vocab)-bounded; the pair scaffold is |langs|^2/2 rows cross
+# the vocab — never corpus rows. NOTE: the integer products c*N must stay
+# under 2^53 for double exactness; at larger scales compute the ratio in
+# DECIMAL(38,0) first (same plan shape).
+# --------------------------------------------------------------------------
+def _t34_oracle() -> str:
+    return """
+    WITH tok AS (
+      SELECT lang, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), cnt AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    ), tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY lang
+    ), vocab AS (
+      SELECT DISTINCT token FROM cnt
+    ), pairs AS (
+      SELECT a.lang AS lang_a, a.n AS na, b.lang AS lang_b, b.n AS nb
+      FROM tot a JOIN tot b ON a.lang < b.lang
+    ), scaffold AS (
+      SELECT p.lang_a, p.lang_b, p.na, p.nb, v.token,
+             COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+      FROM pairs p
+      CROSS JOIN vocab v
+      LEFT JOIN cnt ca ON ca.lang = p.lang_a AND ca.token = v.token
+      LEFT JOIN cnt cb ON cb.lang = p.lang_b AND cb.token = v.token
+      WHERE COALESCE(ca.c, 0) + COALESCE(cb.c, 0) > 0
+    ), terms AS (
+      SELECT lang_a, lang_b,
+             CAST(FLOOR(1e12 * 0.5 * (
+               (CASE WHEN ca > 0 THEN
+                  (CAST(ca AS DOUBLE) / na) *
+                  ln((2.0 * ca * nb) / (CAST(ca * nb + cb * na AS DOUBLE)))
+                ELSE 0.0 END) +
+               (CASE WHEN cb > 0 THEN
+                  (CAST(cb AS DOUBLE) / nb) *
+                  ln((2.0 * cb * na) / (CAST(ca * nb + cb * na AS DOUBLE)))
+                ELSE 0.0 END))) AS BIGINT) AS q
+      FROM scaffold
+    )
+    SELECT lang_a, lang_b,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(q) AS BIGINT) AS jsd_picounits,
+           ROUND(SUM(q) / 1e12, 6) AS jsd_nats
+    FROM terms GROUP BY lang_a, lang_b
+    """
+
+
+@register(
+    "t34_lang_jsd_matrix",
+    _t34_oracle(),
+    "pairwise Jensen-Shannon divergence between language subcorpora: "
+    "unigram KL terms with exact-integer-ratio ln() inputs, FLOOR-"
+    "quantized to picounits and summed exactly (order-free) — the "
+    "corpus-mixture divergence diagnostic, vocab-bounded tables only",
+)
+def t34_lang_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("token"),
+        )
+    )
+    cnt = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    vocab = cnt.select("token").distinct()
+    a = tot.select(
+        F.col("lang").alias("lang_a"), F.col("n").alias("na")
+    )
+    b = tot.select(
+        F.col("lang").alias("lang_b"), F.col("n").alias("nb")
+    )
+    pairs = a.join(b, F.col("lang_a") < F.col("lang_b"))
+    ca = cnt.select(
+        F.col("lang").alias("lang_a"), "token", F.col("c").alias("ca")
+    )
+    cb = cnt.select(
+        F.col("lang").alias("lang_b"), "token", F.col("c").alias("cb")
+    )
+    scaffold = (
+        pairs.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(ca), ["lang_a", "token"], "left")
+        .join(F.broadcast(cb), ["lang_b", "token"], "left")
+        .withColumn("ca", F.coalesce(F.col("ca"), F.lit(0)))
+        .withColumn("cb", F.coalesce(F.col("cb"), F.lit(0)))
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    denom = (F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")).cast(
+        "double"
+    )
+    term_a = F.when(
+        F.col("ca") > 0,
+        (F.col("ca").cast("double") / F.col("na"))
+        * F.log((F.lit(2.0) * F.col("ca") * F.col("nb")) / denom),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("cb") > 0,
+        (F.col("cb").cast("double") / F.col("nb"))
+        * F.log((F.lit(2.0) * F.col("cb") * F.col("na")) / denom),
+    ).otherwise(F.lit(0.0))
+    q = F.floor(F.lit(1e12) * F.lit(0.5) * (term_a + term_b)).cast("bigint")
+    return (
+        scaffold.withColumn("q", q)
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("q").cast("bigint").alias("jsd_picounits"),
+            F.round(F.sum("q") / F.lit(1e12), 6).alias("jsd_nats"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# m19 — indexed-color (palette) PNG decode (round-6d): the third real PNG
+# pixel layout after grayscale (m05) and the RGB path — color type 3 with
+# a PLTE chunk, the layout icons / charts / screenshots use. The codec
+# encodes genuine palette PNGs (CRC'd chunks, scanline filters cycling
+# over index BYTES) and the decoder unfilters then expands indices through
+# the palette table; per-image per-channel pixel sums must equal the
+# closed-form generator (palette entry j = (17j, 29j, 43j) mod 256, pixel
+# k's index = (id+3k) mod 16). One wrong unfiltered index byte anywhere
+# moves a channel sum and fails the hash. Blobs die inside the Arrow map
+# stage; 7 scalars per image cross the shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "m19_palette_png_channel_sums",
+    """
+    WITH dims AS (
+      SELECT doc_id AS id,
+             CAST(4 + doc_id % 16 AS INT) AS width,
+             CAST(4 + doc_id % 12 AS INT) AS height
+      FROM documents
+    ), px AS (
+      SELECT id, width, height,
+             UNNEST(generate_series(0, width * height - 1)) AS k
+      FROM dims
+    )
+    SELECT id,
+           CAST(MAX(width) AS INT) AS width,
+           CAST(MAX(height) AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(SUM((id + 3 * k) % 16 * 17 % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((id + 3 * k) % 16 * 29 % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((id + 3 * k) % 16 * 43 % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY id
+    """,
+    "REAL indexed-color PNG decode (color type 3 + PLTE): palette PNGs "
+    "round-trip the codec, per-image per-channel sums hash-checked against "
+    "the closed-form generator — the icons/charts layout, closing the "
+    "third PNG pixel path",
+)
+def m19_palette_png_channel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    images = MM.synthesize_palette_png_images(docs, "doc_id")
+    return MM.png_channel_sums(images, "id", "data")

@@ -16,6 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from aws_data_engineering_spark.operators import sketch as _SK
+from aws_data_engineering_spark.operators import text as _T
 from aws_data_engineering_spark.plans.registry import register
 from aws_data_engineering_spark.streaming import (
     read_events_stream,
@@ -343,3 +344,71 @@ def st14_stream_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     leaves = read_qdigest_view(spark, os.path.join(base, "partials"))
     digest = _SK.qdigest_nodes_from_leaves(leaves).localCheckpoint(eager=True)
     return _SK.qdigest_report(digest, leaves, (0.25, 0.5, 0.75, 0.9, 0.99))
+
+
+@register(
+    "st15_stream_count_min_sketch",
+    # EXACTLY the batch CMS oracle (shared builder with t28): per-batch
+    # cell partials are counters, so their sum IS the sketch of the full
+    # stream — the streaming report must hash-match the batch report
+    _T.cms_report_oracle_sql(),
+    "STREAMING mergeable count-min sketch: documents fed as 3 files, each "
+    "micro-batch appends its (r, bucket, cell) CMS partial + its token "
+    "census via foreachBatch (no state store, no history re-scan); "
+    "merge-on-read sums both and the top-20 frequency report hash-matches "
+    "the BATCH count-min sketch bit-for-bit — the st11/st14 append-only "
+    "partial pattern on a third sketch family",
+)
+def st15_stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_data_engineering_spark.operators.sampling import hash_bucket
+    from aws_data_engineering_spark.sources.tables import load_table
+    from aws_data_engineering_spark.streaming import (
+        read_cms_views,
+        read_documents_stream,
+        stream_cms_partial_sink,
+    )
+
+    depth, topk = 4, 20
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(tempfile.gettempdir(), "spark_st15", uuid.uuid4().hex[:8])
+    in_dir = os.path.join(base, "in")
+    # three doc_id-class files -> a genuinely multi-batch availableNow run
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
+    q = stream_cms_partial_sink(
+        stream,
+        "text",
+        partials_dir=os.path.join(base, "partials"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        depth=depth,
+    )
+    q.awaitTermination()
+    cells, tc = read_cms_views(spark, os.path.join(base, "partials"))
+    top = tc.orderBy(F.col("cnt").desc(), F.col("token")).limit(topk)
+    keys = None
+    for r in range(depth):
+        part = top.select(
+            "token",
+            "cnt",
+            F.lit(r).alias("r"),
+            hash_bucket("token", f"cms{r}").alias("bucket"),
+        )
+        keys = part if keys is None else keys.unionByName(part)
+    est = (
+        keys.join(cells, ["r", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cell").alias("est"))
+    )
+    return top.join(est, "token").select(
+        "token",
+        F.col("cnt").alias("exact_cnt"),
+        F.col("est").alias("cms_est"),
+        (F.col("est") - F.col("cnt")).alias("overcount"),
+    )

@@ -774,3 +774,74 @@ def read_qdigest_view(spark: SparkSession, partials_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def stream_cms_partial_sink(
+    docs_stream: DataFrame,
+    text_col: str,
+    partials_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+):
+    """foreachBatch: append each micro-batch's count-min-sketch partials.
+
+    Two mergeable partial tables per batch, both order-free sums:
+
+    - ``cells/`` — the batch's (r, bucket, cell) CMS table (the sketch's
+      exactly-mergeable partial: CMS cells are counters, so summing
+      per-batch cells equals sketching the concatenated stream);
+    - ``tokcnt/`` — the batch's (token, cnt) census (itself a mergeable
+      partial) so the read side can rank exact top-k without re-scanning
+      history.
+
+    No state store, no history re-scan — the st11/st14 append-only partial
+    pattern applied to a third sketch family. Retry-safe via foreachBatch's
+    deterministic batch ids.
+    """
+    import os as _os
+
+    from aws_data_engineering_spark.operators.sampling import hash_bucket
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = (
+            batch_df.filter(F.col(text_col).isNotNull())
+            .select(F.explode(F.split(text_col, " ")).alias("token"))
+            .filter(F.col("token") != "")
+        )
+        tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        fan = None
+        for r in range(depth):
+            part = tc.select(
+                F.lit(r).alias("r"),
+                hash_bucket("token", f"cms{r}").alias("bucket"),
+                "cnt",
+            )
+            fan = part if fan is None else fan.unionByName(part)
+        cells = fan.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell"))
+        cells.write.mode("append").parquet(_os.path.join(partials_dir, "cells"))
+        tc.write.mode("append").parquet(_os.path.join(partials_dir, "tokcnt"))
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_views(spark: SparkSession, partials_dir: str):
+    """Merge-on-read for the CMS partials: summed cell table + summed
+    token census — both exact integer merges."""
+    import os as _os
+
+    cells = (
+        spark.read.parquet(_os.path.join(partials_dir, "cells"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    tokcnt = (
+        spark.read.parquet(_os.path.join(partials_dir, "tokcnt"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return cells, tokcnt

@@ -71,7 +71,7 @@ def test_png_codec_roundtrip_all_filters():
     """Pure-Python PNG codec: every scanline filter type (0-4) must
     reconstruct the exact pixels, and the emitted bytes must be a
     structurally valid PNG (magic + CRC-checked chunks)."""
-    encode_png, decode_png, _ = M._png_worker_fns()
+    encode_png, decode_png, _, _ = M._png_worker_fns()
     w, h = 7, 5
     pixels = bytes(((3 + k) * 31) % 256 for k in range(w * h))
     for ft in range(5):
@@ -83,7 +83,7 @@ def test_png_codec_roundtrip_all_filters():
 
 
 def test_png_corrupt_crc_rejected():
-    encode_png, decode_png, _ = M._png_worker_fns()
+    encode_png, decode_png, _, _ = M._png_worker_fns()
     blob = bytearray(encode_png(4, 4, bytes(16)))
     blob[-5] ^= 0xFF  # flip a bit inside IEND's CRC
     import pytest

@@ -340,6 +340,11 @@ _BNLJ_ALLOW = {
     # digest-sized cumulative table and the domain-bounded leaf histogram
     # — BNLJ over sketch state, never the fact table
     "q100_qdigest_quantiles",
+    # t32 fans each doc's K-row profile against the |langs|-row broadcast
+    # candidate table; t34's scaffold is the |langs|²/2 pair table crossed
+    # with the vocab-bounded token list — both bounded broadcasts, never
+    # corpus rows on the build side
+    "t32_langid_ngram_profile", "t34_lang_jsd_matrix",
 }
 
 

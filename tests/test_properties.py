@@ -267,7 +267,7 @@ def test_png_codec_roundtrip_property(w, h, filter_type, seed_bytes):
     (row-boundary references, modular wraparound, single-pixel rows)."""
     from aws_data_engineering_spark.operators import multimodal as M
 
-    encode_png, decode_png, _ = M._png_worker_fns()
+    encode_png, decode_png, _, _ = M._png_worker_fns()
     n = w * h
     pixels = bytes((seed_bytes * (n // max(len(seed_bytes), 1) + 1))[:n]) if seed_bytes else bytes(n)
     blob = encode_png(w, h, pixels, filter_type=filter_type)

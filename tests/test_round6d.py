@@ -1,0 +1,210 @@
+"""Planted-scenario tests for the round-6d operators: exact group median
+(q101), Cavnar-Trenkle langid (t32), Heaps'-law fit (t33), pairwise JSD
+(t34). Each pins the semantics on hand-computable inputs; the sf-fixture
+hash match lives in test_queries_oracle.py like every registered query."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from aws_data_engineering_spark.plans.registry import QUERIES, queries
+
+queries()  # force registration
+
+
+def _write_docs(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+
+def test_q101_median_even_and_odd_counts(spark, tmp_path):
+    """Even group -> interpolated middle pair; odd group -> exact middle.
+    Values chosen so the dyadic (lo+hi)/2 is non-integral for the even
+    group (10+20)/2 = 15.0 ... with values 10,20 -> 15.0."""
+    rows = [
+        # priority A: even count [10, 20, 30, 40] -> median 25.0
+        ("A", 10.9), ("A", 20.2), ("A", 30.7), ("A", 40.1),
+        # priority B: odd count [5, 7, 1000] -> median 7.0
+        ("B", 5.5), ("B", 7.3), ("B", 1000.9),
+    ]
+    tbl = pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    df = QUERIES["q101_exact_group_median"].spark(spark, str(tmp_path))
+    got = {r["priority"]: r for r in df.collect()}
+    assert got["A"]["median_dollars"] == 25.0
+    assert got["A"]["n_orders"] == 4
+    assert got["A"]["min_dollars"] == 10 and got["A"]["max_dollars"] == 40
+    assert got["B"]["median_dollars"] == 7.0
+    assert got["B"]["n_orders"] == 3
+
+
+def test_t32_langid_separable_profiles(spark, tmp_path):
+    """Two langs with disjoint character content must classify perfectly:
+    the confusion matrix is purely diagonal."""
+    rows = []
+    for i in range(4):
+        rows.append((i, "aaa bbb aab aba bba abb " * 5, "aa", "s", 0))
+    for i in range(4, 8):
+        rows.append((i, "xxx yyy xxy xyx yyx xyy " * 5, "xx", "s", 0))
+    _write_docs(tmp_path, rows)
+    df = QUERIES["t32_langid_ngram_profile"].spark(spark, str(tmp_path))
+    got = {(r["actual_lang"], r["predicted_lang"]): r["n_docs"] for r in df.collect()}
+    assert got == {("aa", "aa"): 4, ("xx", "xx"): 4}
+
+
+def test_t33_heaps_totals_and_two_phase(spark, tmp_path):
+    """Hand-checkable totals: 3 docs, token multiset sizes 3/2/4, global
+    vocab 4. The two-phase prefix sum must agree with the naive cumulative
+    regardless of which md5 order the docs land in."""
+    rows = [
+        (1, "a b a", "en", "s", 0),
+        (2, "b c", "en", "s", 0),
+        (3, "a d d d", "en", "s", 0),
+    ]
+    _write_docs(tmp_path, rows)
+    df = QUERIES["t33_heaps_law_fit"].spark(spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row["n_docs"] == 3
+    assert row["total_tokens"] == 9
+    assert row["vocab_size"] == 4
+
+
+def test_t34_jsd_bounds(spark, tmp_path):
+    """Identical distributions -> JSD 0; disjoint vocabularies -> JSD ln 2
+    (within picounit quantization)."""
+    rows = [
+        (1, "a b c a b c", "same1", "s", 0),
+        (2, "a b c a b c", "same2", "s", 0),
+        (3, "x y z x y z", "disj", "s", 0),
+    ]
+    _write_docs(tmp_path, rows)
+    df = QUERIES["t34_lang_jsd_matrix"].spark(spark, str(tmp_path))
+    got = {(r["lang_a"], r["lang_b"]): r["jsd_nats"] for r in df.collect()}
+    assert got[("same1", "same2")] == 0.0
+    import math
+
+    ln2 = math.log(2.0)
+    for pair in [("disj", "same1"), ("disj", "same2")]:
+        assert abs(got[pair] - ln2) < 1e-6
+
+
+def test_palette_png_roundtrip_all_filters():
+    """Indexed-color PNG: every scanline filter must reconstruct, and the
+    decoded RGB stream must equal the direct palette expansion of the
+    index bytes."""
+    from aws_data_engineering_spark.operators import multimodal as M
+
+    _, decode_png, _, encode_png_palette = M._png_worker_fns()
+    w, h = 7, 5
+    palette = [((j * 17) % 256, (j * 29) % 256, (j * 43) % 256) for j in range(16)]
+    indices = bytes((5 + 3 * k) % 16 for k in range(w * h))
+    want = b"".join(bytes(palette[i]) for i in indices)
+    for ft in range(5):
+        blob = encode_png_palette(w, h, indices, palette, filter_type=ft)
+        dw, dh, ch, out = decode_png(blob)
+        assert (dw, dh, ch) == (w, h, 3)
+        assert out == want, f"filter {ft} did not round-trip"
+
+
+def test_palette_png_rejects_bad_index_and_missing_plte():
+    import struct
+    import zlib
+
+    import pytest
+
+    from aws_data_engineering_spark.operators import multimodal as M
+
+    _, decode_png, _, encode_png_palette = M._png_worker_fns()
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_png_palette(2, 1, bytes([0, 9]), [(0, 0, 0)] * 4)
+    # hand-build a type-3 PNG with no PLTE: decoder must refuse
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = zlib.compress(bytes([0, 0, 1]))
+    blob = (
+        M.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(blob)
+
+
+def test_st15_cms_partials_merge_equals_batch(spark, tmp_path):
+    """The streaming CMS's merged cell table must equal the batch-computed
+    cell table exactly, AND the partials dir must genuinely contain
+    multiple per-batch appends (more raw rows than merged rows) — proving
+    the multi-batch path, not a single-batch degenerate run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_data_engineering_spark.operators.sampling import hash_bucket
+    from aws_data_engineering_spark.streaming import (
+        read_cms_views,
+        read_documents_stream,
+        stream_cms_partial_sink,
+    )
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared", "en", "s", 0) for i in range(60)]
+    _write_docs(tmp_path, rows)
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    in_dir = str(tmp_path / "in")
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
+    q = stream_cms_partial_sink(
+        stream,
+        "text",
+        partials_dir=str(tmp_path / "partials"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    cells, tc = read_cms_views(spark, str(tmp_path / "partials"))
+    # batch twin over the same corpus
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    btc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    bfan = None
+    for r in range(4):
+        part = btc.select(
+            F.lit(r).alias("r"),
+            hash_bucket("token", f"cms{r}").alias("bucket"),
+            "cnt",
+        )
+        bfan = part if bfan is None else bfan.unionByName(part)
+    bcells = bfan.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell"))
+    got = {(r["r"], r["bucket"]): r["cell"] for r in cells.collect()}
+    want = {(r["r"], r["bucket"]): r["cell"] for r in bcells.collect()}
+    assert got == want
+    raw_rows = spark.read.parquet(os.path.join(str(tmp_path / "partials"), "cells")).count()
+    assert raw_rows > len(got), "expected multiple per-batch partial appends"
+    # token census partial merge is exact too
+    assert {
+        (r["token"], r["cnt"]) for r in tc.collect()
+    } == {(r["token"], r["cnt"]) for r in btc.collect()}
