@@ -116,6 +116,11 @@ HEADLINE = [
     # round-6c: the deterministic mergeable q-digest (eager per-level
     # checkpoints — the sketch family's round-over-round number).
     "q100_qdigest_quantiles",
+    # round-6d: the char-trigram langid classifier — the heaviest new
+    # family (trigram explode + two profile windows + bounded broadcast
+    # scoring); q101/t33/t34/m19/st15 ride the same scan/window/codec
+    # machinery already benched above.
+    "t32_langid_ngram_profile",
 ]
 
 
