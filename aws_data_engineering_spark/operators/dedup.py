@@ -669,8 +669,19 @@ def bloom_contamination(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # the "bit array": distinct positions set by any benchmark gram
-    bench_bits = (
+    cand = _gram_fanout(candidates, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
+    return bloom_probe(cand, bench_grams, bloom_bits(bench_grams))
+
+
+def bloom_bits(bench_grams: DataFrame) -> DataFrame:
+    """The "bit array" of the relational Bloom filter: the DISTINCT set of
+    positions hit by any gram in ``bench_grams`` (column ``shingle``).
+    Bounded by m = 2^16 rows. Set-union-mergeable: bits(A ∪ B) =
+    distinct(bits(A) ∪ bits(B)) — the property st16's streaming
+    maintenance relies on (Bloom filters merge by OR)."""
+    return (
         bench_grams.select(
             F.explode(
                 F.array(*[_bloom_pos(F.col("shingle"), j) for j in range(_BLOOM_K)])
@@ -678,14 +689,21 @@ def bloom_contamination(
         )
         .distinct()
     )
-    cand = _gram_fanout(candidates, id_col, text_col, shingle_n).localCheckpoint(
-        eager=True
-    )
-    # membership probe: gram hits iff all k positions are set. k successive
-    # broadcast LEFT SEMI joins (one per position hash) — no explode, no
-    # gram-keyed shuffle; each join prunes misses early, so most
-    # non-benchmark grams die at the first probe (the short-circuit a real
-    # Bloom lookup has)
+
+
+def bloom_probe(
+    cand: DataFrame, bench_grams: DataFrame, bench_bits: DataFrame
+) -> DataFrame:
+    """Probe candidate grams (``id``, ``shingle``) against a prebuilt Bloom
+    bit set + exact gram set — the report half of
+    :func:`bloom_contamination`, shared with the streaming-maintained
+    filter (st16).
+
+    Membership probe: gram hits iff all k positions are set. k successive
+    broadcast LEFT SEMI joins (one per position hash) — no explode, no
+    gram-keyed shuffle; each join prunes misses early, so most
+    non-benchmark grams die at the first probe (the short-circuit a real
+    Bloom lookup has)."""
     probed = cand.select(
         "id",
         "shingle",

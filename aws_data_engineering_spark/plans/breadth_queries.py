@@ -5678,3 +5678,244 @@ def m19_palette_png_channel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     images = MM.synthesize_palette_png_images(docs, "doc_id")
     return MM.png_channel_sums(images, "id", "data")
+
+
+# --------------------------------------------------------------------------
+# e20 — clustering-inertia elbow sweep (round-6d): mean cosine distortion
+# (1 - best-centroid cosine) as a function of k over fixed deterministic
+# quantizers (k = 2/4/8/16) — the k-selection frontier for IVF list counts
+# and k-means clustering in ONE oracle-checked query, like e19's probe
+# sweep is for n_probe. Per-vector distortions are FLOOR-quantized to
+# nano-units and summed exactly (order-free); the mean is one division of
+# exact integers on both engines. Ties in best-centroid score don't matter
+# — only MAX(score) is consumed. Scale: each k's centroid table is a
+# bounded broadcast; one corpus scan per k, no pairwise anything.
+# --------------------------------------------------------------------------
+_E20_KS = (2, 4, 8, 16)
+
+
+def _e20_oracle() -> str:
+    selects = []
+    for k in _E20_KS:
+        cents = ", ".join(
+            f"([{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+            for c in SIM._hyperplanes(dim=64, n_planes=k, seed=11)
+        )
+        selects.append(f"""
+    SELECT CAST({k} AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(q) AS BIGINT) AS inertia_nano,
+           CAST(SUM(q) AS DOUBLE) / 1e9 / COUNT(*) AS mean_distortion
+    FROM (
+      SELECT vec_id,
+             CAST(FLOOR(1e9 * (1.0 - MAX(
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c)
+             ))) AS BIGINT) AS q
+      FROM embeddings e CROSS JOIN (VALUES {cents}) c(c)
+      GROUP BY vec_id
+    )""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "e20_inertia_elbow_sweep",
+    _e20_oracle(),
+    "clustering-inertia elbow sweep: mean cosine distortion vs k over "
+    "fixed quantizers (k=2/4/8/16) — the k-selection frontier as one "
+    "oracle-checked query; per-vector distortions nano-quantized and "
+    "summed exactly, bounded centroid broadcasts only",
+)
+def e20_inertia_elbow_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    out = None
+    for k in _E20_KS:
+        cents = SIM._hyperplanes(dim=64, n_planes=k, seed=11)
+        cent_df = emb.sparkSession.createDataFrame(
+            [(c,) for c in cents], "c array<double>"
+        )
+        best = (
+            emb.crossJoin(F.broadcast(cent_df))
+            .withColumn("score", SIM.cosine(F.col("e"), F.col("c")))
+            .groupBy("vec_id")
+            .agg(F.max("score").alias("best"))
+            .select(
+                F.floor(F.lit(1e9) * (F.lit(1.0) - F.col("best")))
+                .cast("bigint")
+                .alias("q")
+            )
+        )
+        row = best.agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("q").cast("bigint").alias("inertia_nano"),
+        ).select(
+            F.lit(k).cast("int").alias("k"),
+            "n_vectors",
+            "inertia_nano",
+            (F.col("inertia_nano").cast("double") / F.lit(1e9) / F.col("n_vectors"))
+            .alias("mean_distortion"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# --------------------------------------------------------------------------
+# g09 — duplicate-cluster size census (round-6d): the "blast radius" audit
+# run BEFORE committing to a dedup pass — how much of the corpus sits in
+# near-dup clusters, at what cluster sizes, and how big is the largest
+# cluster (the skew that decides banding caps — see d17). Same scale-safe
+# LSH edge set as d18/g07 (equi-join on hyperplane bucket, no all-pairs),
+# components via min-label propagation, then a two-level census: cluster
+# sizes, then the size HISTOGRAM (n_clusters and n_docs per size) — both
+# bounded by the cluster-size vocabulary, tiny at any corpus scale.
+# Singleton docs (no near-dup edges) appear as size-1 clusters, so n_docs
+# sums to the corpus and the "fraction in dup clusters" falls out exactly.
+# --------------------------------------------------------------------------
+def _g09_oracle() -> str:
+    lsh = SIM.bucketed_neardup_oracle_sql(
+        threshold=_D18_THRESHOLD, n_planes=_D18_PLANES, dim=64
+    )
+    return f"""
+    WITH RECURSIVE lsh_pairs AS ({lsh}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+              UNION SELECT id_b AS a, id_a AS b FROM lsh_pairs),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    labeled AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src),
+    sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM labeled
+              GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """
+
+
+@register(
+    "g09_dup_cluster_census",
+    _g09_oracle(),
+    "duplicate-cluster size census over the LSH near-dup graph: cluster "
+    "sizes -> size histogram (n_clusters, n_docs per size) — the dedup "
+    "blast-radius audit that sizes banding caps before any 100 TB pass; "
+    "singletons included so n_docs sums to the corpus",
+)
+def g09_dup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.bucketed_neardup_pairs(
+        emb, threshold=_D18_THRESHOLD, n_planes=_D18_PLANES, dim=64
+    ).select("id_a", "id_b")
+    comp = DD.connected_components(pairs, "id_a", "id_b")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+    sizes = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dq17 — schema/profile drift audit (round-6d): the post-ingest check that
+# an upstream producer changed SHAPE, not just volume (dq04 catches
+# volume) — per column, row/null/distinct counts in two adjacent periods
+# plus the distinct-cardinality ratio. Columns are MELTED into (column,
+# canonical string value) rows so one groupBy profiles every column in a
+# single pass; doubles are quantized to integer micro-units BEFORE the
+# string cast (float->string formatting is not an engine-portable
+# canonicalization; integers are). All counts exact; the drift ratio is
+# one division of exact integers. Scale: 2 scans (one per period side of
+# the melt) x partial-agg; output bounded by the column list.
+# --------------------------------------------------------------------------
+_DQ17_SPLIT = "2024-01-16"
+
+
+@register(
+    "dq17_profile_drift_audit",
+    f"""
+    WITH melted AS (
+      SELECT CASE WHEN ts < TIMESTAMP '{_DQ17_SPLIT}' THEN 'a' ELSE 'b' END
+               AS period, col, val
+      FROM (
+        SELECT ts, 'user_id' AS col, CAST(user_id AS VARCHAR) AS val FROM events
+        UNION ALL
+        SELECT ts, 'event_type', event_type FROM events
+        UNION ALL
+        SELECT ts, 'value',
+               CAST(CAST(FLOOR(value * 1e6) AS BIGINT) AS VARCHAR) FROM events
+        UNION ALL
+        SELECT ts, 'props', props FROM events
+      ) WHERE ts IS NOT NULL
+    ), prof AS (
+      SELECT period, col,
+             COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(val) AS n_nulls,
+             COUNT(DISTINCT val) AS n_distinct
+      FROM melted GROUP BY period, col
+    )
+    SELECT a.col AS column_name,
+           CAST(a.n_rows AS BIGINT) AS rows_a,
+           CAST(a.n_nulls AS BIGINT) AS nulls_a,
+           CAST(a.n_distinct AS BIGINT) AS distinct_a,
+           CAST(b.n_rows AS BIGINT) AS rows_b,
+           CAST(b.n_nulls AS BIGINT) AS nulls_b,
+           CAST(b.n_distinct AS BIGINT) AS distinct_b,
+           CAST(b.n_distinct AS DOUBLE) / a.n_distinct AS distinct_ratio
+    FROM (SELECT * FROM prof WHERE period = 'a') a
+    JOIN (SELECT * FROM prof WHERE period = 'b') b ON a.col = b.col
+    """,
+    "schema/profile drift audit: per-column row/null/distinct counts in "
+    "two adjacent periods via a single melted groupBy pass — doubles "
+    "micro-quantized before the string canonicalization; exact counts, "
+    "one integer-ratio division",
+)
+def dq17_profile_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    parts = [
+        ev.select("ts", F.lit("user_id").alias("col"),
+                  F.col("user_id").cast("string").alias("val")),
+        ev.select("ts", F.lit("event_type").alias("col"),
+                  F.col("event_type").alias("val")),
+        ev.select("ts", F.lit("value").alias("col"),
+                  F.floor(F.col("value") * 1e6).cast("bigint")
+                  .cast("string").alias("val")),
+        ev.select("ts", F.lit("props").alias("col"), F.col("props").alias("val")),
+    ]
+    melted = parts[0]
+    for p in parts[1:]:
+        melted = melted.unionByName(p)
+    melted = melted.select(
+        F.when(F.col("ts") < F.lit(_DQ17_SPLIT).cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("period"),
+        "col",
+        "val",
+    )
+    prof = melted.groupBy("period", "col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_nulls"),
+        F.countDistinct("val").alias("n_distinct"),
+    )
+    a = prof.filter(F.col("period") == "a").drop("period")
+    b = prof.filter(F.col("period") == "b").drop("period")
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.col") == F.col("b.col"))
+        .select(
+            F.col("a.col").alias("column_name"),
+            F.col("a.n_rows").cast("bigint").alias("rows_a"),
+            F.col("a.n_nulls").cast("bigint").alias("nulls_a"),
+            F.col("a.n_distinct").cast("bigint").alias("distinct_a"),
+            F.col("b.n_rows").cast("bigint").alias("rows_b"),
+            F.col("b.n_nulls").cast("bigint").alias("nulls_b"),
+            F.col("b.n_distinct").cast("bigint").alias("distinct_b"),
+            (
+                F.col("b.n_distinct").cast("double") / F.col("a.n_distinct")
+            ).alias("distinct_ratio"),
+        )
+    )

@@ -15,6 +15,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_data_engineering_spark.operators import dedup as _D
 from aws_data_engineering_spark.operators import sketch as _SK
 from aws_data_engineering_spark.operators import text as _T
 from aws_data_engineering_spark.plans.registry import register
@@ -412,3 +413,60 @@ def st15_stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("cms_est"),
         (F.col("est") - F.col("cnt")).alias("overcount"),
     )
+
+
+_ST16_BENCH = ("src0", "src1")
+_ST16_IN = "('" + "', '".join(_ST16_BENCH) + "')"
+
+
+@register(
+    "st16_stream_bloom_filter",
+    # EXACTLY d11's oracle: OR-merged per-batch bit sets must equal the
+    # batch-built filter (bits(A ∪ B) = bits(A) ∪ bits(B)), so the whole
+    # contamination report — false positives included — hash-matches the
+    # batch Bloom oracle
+    _D.bloom_oracle_sql(_ST16_IN, shingle_n=5),
+    "STREAMING mergeable Bloom filter: benchmark docs fed as 3 files, each "
+    "micro-batch appends its distinct Bloom bit positions + gram set via "
+    "foreachBatch (filters merge by OR = DISTINCT union, bounded by "
+    "m=2^16); the merged filter probes the candidate corpus and the full "
+    "contamination report — false positives included — hash-matches the "
+    "batch d11 oracle bit-for-bit; the append-only-partial pattern on a "
+    "fourth sketch family (OR-merge)",
+)
+def st16_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_data_engineering_spark.sources.tables import load_table
+    from aws_data_engineering_spark.streaming import (
+        read_bloom_views,
+        read_documents_stream,
+        stream_bloom_partial_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_pred = F.col("source").isin(*_ST16_BENCH)
+    base = os.path.join(tempfile.gettempdir(), "spark_st16", uuid.uuid4().hex[:8])
+    in_dir = os.path.join(base, "in")
+    # three doc_id-class files of BENCHMARK docs -> multi-batch filter build
+    for b in range(3):
+        docs.filter(bench_pred & (F.col("doc_id") % 3 == b)).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
+    q = stream_bloom_partial_sink(
+        stream,
+        "text",
+        partials_dir=os.path.join(base, "partials"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        shingle_n=5,
+    )
+    q.awaitTermination()
+    grams, bits = read_bloom_views(spark, os.path.join(base, "partials"))
+    cand = _D._gram_fanout(
+        docs.filter(~bench_pred), "doc_id", "text", 5
+    ).localCheckpoint(eager=True)
+    out = _D.bloom_probe(cand, grams, bits)
+    return out.withColumnRenamed("id", "doc_id")

@@ -845,3 +845,58 @@ def read_cms_views(spark: SparkSession, partials_dir: str):
         .agg(F.sum("cnt").alias("cnt"))
     )
     return cells, tokcnt
+
+
+def stream_bloom_partial_sink(
+    bench_stream: DataFrame,
+    text_col: str,
+    partials_dir: str,
+    checkpoint_dir: str,
+    shingle_n: int = 5,
+):
+    """foreachBatch: maintain a Bloom decontamination filter incrementally
+    as reference/benchmark documents arrive.
+
+    Two set-union-mergeable partial tables per batch:
+
+    - ``bits/`` — the batch's distinct Bloom positions (Bloom filters merge
+      by OR, so the DISTINCT union of per-batch bit sets IS the filter of
+      the full stream — bounded by m = 2^16 rows regardless of history);
+    - ``grams/`` — the batch's distinct gram set, so the read side can also
+      run the exact-membership check that quantifies false positives.
+
+    The st11/st14/st15 append-only-partial pattern on a fourth sketch
+    family (OR-merge instead of counter-sum). Retry-safe via foreachBatch's
+    deterministic batch ids.
+    """
+    import os as _os
+
+    from aws_data_engineering_spark.operators import dedup as DD
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        grams = (
+            DD._gram_fanout(batch_df, "doc_id", text_col, shingle_n)
+            .select("shingle")
+            .distinct()
+        )
+        grams.write.mode("append").parquet(_os.path.join(partials_dir, "grams"))
+        DD.bloom_bits(grams).write.mode("append").parquet(
+            _os.path.join(partials_dir, "bits")
+        )
+
+    return (
+        bench_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bloom_views(spark: SparkSession, partials_dir: str):
+    """Merge-on-read for the Bloom partials: OR-merge = DISTINCT union of
+    the per-batch bit sets; the gram set unions the same way."""
+    import os as _os
+
+    bits = spark.read.parquet(_os.path.join(partials_dir, "bits")).distinct()
+    grams = spark.read.parquet(_os.path.join(partials_dir, "grams")).distinct()
+    return grams, bits

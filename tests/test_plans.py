@@ -345,6 +345,9 @@ _BNLJ_ALLOW = {
     # with the vocab-bounded token list — both bounded broadcasts, never
     # corpus rows on the build side
     "t32_langid_ngram_profile", "t34_lang_jsd_matrix",
+    # e20 scores every vector against a <=16-row broadcast centroid table
+    # per k — the e03/e19 shape
+    "e20_inertia_elbow_sweep",
 }
 
 

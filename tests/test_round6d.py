@@ -208,3 +208,106 @@ def test_st15_cms_partials_merge_equals_batch(spark, tmp_path):
     assert {
         (r["token"], r["cnt"]) for r in tc.collect()
     } == {(r["token"], r["cnt"]) for r in btc.collect()}
+
+
+def test_st16_bloom_or_merge_equals_batch(spark, tmp_path):
+    """Per-batch Bloom bit partials OR-merged (DISTINCT union) must equal
+    the batch-built filter's bit set, and the contamination report from
+    the merged filter must equal bloom_contamination run in one shot."""
+    from pyspark.sql import functions as F
+
+    from aws_data_engineering_spark.operators import dedup as D
+    from aws_data_engineering_spark.streaming import (
+        read_bloom_views,
+        read_documents_stream,
+        stream_bloom_partial_sink,
+    )
+
+    bench_rows = [
+        (i, f"alpha beta gamma delta epsilon tok{i} zeta eta theta", "en", "bench", 0)
+        for i in range(9)
+    ]
+    cand_rows = [
+        (100, "alpha beta gamma delta epsilon tok1 zeta eta theta", "en", "web", 0),
+        (101, "totally different words with no overlap at all here", "en", "web", 0),
+    ]
+    _write_docs(tmp_path, bench_rows + cand_rows)
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    bench = docs.filter(F.col("source") == "bench")
+    cand_docs = docs.filter(F.col("source") == "web")
+    in_dir = str(tmp_path / "in")
+    for b in range(3):
+        bench.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
+    q = stream_bloom_partial_sink(
+        stream,
+        "text",
+        partials_dir=str(tmp_path / "partials"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        shingle_n=5,
+    )
+    q.awaitTermination()
+    grams, bits = read_bloom_views(spark, str(tmp_path / "partials"))
+    # OR-merge == batch bits
+    batch_grams = (
+        D._gram_fanout(bench, "doc_id", "text", 5).select("shingle").distinct()
+    )
+    assert {r["pos"] for r in bits.collect()} == {
+        r["pos"] for r in D.bloom_bits(batch_grams).collect()
+    }
+    assert {r["shingle"] for r in grams.collect()} == {
+        r["shingle"] for r in batch_grams.collect()
+    }
+    # merged-filter report == one-shot batch report
+    cand = D._gram_fanout(cand_docs, "doc_id", "text", 5)
+    got = {tuple(r) for r in D.bloom_probe(cand, grams, bits).collect()}
+    want = {
+        tuple(r)
+        for r in D.bloom_contamination(cand_docs, bench, "doc_id", "text", 5).collect()
+    }
+    assert got == want
+    # doc 100 is contaminated (shares 5-gram spans with bench doc 1)
+    assert any(r[0] == 100 for r in got)
+
+
+def test_g09_census_sums_to_corpus(spark, sf_dir):
+    """n_docs across the histogram must sum to the document count
+    (singletons included) and sum(cluster_size * n_clusters) == n_docs."""
+    from aws_data_engineering_spark.plans.registry import QUERIES
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    df = QUERIES["g09_dup_cluster_census"].spark(spark, sf_dir)
+    rows = df.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"] for r in rows)
+
+
+def test_e20_inertia_monotone_in_k(spark, sf_dir):
+    """More centroids can only reduce (or keep) the best-centroid
+    distortion: inertia must be non-increasing in k for nested quantizer
+    families (seed-11 hyperplanes ARE nested: the first k rows of the
+    k'=2k table equal the k-table)."""
+    from aws_data_engineering_spark.plans.registry import QUERIES
+
+    rows = QUERIES["e20_inertia_elbow_sweep"].spark(spark, sf_dir).collect()
+    by_k = {r["k"]: r["inertia_nano"] for r in rows}
+    ks = sorted(by_k)
+    for a, b in zip(ks, ks[1:]):
+        assert by_k[b] <= by_k[a], f"inertia rose from k={a} to k={b}"
+
+
+def test_dq17_totals_and_split(spark, sf_dir):
+    """Per-column rows_a + rows_b must equal the event count for every
+    column, and both periods must be non-empty at the fixture SFs."""
+    from aws_data_engineering_spark.plans.registry import QUERIES
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    rows = QUERIES["dq17_profile_drift_audit"].spark(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "events").where("ts IS NOT NULL").count()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["rows_a"] + r["rows_b"] == n
+        assert r["rows_a"] > 0 and r["rows_b"] > 0
