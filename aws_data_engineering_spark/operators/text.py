@@ -12,7 +12,7 @@ document fingerprinting (normalized-text hash).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Fixed stopword list shared with the oracle SQL (keep sorted, ASCII-only).
@@ -1030,3 +1030,51 @@ def cms_report_oracle_sql(depth: int = 4, topk: int = 20) -> str:
            CAST(e.est - t.cnt AS BIGINT) AS overcount
     FROM top t JOIN est e ON t.token = e.token
     """
+
+
+def cms_cells(token_counts: DataFrame, depth: int = 4) -> DataFrame:
+    """(token, cnt) census → the (r, bucket, cell) count-min-sketch table
+    (md5 bucketing, width 256 per row). The single definition shared by
+    the batch query (t28), the streaming per-batch partial sink (st15)
+    and tests — CMS geometry changes in exactly one place."""
+    from aws_data_engineering_spark.operators.sampling import hash_bucket
+
+    fan = None
+    for r in range(depth):
+        part = token_counts.select(
+            F.lit(r).alias("r"),
+            hash_bucket("token", f"cms{r}").alias("bucket"),
+            "cnt",
+        )
+        fan = part if fan is None else fan.unionByName(part)
+    return fan.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell"))
+
+
+def cms_report(
+    token_counts: DataFrame, cells: DataFrame, depth: int = 4, topk: int = 20
+) -> DataFrame:
+    """Top-k exact counts joined with min-over-rows CMS estimates — the
+    report half of t28/st15 (see :func:`cms_report_oracle_sql`)."""
+    from aws_data_engineering_spark.operators.sampling import hash_bucket
+
+    top = token_counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(topk)
+    keys = None
+    for r in range(depth):
+        part = top.select(
+            "token",
+            "cnt",
+            F.lit(r).alias("r"),
+            hash_bucket("token", f"cms{r}").alias("bucket"),
+        )
+        keys = part if keys is None else keys.unionByName(part)
+    est = (
+        keys.join(cells, ["r", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cell").alias("est"))
+    )
+    return top.join(est, "token").select(
+        "token",
+        F.col("cnt").alias("exact_cnt"),
+        F.col("est").alias("cms_est"),
+        (F.col("est") - F.col("cnt")).alias("overcount"),
+    )

@@ -2943,8 +2943,6 @@ def _t28_oracle() -> str:
     "the shuffle, top-20 estimates vs exact counts, overcount >= 0",
 )
 def t28_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_data_engineering_spark.operators.sampling import hash_bucket
-
     toks = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -2952,36 +2950,9 @@ def t28_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
     )
     tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    fan = None
-    for r in range(_T28_DEPTH):
-        part = tc.select(
-            F.lit(r).alias("r"),
-            hash_bucket("token", f"cms{r}").alias("bucket"),
-            "cnt",
-        )
-        fan = part if fan is None else fan.unionByName(part)
-    cells = fan.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell"))
-    top = tc.orderBy(F.col("cnt").desc(), F.col("token")).limit(_T28_TOPK)
-    keys = None
-    for r in range(_T28_DEPTH):
-        part = top.select(
-            "token",
-            "cnt",
-            F.lit(r).alias("r"),
-            hash_bucket("token", f"cms{r}").alias("bucket"),
-        )
-        keys = part if keys is None else keys.unionByName(part)
-    est = (
-        keys.join(cells, ["r", "bucket"])
-        .groupBy("token")
-        .agg(F.min("cell").alias("est"))
-    )
-    return top.join(est, "token").select(
-        "token",
-        F.col("cnt").alias("exact_cnt"),
-        F.col("est").alias("cms_est"),
-        (F.col("est") - F.col("cnt")).alias("overcount"),
-    )
+    # cells + report from the one shared CMS definition (st15's streaming
+    # twin and the per-batch partial sink use the same helpers)
+    return T.cms_report(tc, T.cms_cells(tc, _T28_DEPTH), _T28_DEPTH, _T28_TOPK)
 
 
 # --------------------------------------------------------------------------
@@ -5149,7 +5120,7 @@ def c17_dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataF
     WITH census AS (
       SELECT o_orderpriority AS priority,
              CAST(FLOOR(o_totalprice) AS BIGINT) AS v
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT priority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -5164,7 +5135,12 @@ def c17_dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataF
     "against DuckDB's independent interpolating median()",
 )
 def q101_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
+    # NULL totals filtered on BOTH sides: DuckDB's median() ignores NULLs
+    # but COUNT(*)/the position walk would not — a NULL row must not
+    # occupy a rank (review r6d finding)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     census = (
         orders.select(
             F.col("o_orderpriority").alias("priority"),
@@ -5254,7 +5230,11 @@ def _t32_oracle() -> str:
       FROM doc_cnt
       QUALIFY drank <= {_T32_K}
     ), langs AS (
-      SELECT DISTINCT lang AS cand FROM documents
+      -- candidates come from the SAME filtered set the profiles train on
+      -- (not raw documents): a lang appearing only on null-text docs must
+      -- not be a candidate, and a NULL lang never is (NULLS FIRST/LAST
+      -- tie-break divergence) — review r6d findings
+      SELECT DISTINCT lang AS cand FROM norm WHERE lang IS NOT NULL
     ), dist AS (
       SELECT d.doc_id, l.cand,
              SUM(COALESCE(ABS(d.drank - p.lrank), {_T32_K})) AS oop
@@ -5325,7 +5305,13 @@ def t32_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("drank") <= _T32_K)
         .select("doc_id", "gram", "drank")
     )
-    langs = docs.select(F.col("lang").alias("cand")).distinct()
+    # same filtered candidate set as the oracle's langs CTE (see comment
+    # there): derived from norm, NULL langs excluded
+    langs = (
+        norm.filter(F.col("lang").isNotNull())
+        .select(F.col("lang").alias("cand"))
+        .distinct()
+    )
     dist = (
         doc_prof.crossJoin(F.broadcast(langs))
         .join(

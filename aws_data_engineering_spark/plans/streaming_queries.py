@@ -365,7 +365,6 @@ def st15_stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from aws_data_engineering_spark.operators.sampling import hash_bucket
     from aws_data_engineering_spark.sources.tables import load_table
     from aws_data_engineering_spark.streaming import (
         read_cms_views,
@@ -392,27 +391,9 @@ def st15_stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     cells, tc = read_cms_views(spark, os.path.join(base, "partials"))
-    top = tc.orderBy(F.col("cnt").desc(), F.col("token")).limit(topk)
-    keys = None
-    for r in range(depth):
-        part = top.select(
-            "token",
-            "cnt",
-            F.lit(r).alias("r"),
-            hash_bucket("token", f"cms{r}").alias("bucket"),
-        )
-        keys = part if keys is None else keys.unionByName(part)
-    est = (
-        keys.join(cells, ["r", "bucket"])
-        .groupBy("token")
-        .agg(F.min("cell").alias("est"))
-    )
-    return top.join(est, "token").select(
-        "token",
-        F.col("cnt").alias("exact_cnt"),
-        F.col("est").alias("cms_est"),
-        (F.col("est") - F.col("cnt")).alias("overcount"),
-    )
+    # the one shared report definition (operators/text.py) — t28's batch
+    # form and this streaming form cannot drift apart
+    return _T.cms_report(tc, cells, depth, topk)
 
 
 _ST16_BENCH = ("src0", "src1")

@@ -747,16 +747,19 @@ def stream_qdigest_partial_sink(
 
     Leaves are the mergeable partial: any batch decomposition sums to the
     same global histogram, so the read-side compression yields the same
-    digest as a batch build — no ordering sensitivity, retry-safe via the
-    checkpointed batch log (a replayed batch overwrites its own output
-    through foreachBatch's exactly-once contract with deterministic
-    batch ids).
+    digest as a batch build — no ordering sensitivity. Replay-safe:
+    foreachBatch is at-least-once, so rows are tagged with the
+    deterministic ``batch_id`` and :func:`read_qdigest_view` collapses
+    duplicate appends of the same batch (identical recomputed rows) before
+    sum-merging — a blind append would double-count a replayed batch.
     """
     from aws_data_engineering_spark.operators import sketch as SK
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         leaves = SK.qdigest_leaves(batch_df, F.floor(F.col(value_col)))
-        leaves.write.mode("append").parquet(partials_dir)
+        leaves.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(partials_dir)
 
     return (
         orders.writeStream.foreachBatch(write_batch)
@@ -767,10 +770,13 @@ def stream_qdigest_partial_sink(
 
 
 def read_qdigest_view(spark: SparkSession, partials_dir: str) -> DataFrame:
-    """Merge-on-read: sum the per-batch leaf partials into the global leaf
-    histogram (exact — integer counts sum)."""
+    """Merge-on-read: collapse duplicate appends of the same batch_id
+    (replayed batches recompute identical leaf rows — MAX is exact dedup),
+    then sum the per-batch leaf partials into the global histogram."""
     return (
         spark.read.parquet(partials_dir)
+        .groupBy("batch_id", "v")
+        .agg(F.max("cnt").alias("cnt"))
         .groupBy("v")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -795,12 +801,16 @@ def stream_cms_partial_sink(
       history.
 
     No state store, no history re-scan — the st11/st14 append-only partial
-    pattern applied to a third sketch family. Retry-safe via foreachBatch's
-    deterministic batch ids.
+    pattern applied to a third sketch family. Replay-safe: foreachBatch is
+    at-least-once, so every appended row is tagged with the deterministic
+    ``batch_id`` and :func:`read_cms_views` collapses duplicate appends of
+    the same batch (MAX per batch key — a replay recomputes identical
+    partials) BEFORE sum-merging across batches. Blind appends without the
+    tag would double-count a replayed batch.
     """
     import os as _os
 
-    from aws_data_engineering_spark.operators.sampling import hash_bucket
+    from aws_data_engineering_spark.operators.text import cms_cells
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         toks = (
@@ -808,18 +818,20 @@ def stream_cms_partial_sink(
             .select(F.explode(F.split(text_col, " ")).alias("token"))
             .filter(F.col("token") != "")
         )
-        tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-        fan = None
-        for r in range(depth):
-            part = tc.select(
-                F.lit(r).alias("r"),
-                hash_bucket("token", f"cms{r}").alias("bucket"),
-                "cnt",
-            )
-            fan = part if fan is None else fan.unionByName(part)
-        cells = fan.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell"))
-        cells.write.mode("append").parquet(_os.path.join(partials_dir, "cells"))
-        tc.write.mode("append").parquet(_os.path.join(partials_dir, "tokcnt"))
+        # consumed twice (cells + census append): cache so the tokenize +
+        # count shuffle runs once per micro-batch
+        tc = (
+            toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).cache()
+        )
+        try:
+            cms_cells(tc, depth).withColumn(
+                "batch_id", F.lit(int(batch_id))
+            ).write.mode("append").parquet(_os.path.join(partials_dir, "cells"))
+            tc.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+                "append"
+            ).parquet(_os.path.join(partials_dir, "tokcnt"))
+        finally:
+            tc.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(write_batch)
@@ -830,17 +842,22 @@ def stream_cms_partial_sink(
 
 
 def read_cms_views(spark: SparkSession, partials_dir: str):
-    """Merge-on-read for the CMS partials: summed cell table + summed
-    token census — both exact integer merges."""
+    """Merge-on-read for the CMS partials: collapse duplicate appends of
+    the same batch_id first (a replayed batch recomputes identical rows —
+    MAX per batch key is exact dedup), then sum-merge across batches."""
     import os as _os
 
     cells = (
         spark.read.parquet(_os.path.join(partials_dir, "cells"))
+        .groupBy("batch_id", "r", "bucket")
+        .agg(F.max("cell").alias("cell"))
         .groupBy("r", "bucket")
         .agg(F.sum("cell").alias("cell"))
     )
     tokcnt = (
         spark.read.parquet(_os.path.join(partials_dir, "tokcnt"))
+        .groupBy("batch_id", "token")
+        .agg(F.max("cnt").alias("cnt"))
         .groupBy("token")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -874,15 +891,24 @@ def stream_bloom_partial_sink(
     from aws_data_engineering_spark.operators import dedup as DD
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # consumed twice (grams append + bits derivation): cache so the
+        # Python shingle pass runs once per micro-batch (the
+        # bloom_contamination single-materialization discipline)
         grams = (
             DD._gram_fanout(batch_df, "doc_id", text_col, shingle_n)
             .select("shingle")
             .distinct()
+            .cache()
         )
-        grams.write.mode("append").parquet(_os.path.join(partials_dir, "grams"))
-        DD.bloom_bits(grams).write.mode("append").parquet(
-            _os.path.join(partials_dir, "bits")
-        )
+        try:
+            grams.write.mode("append").parquet(
+                _os.path.join(partials_dir, "grams")
+            )
+            DD.bloom_bits(grams).write.mode("append").parquet(
+                _os.path.join(partials_dir, "bits")
+            )
+        finally:
+            grams.unpersist()
 
     return (
         bench_stream.writeStream.foreachBatch(write_batch)

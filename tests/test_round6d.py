@@ -161,7 +161,7 @@ def test_st15_cms_partials_merge_equals_batch(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from aws_data_engineering_spark.operators.sampling import hash_bucket
+    from aws_data_engineering_spark.operators.text import cms_cells
     from aws_data_engineering_spark.streaming import (
         read_cms_views,
         read_documents_stream,
@@ -190,15 +190,7 @@ def test_st15_cms_partials_merge_equals_batch(spark, tmp_path):
         F.col("token") != ""
     )
     btc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    bfan = None
-    for r in range(4):
-        part = btc.select(
-            F.lit(r).alias("r"),
-            hash_bucket("token", f"cms{r}").alias("bucket"),
-            "cnt",
-        )
-        bfan = part if bfan is None else bfan.unionByName(part)
-    bcells = bfan.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell"))
+    bcells = cms_cells(btc, depth=4)
     got = {(r["r"], r["bucket"]): r["cell"] for r in cells.collect()}
     want = {(r["r"], r["bucket"]): r["cell"] for r in bcells.collect()}
     assert got == want
@@ -311,3 +303,94 @@ def test_dq17_totals_and_split(spark, sf_dir):
     for r in rows:
         assert r["rows_a"] + r["rows_b"] == n
         assert r["rows_a"] > 0 and r["rows_b"] > 0
+
+
+def test_partial_views_collapse_replayed_batches(spark, tmp_path):
+    """foreachBatch is at-least-once: appending the SAME batch's partial
+    rows twice (a simulated replay) must not change the merged CMS or
+    q-digest views — the batch_id collapse is the dedup."""
+    import os
+
+    from aws_data_engineering_spark.streaming import read_cms_views
+    from aws_data_engineering_spark.streaming.streams import read_qdigest_view
+
+    cells_dir = os.path.join(str(tmp_path), "partials", "cells")
+    tok_dir = os.path.join(str(tmp_path), "partials", "tokcnt")
+    cells = spark.createDataFrame(
+        [(0, 1, 10, 0), (1, 2, 5, 0), (0, 1, 7, 1)],
+        "r int, bucket int, cell bigint, batch_id bigint",
+    )
+    toks = spark.createDataFrame(
+        [("a", 10, 0), ("b", 5, 0), ("a", 7, 1)],
+        "token string, cnt bigint, batch_id bigint",
+    )
+    for _ in range(2):  # second write simulates the replayed batch 0
+        cells.filter("batch_id = 0").write.mode("append").parquet(cells_dir)
+        toks.filter("batch_id = 0").write.mode("append").parquet(tok_dir)
+    cells.filter("batch_id = 1").write.mode("append").parquet(cells_dir)
+    toks.filter("batch_id = 1").write.mode("append").parquet(tok_dir)
+    mc, mt = read_cms_views(spark, os.path.join(str(tmp_path), "partials"))
+    assert {(r["r"], r["bucket"], r["cell"]) for r in mc.collect()} == {
+        (0, 1, 17), (1, 2, 5)
+    }
+    assert {(r["token"], r["cnt"]) for r in mt.collect()} == {("a", 17), ("b", 5)}
+
+    qd_dir = os.path.join(str(tmp_path), "qd")
+    leaves = spark.createDataFrame(
+        [(100, 3, 0), (200, 1, 0), (100, 2, 1)],
+        "v bigint, cnt bigint, batch_id bigint",
+    )
+    for _ in range(2):
+        leaves.filter("batch_id = 0").write.mode("append").parquet(qd_dir)
+    leaves.filter("batch_id = 1").write.mode("append").parquet(qd_dir)
+    got = {(r["v"], r["cnt"]) for r in read_qdigest_view(spark, qd_dir).collect()}
+    assert got == {(100, 5), (200, 1)}
+
+
+def test_q101_ignores_null_totals(spark, tmp_path):
+    """NULL o_totalprice rows must not occupy a rank in the position walk
+    (DuckDB's median() ignores NULLs) — review r6d regression."""
+    tbl = pa.table(
+        {
+            "o_orderpriority": pa.array(["A"] * 4, pa.string()),
+            "o_totalprice": pa.array([10.5, 20.5, 30.5, None], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    q = QUERIES["q101_exact_group_median"]
+    got = {r["priority"]: r for r in q.spark(spark, str(tmp_path)).collect()}
+    assert got["A"]["median_dollars"] == 20.0
+    assert got["A"]["n_orders"] == 3
+    from tests.oracle_utils import compare
+
+    compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
+
+
+def test_t32_null_text_and_null_lang_not_candidates(spark, tmp_path):
+    """A lang present only on NULL-text docs, and a NULL lang, must not be
+    candidate languages on either engine — review r6d regression (the
+    oracle previously read candidates from raw documents; Spark's
+    NULLS FIRST vs DuckDB's NULLS LAST would also split tie-breaks)."""
+    rows = [
+        (1, None, "aa", "s", 0),  # lang 'aa' exists ONLY on a null text
+        (2, "zz zz qq ww ee rr tt yy " * 4, "bb", "s", 0),
+        (3, "zz zz qq ww ee rr tt yy " * 4, "bb", "s", 0),
+        (4, "mm nn oo pp mm nn oo pp " * 4, None, "s", 0),  # NULL lang
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([0] * len(rows), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    q = QUERIES["t32_langid_ngram_profile"]
+    df = q.spark(spark, str(tmp_path))
+    preds = {r["predicted_lang"] for r in df.collect()}
+    assert "aa" not in preds and None not in preds
+    from tests.oracle_utils import compare
+
+    compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
