@@ -5281,6 +5281,12 @@ def t32_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", F.col("s").substr(F.col("g"), F.lit(3)).alias("gram"))
     )
+    # Two independent explode scans, deliberately NOT materialized: the
+    # doc-grain census is corpus-sized (docs x distinct grams), and an
+    # eager localCheckpoint of it OOMs at the 100x corpus where two lazy
+    # scans run fine — recompute beats persist for map-stage lineage
+    # (measured; the d11/bloom checkpoint pattern applies to expensive
+    # PYTHON fan-outs, not to codegen'd explodes).
     lang_prof = (
         grams.groupBy("lang", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
