@@ -5378,7 +5378,7 @@ def _t33_oracle() -> str:
     WITH docs AS (
       SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
              list_filter(string_split(text, ' '), x -> x <> '') AS toks
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ), ordered AS (
       SELECT doc_id, toks, len(toks) AS n_toks,
              ROW_NUMBER() OVER (ORDER BY k) AS doc_order
@@ -5422,9 +5422,12 @@ def _t33_oracle() -> str:
     "broadcast offsets — no global window task); ln-ln regr_* fit, 4dp",
 )
 def t33_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL doc_id filtered on BOTH sides: md5(NULL) is NULL, so the row
+    # would silently drop at the Spark bucket join while DuckDB's
+    # ROW_NUMBER keeps it ordered last (review r6d finding)
     docs = (
         _t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+        .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
         .select(
             "doc_id",
             F.md5(F.col("doc_id").cast("string")).alias("k"),
@@ -5646,7 +5649,7 @@ def t34_lang_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id AS id,
              CAST(4 + doc_id % 16 AS INT) AS width,
              CAST(4 + doc_id % 12 AS INT) AS height
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
     ), px AS (
       SELECT id, width, height,
              UNNEST(generate_series(0, width * height - 1)) AS k
@@ -5667,7 +5670,12 @@ def t34_lang_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "third PNG pixel path",
 )
 def m19_palette_png_channel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # non-negative ids only, on BOTH sides: the generator's Python % is
+    # always non-negative while DuckDB's % keeps the dividend's sign
+    # (review r6d finding; same id contract as the m12 generator family)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
+    )
     images = MM.synthesize_palette_png_images(docs, "doc_id")
     return MM.png_channel_sums(images, "id", "data")
 

@@ -331,7 +331,9 @@ def st14_stream_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     in_dir = os.path.join(base, "in")
     # three orderkey-class files -> a genuinely multi-batch availableNow run
     for b in range(3):
-        orders.filter(F.col("o_orderkey") % 3 == b).coalesce(1).write.mode(
+        orders.filter(
+            F.pmod(F.coalesce(F.col("o_orderkey"), F.lit(0)), F.lit(3)) == b
+        ).coalesce(1).write.mode(
             "append"
         ).parquet(in_dir)
     stream = read_orders_stream(spark, in_dir, max_files_per_trigger=1)
@@ -378,7 +380,9 @@ def st15_stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(base, "in")
     # three doc_id-class files -> a genuinely multi-batch availableNow run
     for b in range(3):
-        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+        docs.filter(
+            F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(3)) == b
+        ).coalesce(1).write.mode(
             "append"
         ).parquet(in_dir)
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
@@ -433,7 +437,10 @@ def st16_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(base, "in")
     # three doc_id-class files of BENCHMARK docs -> multi-batch filter build
     for b in range(3):
-        docs.filter(bench_pred & (F.col("doc_id") % 3 == b)).coalesce(1).write.mode(
+        docs.filter(
+            bench_pred
+            & (F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(3)) == b)
+        ).coalesce(1).write.mode(
             "append"
         ).parquet(in_dir)
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)

@@ -58,3 +58,30 @@ def test_fixture_schema_contract(sf_dir, table):
         assert str(schema.field("embedding").type).startswith("list"), (
             "embedding column is no longer a list type"
         )
+
+
+_ID_COLUMNS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+}
+
+
+@pytest.mark.parametrize("table", sorted(_ID_COLUMNS))
+def test_fixture_ids_non_negative(sf_dir, table):
+    """The synthetic-media generator family (m02/m05/m08/m12/m19/...)
+    derives dimensions and pixel formulas from ids with Python's
+    always-non-negative %, while the DuckDB oracles use sign-of-dividend
+    % — the closed-form parity holds ONLY for non-negative, non-NULL ids.
+    This pins that fixture contract; if a regenerated fixture ever ships
+    negative or NULL ids, this fails before any oracle mysteriously does."""
+    import duckdb
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    col = _ID_COLUMNS[table]
+    n_bad = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{path}' WHERE {col} IS NULL OR {col} < 0"
+    ).fetchone()[0]
+    assert n_bad == 0, f"{table}.{col} has {n_bad} NULL/negative ids"

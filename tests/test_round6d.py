@@ -394,3 +394,27 @@ def test_t32_null_text_and_null_lang_not_candidates(spark, tmp_path):
     from tests.oracle_utils import compare
 
     compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
+
+
+def test_t33_m19_null_and_negative_ids(spark, tmp_path):
+    """NULL doc_id must drop identically on both engines for t33 (md5(NULL)
+    would silently exclude the doc from Spark's bucket join only), and
+    negative ids must be excluded from m19 on both engines (Python %
+    non-negative vs DuckDB sign-of-dividend %) — review r6d regression."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, None, -1], pa.int64()),
+            "text": pa.array(["a b c", "b c d", "x y z", "m n o"], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([5] * 4, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from tests.oracle_utils import compare
+
+    for name in ("t33_heaps_law_fit", "m19_palette_png_channel_sums"):
+        q = QUERIES[name]
+        compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
+    row = QUERIES["t33_heaps_law_fit"].spark(spark, str(tmp_path)).collect()[0]
+    assert row["n_docs"] == 3  # NULL id excluded; negative id kept (md5 fine)
