@@ -1418,6 +1418,16 @@ def connected_components_star(
         if cur == prev:
             break
         prev = cur
+    else:
+        # exhausted max_iter without a fixpoint: the edge set is not yet a
+        # star forest, so labels extracted from it would be silently WRONG
+        # (multi-level trees read as separate components) — refuse, exactly
+        # like connected_components' round-budget RuntimeError
+        raise RuntimeError(
+            f"connected_components_star did not reach its star-forest "
+            f"fixpoint within max_iter={max_iter} alternations; raise "
+            f"max_iter (rounds needed ~ log2(component size))"
+        )
     # fixpoint star forest: every non-root points at its root (u > v = root)
     labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
     roots = edges.select(F.col("v").alias("node"), F.col("v").alias("label")).distinct()

@@ -1381,7 +1381,11 @@ def lsh_bucket_occupancy(
     return occ.select(
         F.col("bucket").cast("bigint").alias("bucket"),
         F.col("occupancy").cast("bigint").alias("occupancy"),
-        F.floor(F.col("occupancy") * (F.col("occupancy") - 1) / 2)
+        # exact integer div (not floor-of-double-division): above ~2^27
+        # occupancy the double product loses ulps and floor can be off by
+        # one vs the oracle's exact bigint // — the huge-bucket regime
+        # this audit exists to flag
+        F.expr("occupancy * (occupancy - 1) div 2")
         .cast("bigint")
         .alias("candidate_pairs"),
         (F.col("occupancy") * F.col("occupancy") * 8)

@@ -73,21 +73,23 @@ def qdigest_nodes_from_leaves(
 ) -> DataFrame:
     """Canonical compression over a (v, cnt) leaf histogram — see
     :func:`qdigest_nodes` for the contract and invariants."""
+    from aws_data_engineering_spark.operators.checkpoints import (
+        release_checkpoints,
+        tracked_local_checkpoint,
+    )
+
     spark = leaves.sparkSession
-
-    def _persistent_ids() -> set[int]:
-        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
-
-    pre_ids = _persistent_ids()
+    own_ids: set[int] = set()
     # n and T ride a 1-task window over the DOMAIN-BOUNDED leaf table
     # (<= 2^levels rows at any corpus size — never the fact table)
     w_all = Window.partitionBy(F.lit(1))
     leaves = leaves.withColumn("n_total", F.sum("cnt").over(w_all)).withColumn(
         "t_thresh", F.expr(f"n_total div {k}")
     )
-    nodes = leaves.select(
-        F.col("v").alias("node_id"), "cnt", "n_total", "t_thresh"
-    ).localCheckpoint(eager=True)
+    nodes = tracked_local_checkpoint(
+        leaves.select(F.col("v").alias("node_id"), "cnt", "n_total", "t_thresh"),
+        own_ids,
+    )
     # eager per-level checkpoints (the bpe_learn pattern): each level's
     # node table is tiny but its lineage is every previous level — without
     # materialization the L kept-branches of the final union re-run their
@@ -118,7 +120,7 @@ def qdigest_nodes_from_leaves(
         # checkpoint every 3rd level: enough to keep the kept-branch
         # recompute depth <= 2 levels while paying ~7 jobs instead of ~20
         nodes = (
-            pushed.localCheckpoint(eager=True)
+            tracked_local_checkpoint(pushed, own_ids)
             if level % 3 == 2
             else pushed
         )
@@ -139,17 +141,13 @@ def qdigest_nodes_from_leaves(
         F.lit(1 << levels).cast("long").alias("hi"),
         "n_total",
     )
-    # snapshot intermediate block ids BEFORE the final checkpoint, then
-    # release exactly those: the digest's own persisted RDD id is not
-    # recoverable from the DataFrame (df.rdd wraps a different RDD), so
-    # exclusion-by-id does not work — capture-order does (bpe_learn)
-    mid_ids = _persistent_ids()
+    # final digest checkpoint happens AFTER the tracked set is complete,
+    # then exactly the tracked intermediates are released: per-checkpoint
+    # id tracking (not a global before/after registry diff) so checkpoints
+    # a concurrent thread created on the shared session are never
+    # destroyed (review r6)
     digest = kept.unionAll(root).localCheckpoint(eager=True)
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for rid in mid_ids - pre_ids:
-        jrdd = jmap.get(rid)
-        if jrdd is not None:
-            jrdd.unpersist(False)
+    release_checkpoints(spark, own_ids)
     return digest
 
 

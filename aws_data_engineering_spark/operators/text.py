@@ -710,12 +710,13 @@ def bpe_learn(df, text_col: str, rounds: int = 6, lossless: bool = False):
     pair_cnt). Pinned against the pure-Python model by
     ``test_bpe_learn_equals_model``.
     """
+    from aws_data_engineering_spark.operators.checkpoints import (
+        release_checkpoints,
+        tracked_local_checkpoint,
+    )
+
     spark = df.sparkSession
-
-    def _persistent_ids() -> set[int]:
-        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
-
-    pre_ids = _persistent_ids()
+    own_ids: set[int] = set()
     # single-file corpora read as one split; spread the k corpus re-scans
     # across cores (the containment_pairs/exploded_shingles lesson)
     if lossless:
@@ -726,22 +727,25 @@ def bpe_learn(df, text_col: str, rounds: int = 6, lossless: bool = False):
         framed = F.regexp_replace(
             F.regexp_replace(F.col(text_col), "[<>]", ""), "(.)", "<$1>"
         )
-    stream = df.repartition(spark.sparkContext.defaultParallelism).select(
-        framed.alias("s")
-    ).localCheckpoint(eager=True)
+    stream = tracked_local_checkpoint(
+        df.repartition(spark.sparkContext.defaultParallelism).select(
+            framed.alias("s")
+        ),
+        own_ids,
+    )
     out = None
     for r in range(1, rounds + 1):
         pair = F.explode(bpe_pair_counts(F.col("s"))).alias("p")
-        best = (
+        # 1-row checkpoint: the winner feeds BOTH the next stream and
+        # the final union — materialize once, not once per consumer
+        best = tracked_local_checkpoint(
             stream.select(pair)
             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            # 1-row checkpoint: the winner feeds BOTH the next stream and
-            # the final union — materialize once, not once per consumer
-            .localCheckpoint(eager=True)
+            .limit(1),
+            own_ids,
         )
         row = best.select(
             F.lit(r).alias("round"),
@@ -751,24 +755,27 @@ def bpe_learn(df, text_col: str, rounds: int = 6, lossless: bool = False):
         )
         out = row if out is None else out.unionAll(row)
         if r < rounds:
-            stream = stream.crossJoin(F.broadcast(best)).select(
-                F.replace(
-                    F.col("s"),
-                    F.concat(F.lit("<"), F.col("a"), F.lit("><"), F.col("b"), F.lit(">")),
-                    F.concat(F.lit("<"), F.col("a"), F.col("b"), F.lit(">")),
-                ).alias("s")
-            ).localCheckpoint(eager=True)
+            stream = tracked_local_checkpoint(
+                stream.crossJoin(F.broadcast(best)).select(
+                    F.replace(
+                        F.col("s"),
+                        F.concat(
+                            F.lit("<"), F.col("a"), F.lit("><"), F.col("b"), F.lit(">")
+                        ),
+                        F.concat(F.lit("<"), F.col("a"), F.col("b"), F.lit(">")),
+                    ).alias("s")
+                ),
+                own_ids,
+            )
     # release every intermediate checkpoint block (streams + 1-row winners):
     # checkpoint the k-row result first so it no longer references them —
     # unpersisting a localCheckpoint DESTROYS it (CHECKPOINT_RDD_BLOCK_ID_
-    # NOT_FOUND on reuse), so the order here is load-bearing
-    mid_ids = _persistent_ids()
+    # NOT_FOUND on reuse), so the order here is load-bearing. Only the ids
+    # THIS call created are released (tracked per checkpoint) — a global
+    # before/after registry diff would destroy checkpoints a concurrent
+    # thread created on the shared session (review r6).
     out = out.localCheckpoint(eager=True)
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for rid in mid_ids - pre_ids:
-        jrdd = jmap.get(rid)
-        if jrdd is not None:
-            jrdd.unpersist(False)
+    release_checkpoints(spark, own_ids)
     return out
 
 
@@ -952,11 +959,20 @@ def bm25_oracle_sql(
         f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
         for i in range(len(terms))
     )
-    k1p1, one_minus_b = repr(k1 + 1.0), repr(1.0 - b)
+    # every float literal CAST to DOUBLE: DuckDB types a bare '2.2' as
+    # DECIMAL and evaluates tf*2.2 exactly, diverging from Spark's IEEE
+    # multiply by 1 ulp (review r6: bit patterns e346..ae vs e446..ae for
+    # tf=3, dl=7) — the bit-identical-scores claim requires double ops
+    # end-to-end on both engines
+    def _dbl(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    k1p1, one_minus_b = _dbl(k1 + 1.0), _dbl(1.0 - b)
+    half = _dbl(0.5)
     term_exprs = [
-        f"(ln(1.0 + ((n_docs - df{i}) + 0.5) / (df{i} + 0.5))"
-        f" * ((tf{i} * {k1p1}) / (tf{i} + {repr(k1)} *"
-        f" ({one_minus_b} + ({repr(b)} * dl) / avgdl))))"
+        f"(ln(1.0 + ((n_docs - df{i}) + {half}) / (df{i} + {half}))"
+        f" * ((tf{i} * {k1p1}) / (tf{i} + {_dbl(k1)} *"
+        f" ({one_minus_b} + ({_dbl(b)} * dl) / avgdl))))"
         for i in range(len(terms))
     ]
     score = term_exprs[0]

@@ -4097,6 +4097,8 @@ def st12_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aws_data_engineering_spark.streaming import (
         read_documents_stream,
+        read_minhash_verdicts,
+        stamp_feed_mtimes,
         stream_minhash_dedup_sink,
     )
 
@@ -4107,14 +4109,19 @@ def st12_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source processes oldest-modification-time first, so batch order ==
     # doc_id order and the streaming first-seen rule equals the oracle's
     # global min-id rule (any batch decomposition respecting that order
-    # yields identical verdicts — see stream_minhash_dedup_sink)
+    # yields identical verdicts — see stream_minhash_dedup_sink).
+    # stamp_feed_mtimes pins that order explicitly: mtime ties on a
+    # coarse-granularity filesystem would otherwise leave the batch order
+    # to listing luck.
     max_id = docs.agg(F.max("doc_id")).first()[0]
     n_files = 4
     step = (int(max_id) + n_files) // n_files
+    seen: set = set()
     for i in range(n_files):
         docs.filter(
             (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
         ).coalesce(1).write.mode("append").parquet(in_dir)
+        seen = stamp_feed_mtimes(in_dir, seen, i)
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
     q = stream_minhash_dedup_sink(
         stream,
@@ -4123,7 +4130,7 @@ def st12_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(base, "ckpt"),
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(base, "out")).select("doc_id", "kept")
+    return read_minhash_verdicts(spark, os.path.join(base, "out"))
 
 
 # --------------------------------------------------------------------------
@@ -4597,7 +4604,9 @@ def p15_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st13_stream_late_data_audit",
     """
     WITH bat AS (
-      SELECT *, event_id % 3 AS b FROM events
+      -- pmod semantics (match the Spark feed splitter: DuckDB % keeps
+      -- the dividend's sign, NULL -> bucket 0)
+      SELECT *, ((COALESCE(event_id, 0) % 3) + 3) % 3 AS b FROM events
     ), m0 AS (
       SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 37 MINUTE AS wm
       FROM bat WHERE b = 0
@@ -4631,6 +4640,7 @@ def st13_stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_engineering_spark.streaming import (
         read_events_stream,
         run_to_memory_sink,
+        stamp_feed_mtimes,
     )
 
     events = _t(spark, sf_dir, "events")
@@ -4638,14 +4648,17 @@ def st13_stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(base, "in")
     # one file per event_id%3 class, written sequentially: the file source
     # processes oldest-modification-time first, so batch order == class
-    # order (the st12 feed pattern). ts re-encoded as nanos bigint — the
+    # order (the st12 feed pattern; stamp_feed_mtimes pins it against
+    # coarse-mtime tie luck). ts re-encoded as nanos bigint — the
     # EVENTS_DDL raw-INT64 contract (Spark's own timestamp writer emits
     # INT96, which the bigint stream schema refuses)
     feed = events.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    seen: set = set()
     for b in range(3):
-        feed.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_dir)
+        feed.filter(
+            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == b
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        seen = stamp_feed_mtimes(in_dir, seen, b)
     stream = read_events_stream(spark, in_dir, max_files_per_trigger=1)
     agg = (
         stream.withWatermark("ts", "37 minutes")
@@ -4693,9 +4706,14 @@ _C16_LO, _C16_HI = "1996-01-01", "1996-03-31"
     WITH r AS (
       SELECT strftime(l_shipdate, '%Y-%m') AS month,
              CAST(l_shipdate AS DATE) AS d,
+             -- order by the DATE-cast column, matching the Spark writer's
+             -- sort key d: a raw-timestamp order would diverge on
+             -- intraday time components (fixture shipdates are midnight
+             -- today, but a regenerated corpus need not be)
              ROW_NUMBER() OVER (
                PARTITION BY strftime(l_shipdate, '%Y-%m')
-               ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS rn
+               ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber)
+               - 1 AS rn
       FROM lineitem
     ), g AS (
       SELECT month, rn // {_C16_RG_ROWS} AS rg_idx,

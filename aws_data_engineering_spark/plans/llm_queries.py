@@ -1185,7 +1185,10 @@ def _d19_oracle() -> str:
     ), detected AS (
       {mh_body}
     ), joined AS (
-      SELECT LEAST(CAST(FLOOR(e.jaccard * 10) AS INT), 9) AS j_bin,
+      -- bin the ROUNDED jaccard: the Spark side consumes jaccard_pairs'
+      -- round(jac, 4) output, so a raw-value bin here would shift pairs
+      -- within 5e-5 of a decile boundary into the adjacent bin
+      SELECT LEAST(CAST(FLOOR(ROUND(e.jaccard, 4) * 10) AS INT), 9) AS j_bin,
              CASE WHEN d.id_a IS NULL THEN 0 ELSE 1 END AS hit
       FROM exact e LEFT JOIN detected d
         ON e.id_a = d.id_a AND e.id_b = d.id_b

@@ -85,6 +85,11 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         # room for e17: it is the most trivial scan-agg in the registry and
         # every operator it touches is exercised by driver-green t02/t03/
         # t05; it re-earns direct evidence in round 7.
+        #
+        # Round-6d additions (q101/t32/t33/t34/m19/st15/st16/e20/g09/dq17)
+        # are tier-0 like the earlier round-6 batch: 39 never-checked names
+        # fill the sample prefix first, leaving 11 slots for the stale
+        # round-1 cohort this round; the remainder re-verifies in round 7+.
         "q71_hll_partial_union", "t01_text_stats",
         "c01_python_datasource_scan", "c02_xml_roundtrip",
         "c03_managed_table_roundtrip", "c04_incremental_rollup",

@@ -323,19 +323,24 @@ def st14_stream_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     from aws_data_engineering_spark.streaming import (
         read_orders_stream,
         read_qdigest_view,
+        stamp_feed_mtimes,
         stream_qdigest_partial_sink,
     )
 
     orders = load_table(spark, sf_dir, "orders")
     base = os.path.join(tempfile.gettempdir(), "spark_st14", uuid.uuid4().hex[:8])
     in_dir = os.path.join(base, "in")
-    # three orderkey-class files -> a genuinely multi-batch availableNow run
+    # three orderkey-class files -> a genuinely multi-batch availableNow
+    # run (mtimes stamped: FileStreamSource has no tie-break on equal
+    # modification times)
+    seen: set = set()
     for b in range(3):
         orders.filter(
             F.pmod(F.coalesce(F.col("o_orderkey"), F.lit(0)), F.lit(3)) == b
         ).coalesce(1).write.mode(
             "append"
         ).parquet(in_dir)
+        seen = stamp_feed_mtimes(in_dir, seen, b)
     stream = read_orders_stream(spark, in_dir, max_files_per_trigger=1)
     q = stream_qdigest_partial_sink(
         stream,
@@ -371,6 +376,7 @@ def st15_stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_engineering_spark.streaming import (
         read_cms_views,
         read_documents_stream,
+        stamp_feed_mtimes,
         stream_cms_partial_sink,
     )
 
@@ -379,12 +385,14 @@ def st15_stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(tempfile.gettempdir(), "spark_st15", uuid.uuid4().hex[:8])
     in_dir = os.path.join(base, "in")
     # three doc_id-class files -> a genuinely multi-batch availableNow run
+    seen: set = set()
     for b in range(3):
         docs.filter(
             F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(3)) == b
         ).coalesce(1).write.mode(
             "append"
         ).parquet(in_dir)
+        seen = stamp_feed_mtimes(in_dir, seen, b)
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
     q = stream_cms_partial_sink(
         stream,
@@ -428,6 +436,7 @@ def st16_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_engineering_spark.streaming import (
         read_bloom_views,
         read_documents_stream,
+        stamp_feed_mtimes,
         stream_bloom_partial_sink,
     )
 
@@ -436,6 +445,7 @@ def st16_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(tempfile.gettempdir(), "spark_st16", uuid.uuid4().hex[:8])
     in_dir = os.path.join(base, "in")
     # three doc_id-class files of BENCHMARK docs -> multi-batch filter build
+    seen: set = set()
     for b in range(3):
         docs.filter(
             bench_pred
@@ -443,6 +453,7 @@ def st16_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).coalesce(1).write.mode(
             "append"
         ).parquet(in_dir)
+        seen = stamp_feed_mtimes(in_dir, seen, b)
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
     q = stream_bloom_partial_sink(
         stream,

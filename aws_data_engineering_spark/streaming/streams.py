@@ -693,7 +693,12 @@ def stream_minhash_dedup_sink(
                 (F.col("earliest_sharer") == F.col("doc_id")).alias("kept"),
             )
         )
-        verdict.write.mode("append").parquet(out_dir)
+        # batch_id tag: foreachBatch is at-least-once, and unlike the
+        # min-folded state append the verdict append is not idempotent —
+        # read_minhash_verdicts drops a replayed batch's duplicate rows
+        verdict.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(out_dir)
         bmin.write.mode("append").parquet(state_dir)
 
     return (
@@ -926,3 +931,32 @@ def read_bloom_views(spark: SparkSession, partials_dir: str):
     bits = spark.read.parquet(_os.path.join(partials_dir, "bits")).distinct()
     grams = spark.read.parquet(_os.path.join(partials_dir, "grams")).distinct()
     return grams, bits
+
+
+def read_minhash_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the st12 verdict store replay-safely: a replayed micro-batch
+    appends identical rows under the same batch_id — drop them before use
+    (each doc arrives in exactly one feed batch, so (batch_id, doc_id) is
+    the row identity)."""
+    return (
+        spark.read.parquet(out_dir)
+        .dropDuplicates(["batch_id", "doc_id"])
+        .select("doc_id", "kept")
+    )
+
+
+def stamp_feed_mtimes(in_dir: str, seen: set, batch_idx: int) -> set:
+    """Pin a deterministic micro-batch order for sequentially appended
+    feed files: FileStreamSource orders new files by MODIFICATION TIME
+    with no documented tie-break, so on coarse-mtime filesystems (1s
+    granularity) a fast write burst can reorder batches. Stamp each
+    append's new files with a strictly increasing synthetic mtime.
+    Returns the updated seen-file set."""
+    import glob as _glob
+    import os as _os
+
+    now = set(_glob.glob(_os.path.join(in_dir, "*")))
+    t = 1_700_000_000.0 + batch_idx * 60.0
+    for f in sorted(now - seen):
+        _os.utime(f, (t, t))
+    return now

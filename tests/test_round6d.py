@@ -172,10 +172,14 @@ def test_st15_cms_partials_merge_equals_batch(spark, tmp_path):
     _write_docs(tmp_path, rows)
     docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
     in_dir = str(tmp_path / "in")
+    from aws_data_engineering_spark.streaming import stamp_feed_mtimes
+
+    seen = set()
     for b in range(3):
         docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
             "append"
         ).parquet(in_dir)
+        seen = stamp_feed_mtimes(in_dir, seen, b)
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
     q = stream_cms_partial_sink(
         stream,
@@ -228,10 +232,14 @@ def test_st16_bloom_or_merge_equals_batch(spark, tmp_path):
     bench = docs.filter(F.col("source") == "bench")
     cand_docs = docs.filter(F.col("source") == "web")
     in_dir = str(tmp_path / "in")
+    from aws_data_engineering_spark.streaming import stamp_feed_mtimes
+
+    seen = set()
     for b in range(3):
         bench.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
             "append"
         ).parquet(in_dir)
+        seen = stamp_feed_mtimes(in_dir, seen, b)
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
     q = stream_bloom_partial_sink(
         stream,
@@ -418,3 +426,62 @@ def test_t33_m19_null_and_negative_ids(spark, tmp_path):
         compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
     row = QUERIES["t33_heaps_law_fit"].spark(spark, str(tmp_path)).collect()[0]
     assert row["n_docs"] == 3  # NULL id excluded; negative id kept (md5 fine)
+
+
+def test_star_components_refuses_unconverged(spark):
+    """connected_components_star must raise (not return silently-wrong
+    labels) when max_iter alternations don't reach the star-forest
+    fixpoint — the same refusal contract as connected_components."""
+    import pytest
+
+    from aws_data_engineering_spark.operators import dedup as D
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="star-forest fixpoint"):
+        D.connected_components_star(chain, max_iter=1)
+    # and with enough rounds the same chain resolves to one component
+    labels = D.connected_components_star(chain, max_iter=20).collect()
+    assert {r["label"] for r in labels} == {0}
+
+
+def test_checkpoint_release_spares_foreign_blocks(spark, tmp_path):
+    """bpe_learn's cleanup must release only ITS OWN checkpoint blocks: a
+    localCheckpoint created before/alongside the call (simulating another
+    thread on the shared session) must survive and stay usable."""
+    from pyspark.sql import functions as F
+
+    from aws_data_engineering_spark.operators.text import bpe_learn
+
+    foreign = spark.createDataFrame(
+        [(i,) for i in range(10)], "x bigint"
+    ).localCheckpoint(eager=True)
+    corpus = spark.createDataFrame(
+        [("the cat sat",), ("the bat sat",)], "text string"
+    )
+    merges = bpe_learn(corpus, "text", rounds=2)
+    assert len(merges.collect()) == 2
+    # the foreign checkpoint must still be computable (an unpersisted
+    # localCheckpoint raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND here)
+    assert foreign.agg(F.sum("x")).first()[0] == 45
+
+
+def test_read_minhash_verdicts_drops_replayed_batch(spark, tmp_path):
+    """A replayed st12 micro-batch appends identical verdict rows under
+    the same batch_id — the reader must drop them."""
+    import os
+
+    from aws_data_engineering_spark.streaming import read_minhash_verdicts
+
+    out_dir = os.path.join(str(tmp_path), "out")
+    v = spark.createDataFrame(
+        [(1, True, 0), (2, False, 1)],
+        "doc_id bigint, kept boolean, batch_id bigint",
+    )
+    v.filter("batch_id = 0").write.mode("append").parquet(out_dir)
+    v.filter("batch_id = 0").write.mode("append").parquet(out_dir)  # replay
+    v.filter("batch_id = 1").write.mode("append").parquet(out_dir)
+    got = {(r["doc_id"], r["kept"]) for r in read_minhash_verdicts(spark, out_dir).collect()}
+    assert got == {(1, True), (2, False)}
+    assert read_minhash_verdicts(spark, out_dir).count() == 2
