@@ -558,7 +558,7 @@ def dq07_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), pairs AS (
       SELECT prev_type, event_type AS curr_type, COUNT(*) AS cnt
       FROM seq WHERE prev_type IS NOT NULL
@@ -573,7 +573,9 @@ def dq07_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lag window + pair counts, row-normalized on exact integers",
 )
 def q88_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
+    # NULL-ts events excluded on both sides (Spark lag windows order them
+    # first, DuckDB last — different transition pairs; review r6)
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         events.withColumn("prev_type", F.lag("event_type").over(w))
@@ -976,38 +978,52 @@ def e11_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS custkey,
              MAX(o_orderdate) AS recency,
              COUNT(*) AS frequency,
-             SUM(o_totalprice) AS monetary
-      FROM orders GROUP BY o_custkey
+             -- exact integer cents: ntile ordered by a raw double SUM
+             -- could reorder customers at a quartile edge on cross-engine
+             -- summation ulp drift (the q80 class; review r6)
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY o_custkey
     ), tiled AS (
       SELECT custkey,
              ntile(4) OVER (ORDER BY recency, custkey) AS r_q,
              ntile(4) OVER (ORDER BY frequency, custkey) AS f_q,
-             ntile(4) OVER (ORDER BY monetary, custkey) AS m_q,
-             monetary
+             ntile(4) OVER (ORDER BY monetary_cents, custkey) AS m_q,
+             monetary_cents
       FROM rfm
     )
     SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
            CAST(m_q AS INT) AS m_q,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(monetary), 2) AS total_monetary
+           ROUND(CAST(SUM(monetary_cents) AS DOUBLE) / 100.0, 2)
+             AS total_monetary
     FROM tiled GROUP BY r_q, f_q, m_q
     """,
     "RFM segmentation: per-customer recency/frequency/monetary, "
     "deterministic ntile(4) quartiles, 4x4x4 segment census",
 )
 def q89_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
+    # exact-cents monetary (order-free integer sum) so the m_q ntile key
+    # can never move on summation ulp drift; NULL order dates excluded on
+    # both sides (NULL recency sorts first in Spark, last in DuckDB)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("recency"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum("o_totalprice").alias("monetary"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_cents"
+        ),
     )
     tiled = rfm.select(
         "custkey",
-        "monetary",
+        "monetary_cents",
         F.ntile(4).over(Window.orderBy("recency", "custkey")).alias("r_q"),
         F.ntile(4).over(Window.orderBy("frequency", "custkey")).alias("f_q"),
-        F.ntile(4).over(Window.orderBy("monetary", "custkey")).alias("m_q"),
+        F.ntile(4).over(
+            Window.orderBy("monetary_cents", "custkey")
+        ).alias("m_q"),
     )
     return tiled.groupBy(
         F.col("r_q").cast("int").alias("r_q"),
@@ -1015,7 +1031,9 @@ def q89_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_q").cast("int").alias("m_q"),
     ).agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        F.round(
+            F.sum("monetary_cents").cast("double") / F.lit(100.0), 2
+        ).alias("total_monetary"),
     )
 
 
@@ -1446,7 +1464,7 @@ def g04_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS e1,
              lead(event_type, 1) OVER w AS e2,
              lead(event_type, 2) OVER w AS e3
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
@@ -1458,7 +1476,8 @@ def g04_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the path-mining complement to q88's transition matrix",
 )
 def q90_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
+    # NULL-ts events excluded on both sides (see q88)
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
         F.col("event_type").alias("e1"),
@@ -1885,7 +1904,8 @@ def t25_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q93_cumulative_users",
     """
     WITH first_seen AS (
-      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events
+      WHERE ts IS NOT NULL GROUP BY user_id
     ), daily AS (
       SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d
     )
@@ -1900,7 +1920,10 @@ def t25_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first-seen collapse + running SUM — the form that scales",
 )
 def q93_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
+    # NULL-ts events excluded on both sides: a user with only NULL
+    # timestamps would contribute a NULL first-seen day that the running
+    # sum orders differently per engine (review r6)
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     first_seen = events.groupBy("user_id").agg(
         F.min(F.col("ts").cast("date")).alias("d")
     )
@@ -3323,7 +3346,7 @@ def dq15_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS rev_cents
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
     SELECT week, rev_cents,
            CAST(rev_cents - lag(rev_cents) OVER (ORDER BY week) AS BIGINT)
@@ -3336,8 +3359,11 @@ def dq15_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ lag window, pct change from integer ratios",
 )
 def q98_wow_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL order dates excluded on both sides: a NULL week group would sit
+    # at opposite ends of the lag window per engine (the q35 class)
     w = (
         _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.trunc(F.to_date("o_orderdate"), "week").alias("week"))
         .agg(
             F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(

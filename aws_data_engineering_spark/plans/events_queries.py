@@ -30,13 +30,15 @@ _FMT_DUCK = "%Y-%m-%d %H:%M:%S"
            event_type,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS total_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     "tumbling time-window aggregation (1 hour)",
 )
 def q20_events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # explicit on BOTH sides: F.window() silently drops NULL-ts rows while
+    # a bare date_trunc oracle would keep them as a NULL group (review r6)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -58,6 +60,7 @@ def q20_events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH shifted AS (
       SELECT date_trunc('hour', ts) - INTERVAL (k.k) HOUR AS window_start, value
       FROM events CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k
+      WHERE ts IS NOT NULL
     )
     SELECT strftime(window_start, '{_FMT_DUCK}') AS window_start,
            COUNT(*) AS n_events,
@@ -67,7 +70,8 @@ def q20_events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding time-window aggregation (2h window / 1h slide)",
 )
 def q21_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts rows dropped explicitly on both sides (see q20)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
@@ -144,12 +148,15 @@ def q23_events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
              AS running_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     "analytic window: cumulative sum per user",
 )
 def q24_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts rows excluded on both sides: ORDER BY ts is NULLS FIRST in
+    # Spark windows but NULLS LAST in DuckDB, which would shift every
+    # running value in the partition (review r6)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -173,7 +180,7 @@ def q24_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session,
              event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), sessions AS (
       SELECT user_id, ts, value,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -188,7 +195,9 @@ def q24_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionization: 30-min inactivity gap → session ids → per-session agg",
 )
 def q25_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts rows excluded on both sides (the q24 null-order asymmetry
+    # applied to the session flags)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
@@ -335,7 +344,7 @@ def q59_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session,
              event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), sessions AS (
       SELECT user_id, ts, value,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id

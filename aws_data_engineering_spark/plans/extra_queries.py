@@ -650,7 +650,7 @@ def e03_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session,
              event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), sessions AS (
       SELECT user_id, ts, value,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -874,8 +874,10 @@ def t16_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
            c.event_id AS click_id,
            strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+    LEFT JOIN (SELECT * FROM events
+               WHERE event_type = 'click' AND ts IS NOT NULL) c
       ON p.user_id = c.user_id
      AND c.ts <= p.ts
      AND c.ts >= p.ts - INTERVAL 30 MINUTES
@@ -2150,7 +2152,7 @@ def st10_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT event_id, user_id, ts,
              CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT event_id, user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
@@ -2167,7 +2169,9 @@ def st10_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q85_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events")
+    # NULL-ts rows excluded on both sides: Spark's ORDER BY ts window is
+    # NULLS FIRST, DuckDB's NULLS LAST (review r6)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     v = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
         F.col("value")
     )

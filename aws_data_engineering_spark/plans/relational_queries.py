@@ -1050,7 +1050,7 @@ def q34_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
              ROUND(SUM(o_totalprice), 2) AS revenue,
              COUNT(*) AS n_orders
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
     SELECT o_year, revenue, n_orders,
            COALESCE(LAG(revenue) OVER (ORDER BY o_year), 0.0) AS prev_revenue
@@ -1062,7 +1062,11 @@ def q34_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q35_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = _t(spark, sf_dir, "orders")
+    # NULL order dates excluded on both sides: the NULL-year group sorts
+    # first in Spark's lag window but last in DuckDB's (review r6)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     yr = orders.groupBy(F.year("o_orderdate").alias("o_year")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -1492,14 +1496,18 @@ def q49_month_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
              RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2)
              AS trailing_90d_revenue
     FROM orders
-    WHERE o_custkey < 100
+    WHERE o_custkey < 100 AND o_orderdate IS NOT NULL
     """,
     "RANGE window frame (value-based, not row-based): per-customer trailing "
     "90-day revenue over event-time seconds — complements the ROWS frames "
     "in q24/q36",
 )
 def q50_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    # NULL order dates excluded on both sides: NULL-keyed peer groups sit
+    # at opposite ends of the RANGE ordering per engine
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") < 100) & F.col("o_orderdate").isNotNull()
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.unix_timestamp("o_orderdate"))
@@ -2415,7 +2423,7 @@ def q72_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
            strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
            (LEAD(ts) OVER w IS NULL) AS is_current
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "SCD2 historization: each change event per key becomes a validity "
@@ -2426,7 +2434,9 @@ def q72_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q73_scd2_historization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events")
+    # NULL-ts change events excluded on both sides: they'd chain at
+    # opposite ends of the validity sequence per engine (review r6)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     nxt = F.lead("ts").over(w)

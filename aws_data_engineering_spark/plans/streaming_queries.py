@@ -35,7 +35,7 @@ _FMT_DUCK = "%Y-%m-%d %H:%M:%S"
            event_type,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS total_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     "Structured Streaming tumbling-window counts (readStream → availableNow → memory sink), oracle-checked against batch SQL",
@@ -79,22 +79,25 @@ def st02_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
            value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     "at-least-once stream (source unioned with itself = every event delivered "
     "twice) collapsed to exactly-once via dropDuplicatesWithinWatermark; "
     "oracle: the original batch table, byte-identical",
 )
 def st03_stream_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
     from aws_data_engineering_spark.streaming import dedup_stream
 
     path = os.path.join(sf_dir, "events.parquet")
     # two independent readStream sources over the same files — a real
     # duplicated-delivery stream, not a batch-side copy
     doubled = read_events_stream(spark, path).union(read_events_stream(spark, path))
+    # NULL-ts rows excluded on both sides: the watermarked dedup state's
+    # treatment of NULL event time is implementation-defined (review r6)
+    doubled = doubled.filter(F.col("ts").isNotNull())
     deduped = dedup_stream(doubled, keys=["event_id"], watermark="2 hours")
-    import pyspark.sql.functions as F
-
     out = deduped.select(
         "event_id",
         "user_id",
@@ -142,7 +145,7 @@ def st04_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     f"""
     WITH e AS (SELECT ts, event_type, value,
                       time_bucket(INTERVAL '30 minutes', ts) AS tb
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
          w AS (
            SELECT tb AS ws, event_type, value FROM e
            UNION ALL

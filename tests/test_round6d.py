@@ -485,3 +485,66 @@ def test_read_minhash_verdicts_drops_replayed_batch(spark, tmp_path):
     got = {(r["doc_id"], r["kept"]) for r in read_minhash_verdicts(spark, out_dir).collect()}
     assert got == {(1, True), (2, False)}
     assert read_minhash_verdicts(spark, out_dir).count() == 2
+
+
+def test_event_time_queries_null_ts_parity(spark, tmp_path):
+    """The NULL-event-time class (review r6, 10 live divergences): Spark
+    windows/ntiles order NULLs FIRST and F.window/session_window DROP
+    NULL-ts rows, while DuckDB orders NULLs LAST and keeps NULL groups.
+    Every event-time query must hash-match on a corpus WITH NULL ts /
+    NULL o_orderdate rows."""
+    import datetime
+
+    from tests.oracle_utils import compare
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for k in range(4):
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=40 * k), u,
+                 ["view", "click", "view", "purchase"][k], 5.0 + k, '{"k": 1}')
+            )
+            eid += 1
+        rows.append((eid, None, u, "view", 10.0, '{"k": 2}'))  # NULL ts
+        eid += 1
+    rows.append((eid, None, 3, "click", 7.0, None))  # user with ONLY null ts
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2, 2], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 4, pa.string()),
+            "o_totalprice": pa.array([100.0, 200.0, 300.5, 400.5], pa.float64()),
+            "o_orderdate": pa.array(
+                [datetime.date(1996, 1, 1), None, datetime.date(1997, 2, 2),
+                 datetime.date(1996, 3, 3)],
+                pa.date32(),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    names = [
+        "q20_events_hourly_tumbling", "q21_events_sliding_window",
+        "q24_events_running_total", "q25_events_sessionization",
+        "q61_builtin_session_window", "q73_scd2_historization",
+        "q85_forward_fill", "q88_event_transition_matrix",
+        "q90_event_path_mining", "q93_cumulative_users",
+        "q35_yoy_revenue", "q89_rfm_segmentation",
+        "q98_wow_revenue_delta", "q50_trailing_window_revenue",
+    ]
+    for name in names:
+        q = QUERIES[name]
+        compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
