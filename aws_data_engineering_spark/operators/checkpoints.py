@@ -6,14 +6,27 @@ session's GLOBAL persisted-RDD registry before/after the whole function
 captures checkpoints a CONCURRENT thread created on the shared
 SparkSession in the meantime — and unpersisting someone else's
 localCheckpoint DESTROYS it (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on their
-next action). These helpers accumulate only the ids each checkpoint call
-itself created (the diff window shrinks from the whole function to one
-eager materialization), then release exactly that set.
+next action). These helpers accumulate the ids each checkpoint call
+itself created: the before/materialize/after diff runs under a module
+lock, so two threads BOTH using tracked_local_checkpoint can never
+capture each other's blocks. A thread checkpointing through a different
+code path (raw ``df.localCheckpoint``) during the materialization window
+could still be captured — the lock scopes what this module does, not the
+whole session — so keep every eager checkpoint that shares a session on
+these helpers.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Serializes the before/localCheckpoint/after id-diff below. The JVM does
+# the actual materialization work; holding a Python lock across it only
+# delays a CONCURRENT tracked checkpoint on the same session, which would
+# otherwise race the diff and be captured into the wrong own_ids set.
+_TRACK_LOCK = threading.Lock()
 
 
 def persistent_ids(spark: SparkSession) -> set[int]:
@@ -23,11 +36,14 @@ def persistent_ids(spark: SparkSession) -> set[int]:
 def tracked_local_checkpoint(df: DataFrame, own_ids: set[int]) -> DataFrame:
     """Eager localCheckpoint whose new persisted-RDD ids are added to
     ``own_ids`` (df.rdd.id() is NOT the persisted block's id, so the
-    before/after diff around this one call is the only way to learn it)."""
+    before/after diff around this one call is the only way to learn it).
+    The diff is serialized by ``_TRACK_LOCK`` so concurrent callers of
+    this helper cannot capture one another's block ids."""
     spark = df.sparkSession
-    before = persistent_ids(spark)
-    out = df.localCheckpoint(eager=True)
-    own_ids |= persistent_ids(spark) - before
+    with _TRACK_LOCK:
+        before = persistent_ids(spark)
+        out = df.localCheckpoint(eager=True)
+        own_ids |= persistent_ids(spark) - before
     return out
 
 

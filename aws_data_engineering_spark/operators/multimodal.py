@@ -426,6 +426,10 @@ def _png_worker_fns():
         """8-bit grayscale PNG; every scanline uses ``filter_type`` (0..4).
         ``text_meta``: optional [(keyword, value)] Latin-1 pairs emitted as
         spec-conformant tEXt chunks between IHDR and IDAT."""
+        if len(pixels) != width * height:
+            raise ValueError(
+                f"pixels length {len(pixels)} != width*height {width * height}"
+            )
         raw = _filter_scanlines(width, height, pixels, filter_type)
         ihdr = _struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
         texts = b"".join(
@@ -454,6 +458,13 @@ def _png_worker_fns():
         web — the third real PNG pixel layout beside gray and truecolor."""
         if not 1 <= len(palette) <= 256:
             raise ValueError("PLTE must hold 1..256 entries")
+        if len(indices) != width * height:
+            # fail at the encoder with a precise message: a short index
+            # buffer would otherwise emit truncated scanlines that only
+            # surface much later as an unrelated 'corrupt' decode error
+            raise ValueError(
+                f"indices length {len(indices)} != width*height {width * height}"
+            )
         if any(i >= len(palette) for i in indices):
             raise ValueError("palette index out of range")
         raw = _filter_scanlines(width, height, indices, filter_type)

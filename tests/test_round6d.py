@@ -131,6 +131,12 @@ def test_palette_png_rejects_bad_index_and_missing_plte():
     _, decode_png, _, encode_png_palette = M._png_worker_fns()
     with pytest.raises(ValueError, match="index out of range"):
         encode_png_palette(2, 1, bytes([0, 9]), [(0, 0, 0)] * 4)
+    # a short/long index buffer must fail AT THE ENCODER with a precise
+    # message, not as a downstream 'corrupt scanline' decode error
+    with pytest.raises(ValueError, match="indices length"):
+        encode_png_palette(3, 2, bytes([0] * 5), [(0, 0, 0)] * 4)
+    with pytest.raises(ValueError, match="pixels length"):
+        M._png_worker_fns()[0](3, 2, bytes(5))
     # hand-build a type-3 PNG with no PLTE: decoder must refuse
     def chunk(tag, payload):
         return (
