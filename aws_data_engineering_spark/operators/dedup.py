@@ -186,6 +186,14 @@ def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column
     )
 
 
+# Default refusal threshold for minhash_candidate_pairs' uncapped form: a
+# band bucket above this size means the corpus has duplicate clusters whose
+# pairwise enumeration is quadratic (C(n,2) pairs per bucket). 64 sits well
+# above the fixture corpora's benign bucket sizes and well below the
+# 100-twin clusters the 100× experiment measured at 24.75M pairs / 187 s.
+GUARD_BUCKET_DEFAULT = 64
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -193,6 +201,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     num_bands: int = 8,
     max_bucket: int | None = None,
+    guard_bucket: int | None = GUARD_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash-LSH.
 
@@ -212,6 +221,18 @@ def minhash_candidate_pairs(
     id / d10 connected components), never enumerate pairwise. Census is
     one partial-agg groupBy on the same (band, band_hash) key the join
     already shuffles on.
+
+    The uncapped form (``max_bucket=None``) carries a bucket-census GUARD
+    by default (the g02 ``ExactPathScaleError`` treatment, embedded in the
+    plan rather than as a driver-side pre-flight so the signature pass is
+    never paid twice): the same census the cap uses feeds an
+    ``assert_true`` over every banded row, so the job FAILS FAST — after
+    signatures + census, before the quadratic self-join emits a single
+    pair — the moment any bucket exceeds ``guard_bucket``, with a message
+    naming the capped alternative (``max_bucket=…`` /
+    ``d17_capped_minhash_pairs``). Pass ``guard_bucket=None`` to force the
+    full enumerate (the duplication-audit use-case, where the quadratic
+    output is the point).
     """
     rows_per_band = num_hashes // num_bands
     spark = df.sparkSession
@@ -267,6 +288,35 @@ def minhash_candidate_pairs(
             banded.join(
                 census.filter(F.col("__bucket_n") <= max_bucket),
                 ["band", "band_hash"],
+            )
+            .drop("__bucket_n")
+        )
+    elif guard_bucket is not None:
+        census = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bucket_n")
+        )
+        # assert_true evaluates inside a FILTER so Catalyst cannot prune it
+        # (it returns NULL on pass → isNull() is the predicate). The join is
+        # 1:1 on the census key, so when every bucket passes the output is
+        # row-identical to the unguarded plan — the sf0.01 oracle is
+        # unchanged — and an oversized bucket kills the job at the census
+        # stage, before any pair is enumerated.
+        guard_msg = F.concat(
+            F.lit("minhash band bucket of size "),
+            F.col("__bucket_n").cast("string"),
+            F.lit(
+                f" exceeds guard_bucket={guard_bucket}: a bucket this large "
+                "is a duplicate CLUSTER whose pairwise enumeration is "
+                "quadratic (C(n,2) pairs). Collapse it by bucket key or use "
+                "the capped form (max_bucket=..., registered as "
+                "d17_capped_minhash_pairs); pass guard_bucket=None to force "
+                "the full enumerate."
+            ),
+        )
+        banded = (
+            banded.join(census, ["band", "band_hash"])
+            .filter(
+                F.assert_true(F.col("__bucket_n") <= guard_bucket, guard_msg).isNull()
             )
             .drop("__bucket_n")
         )
@@ -659,19 +709,19 @@ def bloom_contamination(
     Returns (id, n_grams, bloom_hits, exact_hits, false_positives) for
     docs with at least one Bloom hit.
     """
-    # Both gram fan-outs are consumed by multiple branches below (bits +
-    # exact for bench; probe + exact + per-doc census for candidates) —
-    # eager localCheckpoint materializes each Python shingle pass ONCE and
-    # truncates lineage (the g01/g02/CC edge-set pattern)
+    # The BENCH gram fan-out feeds two branches (bit positions + exact
+    # set) — eager localCheckpoint materializes its Python shingle pass
+    # once. The CANDIDATE fan-out has exactly one consumer since
+    # bloom_probe became single-pass, so it stays lazy: materializing the
+    # whole exploded corpus gram table was the dominant cost the 100×
+    # experiment measured on st16.
     bench_grams = (
         _gram_fanout(benchmark, id_col, text_col, shingle_n)
         .select("shingle")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    cand = _gram_fanout(candidates, id_col, text_col, shingle_n).localCheckpoint(
-        eager=True
-    )
+    cand = _gram_fanout(candidates, id_col, text_col, shingle_n)
     return bloom_probe(cand, bench_grams, bloom_bits(bench_grams))
 
 
@@ -699,11 +749,18 @@ def bloom_probe(
     :func:`bloom_contamination`, shared with the streaming-maintained
     filter (st16).
 
-    Membership probe: gram hits iff all k positions are set. k successive
-    broadcast LEFT SEMI joins (one per position hash) — no explode, no
-    gram-keyed shuffle; each join prunes misses early, so most
-    non-benchmark grams die at the first probe (the short-circuit a real
-    Bloom lookup has)."""
+    Membership probe: gram hits iff all k positions are set. ONE pass over
+    the candidate gram stream: k broadcast LEFT joins (one per position
+    hash, hit markers) plus the exact-gram broadcast left join, then a
+    single per-doc partial aggregate computing the gram census, Bloom
+    hits, and exact hits together. The earlier 3-consumer form (semi-join
+    probe chain + exact semi-join + separate per-doc census) forced an
+    eager localCheckpoint of the WHOLE exploded gram table at every call
+    site — the dominant cost the 100× experiment measured on st16 (12×,
+    worst streaming ratio). Single consumer ⇒ no materialization; the
+    probe work per gram is k+1 broadcast hash lookups either way, and the
+    groupBy is map-side-combined to one row per (doc, partition) before
+    the only shuffle."""
     probed = cand.select(
         "id",
         "shingle",
@@ -711,25 +768,31 @@ def bloom_probe(
     )
     for j in range(_BLOOM_K):
         probed = probed.join(
-            F.broadcast(bench_bits.withColumnRenamed("pos", f"p{j}")),
+            F.broadcast(
+                bench_bits.withColumnRenamed("pos", f"p{j}").withColumn(
+                    f"h{j}", F.lit(1)
+                )
+            ),
             f"p{j}",
-            "left_semi",
+            "left",
         )
-    probed = probed.select("id", "shingle")
-    exact = cand.join(F.broadcast(bench_grams), "shingle", "left_semi").select(
-        "id", "shingle", F.lit(1).alias("is_exact")
+    probed = probed.join(
+        F.broadcast(bench_grams.withColumn("is_exact", F.lit(1))),
+        "shingle",
+        "left",
     )
-    per_doc_grams = cand.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        probed.join(exact, ["id", "shingle"], "left")
-        .groupBy("id")
+    bloom_hit = F.when(
+        F.expr(" AND ".join(f"h{j} IS NOT NULL" for j in range(_BLOOM_K))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        probed.groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("bloom_hits"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(bloom_hit).alias("bloom_hits"),
             F.sum(F.coalesce(F.col("is_exact"), F.lit(0))).alias("exact_hits"),
         )
-    )
-    return (
-        hits.join(per_doc_grams, "id")
+        .filter(F.col("bloom_hits") > 0)
         .select(
             "id",
             "n_grams",

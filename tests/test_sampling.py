@@ -190,6 +190,49 @@ def test_epoch_upsample_edge_epochs(spark):
         assert k == hashlib.md5(f"{i}:{c}s".encode()).hexdigest()
 
 
+def test_minhash_guard_bucket_refuses_planted_skew(spark):
+    """The uncapped default must REFUSE a duplication-heavy corpus (the
+    100× experiment's d04 failure mode) instead of launching the
+    quadratic-pair enumerate: 70 identical docs overflow every band bucket
+    past guard_bucket=64, so the job dies at the census stage with a
+    message naming the capped registered alternative. guard_bucket=None is
+    the explicit escape hatch for the duplication-audit use-case, and the
+    capped form keeps working under the same skew."""
+    import pytest
+
+    twin = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, twin) for i in range(1, 71)], "doc_id bigint, text string"
+    )
+    with pytest.raises(Exception, match="d17_capped_minhash_pairs"):
+        D.minhash_candidate_pairs(docs, "doc_id", "text").collect()
+    # the escape hatch enumerates all C(70,2) pairs
+    forced = D.minhash_candidate_pairs(
+        docs, "doc_id", "text", guard_bucket=None
+    ).collect()
+    assert len(forced) == 70 * 69 // 2
+    # the capped form collapses the cluster instead of enumerating it
+    assert (
+        D.minhash_candidate_pairs(docs, "doc_id", "text", max_bucket=2).count()
+        == 0
+    )
+    # under-guard corpora are row-identical to the unguarded plan
+    small = spark.createDataFrame(
+        [(i, twin) for i in range(1, 6)], "doc_id bigint, text string"
+    )
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(small, "doc_id", "text").collect()
+    }
+    unguarded = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(
+            small, "doc_id", "text", guard_bucket=None
+        ).collect()
+    }
+    assert guarded == unguarded
+
+
 def test_minhash_max_bucket_valve(spark):
     """Planted skew: a 5-twin exact-duplicate group fills every band bucket
     past the cap (no pairs may come out of it), while a distinct 2-doc
