@@ -3955,13 +3955,37 @@ def p14_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tiebreak) — the heuristic real pipelines use so boilerplate fragments
 # don't survive as cluster representatives. Window argmax per cluster_id;
 # oracle walks the same LSH edges with a recursive CTE.
+#
+# Plane count is SIZED FROM THE DATA (e17's measured rule,
+# recommended_lsh_planes: p = ceil(log2(N/1024)) holds per-bucket kernel
+# matrices ~8 MB at any corpus size) — round 6 shipped these two
+# production finishers on fixture-tuned 3-plane constants that SURVEY
+# §6.2's own analysis shows build multi-GB kernel tasks at 200k vectors.
+# The Spark side derives p from a live count; the oracle derives it from
+# the same rule at the driver's correctness corpus size
+# (test_d18_oracle_planes_match_fixture pins the two against each other,
+# so a regenerated fixture fails loudly instead of hash-diverging).
 # --------------------------------------------------------------------------
-_D18_THRESHOLD, _D18_PLANES = 0.30, 3
+_D18_THRESHOLD = 0.30
+# sf0.001 and sf0.01 both carry 500 embeddings -> p = 1
+_D18_ORACLE_N_EMB = 500
+_D18_ORACLE_PLANES = SIM.recommended_lsh_planes(_D18_ORACLE_N_EMB)
+
+
+def _d18_edges(spark: SparkSession, sf_dir: str):
+    """Shared d18/g09 edge source: LSH near-dup pairs with the plane count
+    derived from the corpus size (one tiny count job, exactly e18's
+    pattern)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    p = SIM.recommended_lsh_planes(emb.count())
+    return SIM.bucketed_neardup_pairs(
+        emb, threshold=_D18_THRESHOLD, n_planes=p, dim=64
+    ).select("id_a", "id_b")
 
 
 def _d18_oracle() -> str:
     lsh = SIM.bucketed_neardup_oracle_sql(
-        threshold=_D18_THRESHOLD, n_planes=_D18_PLANES, dim=64
+        threshold=_D18_THRESHOLD, n_planes=_D18_ORACLE_PLANES, dim=64
     )
     return f"""
     WITH RECURSIVE lsh_pairs AS ({lsh}),
@@ -3994,15 +4018,13 @@ def _d18_oracle() -> str:
 @register(
     "d18_canonical_doc_selection",
     _d18_oracle(),
-    "canonical-doc selection: LSH-bucketed near-dup edges -> connected "
-    "components -> keep the highest-quality (longest) doc per cluster via "
-    "window argmax — the scale-safe 'keep best copy' dedup finisher",
+    "canonical-doc selection: LSH-bucketed near-dup edges (plane count "
+    "sized from the corpus via e17's rule) -> connected components -> "
+    "keep the highest-quality (longest) doc per cluster via window argmax "
+    "— the scale-safe 'keep best copy' dedup finisher",
 )
 def d18_canonical_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = SIM.bucketed_neardup_pairs(
-        emb, threshold=_D18_THRESHOLD, n_planes=_D18_PLANES, dim=64
-    ).select("id_a", "id_b")
+    pairs = _d18_edges(spark, sf_dir)
     comp = DD.connected_components(pairs, "id_a", "id_b")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     labeled = docs.join(
@@ -4174,7 +4196,7 @@ def st12_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _g08_oracle() -> str:
     lsh = SIM.bucketed_neardup_oracle_sql(
-        threshold=_D18_THRESHOLD, n_planes=_D18_PLANES, dim=64
+        threshold=_D18_THRESHOLD, n_planes=_D18_ORACLE_PLANES, dim=64
     )
     return f"""
     WITH RECURSIVE lsh_pairs AS ({lsh}),
@@ -4203,9 +4225,7 @@ def _g08_oracle() -> str:
 )
 def g08_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = SIM.bucketed_neardup_pairs(
-        emb, threshold=_D18_THRESHOLD, n_planes=_D18_PLANES, dim=64
-    ).select("id_a", "id_b")
+    pairs = _d18_edges(spark, sf_dir)
     comp = DD.connected_components_star(pairs, "id_a", "id_b")
     labeled = (
         emb.select("vec_id")
@@ -4721,9 +4741,20 @@ def st13_stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fails the hash. This is the min/max pruning contract Spark's own
 # parquet reader, DuckDB, and every lakehouse format (Iceberg/Delta
 # data-skipping stats) rely on, made auditable as a query.
+#
+# Round 7 (VERDICT r06 #7): months are SUB-PARTITIONED by a portable
+# md5 hash bucket of (orderkey, linenumber), so the write stage has
+# months × _C16_BUCKETS tasks instead of 84 single-task month files at
+# every SF — the r06 100× measurement (60.5×) was entirely that stage's
+# task-count ceiling, not a plan-shape problem. Each (month, bucket)
+# file keeps the shipdate sort and fixed 512-row row groups; per-bucket
+# min/max stay month-tight (the bucket is date-independent), so the
+# Q1-1996 skippability contract is unchanged and the oracle recomputes
+# every group's extent closed-form per (month, bucket).
 # --------------------------------------------------------------------------
 _C16_RG_ROWS = 512
 _C16_LO, _C16_HI = "1996-01-01", "1996-03-31"
+_C16_BUCKETS = 8
 
 
 @register(
@@ -4731,32 +4762,42 @@ _C16_LO, _C16_HI = "1996-01-01", "1996-03-31"
     f"""
     WITH r AS (
       SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             -- portable sub-partition bucket: first md5 hex char of
+             -- 'orderkey:linenumber' mod {_C16_BUCKETS} (the d05 '0x' cast
+             -- pattern; Spark mirrors it with ascii arithmetic)
+             CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                      CAST(l_linenumber AS VARCHAR)), 1, 1)
+                  AS BIGINT) % {_C16_BUCKETS} AS bucket,
              CAST(l_shipdate AS DATE) AS d,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), rn AS (
+      SELECT month, bucket, d,
              -- order by the DATE-cast column, matching the Spark writer's
              -- sort key d: a raw-timestamp order would diverge on
              -- intraday time components (fixture shipdates are midnight
              -- today, but a regenerated corpus need not be)
              ROW_NUMBER() OVER (
-               PARTITION BY strftime(l_shipdate, '%Y-%m')
-               ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber)
-               - 1 AS rn
-      FROM lineitem
+               PARTITION BY month, bucket
+               ORDER BY d, l_orderkey, l_linenumber) - 1 AS rn
+      FROM r
     ), g AS (
-      SELECT month, rn // {_C16_RG_ROWS} AS rg_idx,
+      SELECT month, bucket, rn // {_C16_RG_ROWS} AS rg_idx,
              COUNT(*) AS n_rows, MIN(d) AS min_date, MAX(d) AS max_date
-      FROM r GROUP BY 1, 2
+      FROM rn GROUP BY 1, 2, 3
     )
-    SELECT month, CAST(rg_idx AS INT) AS rg_idx,
+    SELECT month, CAST(bucket AS INT) AS bucket, CAST(rg_idx AS INT) AS rg_idx,
            CAST(n_rows AS BIGINT) AS n_rows, min_date, max_date,
            (max_date < DATE '{_C16_LO}' OR min_date > DATE '{_C16_HI}')
              AS skippable
     FROM g
     """,
-    "parquet zone-map audit: month-partitioned, shipdate-sorted files "
-    "written executor-side with fixed 512-row row groups; a footer-only "
-    "pass reads the real row-group min/max statistics and decides Q1-1996 "
-    "skippability per group — the data-skipping contract lakehouse scans "
-    "rely on, hash-checked against the closed-form layout",
+    "parquet zone-map audit: (month × hash-bucket)-partitioned, "
+    "shipdate-sorted files written executor-side with fixed 512-row row "
+    "groups (bucketing lifts the write stage past one-task-per-month); a "
+    "footer-only pass reads the real row-group min/max statistics and "
+    "decides Q1-1996 skippability per group — the data-skipping contract "
+    "lakehouse scans rely on, hash-checked against the closed-form layout",
 )
 def c16_parquet_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -4769,14 +4810,22 @@ def c16_parquet_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(out_dir, exist_ok=True)
     rg_rows, lo, hi = _C16_RG_ROWS, _C16_LO, _C16_HI
 
+    from aws_data_engineering_spark.operators.sampling import _hexval
+
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
     li = _t(spark, sf_dir, "lineitem").select(
         F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        (_hexval(F.substring(F.md5(key), 1, 1)) % _C16_BUCKETS).alias("bucket"),
         F.col("l_shipdate").cast("date").alias("d"),
         "l_orderkey",
         "l_linenumber",
     )
 
-    def write_month(pdf):
+    def write_part(pdf):
         import os as os_w
 
         import pandas as pd_w
@@ -4787,13 +4836,20 @@ def c16_parquet_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["d", "l_orderkey", "l_linenumber"], kind="mergesort"
         ).reset_index(drop=True)
         month = str(pdf["month"].iloc[0])
-        path = os_w.path.join(out_dir, f"{month}.parquet")
-        tbl = pa_w.table({"d": pa_w.array(list(pdf["d"]), type=pa_w.date32())})
+        bucket = int(pdf["bucket"].iloc[0])
+        path = os_w.path.join(out_dir, f"{month}-b{bucket}.parquet")
+        # Array.from_pandas converts the date column in C — the
+        # list()-per-element form dominated the 100× write stage
+        tbl = pa_w.table(
+            {"d": pa_w.Array.from_pandas(pdf["d"], type=pa_w.date32())}
+        )
         pq_w.write_table(tbl, path, row_group_size=rg_rows)
-        return pd_w.DataFrame({"month": [month], "path": [path]})
+        return pd_w.DataFrame(
+            {"month": [month], "bucket": [bucket], "path": [path]}
+        )
 
-    files = li.groupBy("month").applyInPandas(
-        write_month, "month string, path string"
+    files = li.groupBy("month", "bucket").applyInPandas(
+        write_part, "month string, bucket int, path string"
     )
 
     def read_footers(batches):
@@ -4804,10 +4860,15 @@ def c16_parquet_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         lo_d = dt_w.date.fromisoformat(lo)
         hi_d = dt_w.date.fromisoformat(hi)
-        cols = ("month", "rg_idx", "n_rows", "min_date", "max_date", "skippable")
+        cols = (
+            "month", "bucket", "rg_idx", "n_rows",
+            "min_date", "max_date", "skippable",
+        )
         for pdf in batches:
             out = {c: [] for c in cols}
-            for month, path in zip(pdf["month"], pdf["path"]):
+            for month, bucket, path in zip(
+                pdf["month"], pdf["bucket"], pdf["path"]
+            ):
                 pf = pq_w.ParquetFile(path)
                 for rg in range(pf.metadata.num_row_groups):
                     meta = pf.metadata.row_group(rg)
@@ -4815,6 +4876,7 @@ def c16_parquet_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if st is None or not st.has_min_max:
                         raise ValueError(f"{path} rg {rg}: missing statistics")
                     out["month"].append(month)
+                    out["bucket"].append(int(bucket))
                     out["rg_idx"].append(rg)
                     out["n_rows"].append(meta.num_rows)
                     out["min_date"].append(st.min)
@@ -4824,8 +4886,8 @@ def c16_parquet_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return files.mapInPandas(
         read_footers,
-        "month string, rg_idx int, n_rows bigint, min_date date, "
-        "max_date date, skippable boolean",
+        "month string, bucket int, rg_idx int, n_rows bigint, "
+        "min_date date, max_date date, skippable boolean",
     )
 
 
@@ -5818,7 +5880,7 @@ def e20_inertia_elbow_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _g09_oracle() -> str:
     lsh = SIM.bucketed_neardup_oracle_sql(
-        threshold=_D18_THRESHOLD, n_planes=_D18_PLANES, dim=64
+        threshold=_D18_THRESHOLD, n_planes=_D18_ORACLE_PLANES, dim=64
     )
     return f"""
     WITH RECURSIVE lsh_pairs AS ({lsh}),
@@ -5842,16 +5904,14 @@ def _g09_oracle() -> str:
 @register(
     "g09_dup_cluster_census",
     _g09_oracle(),
-    "duplicate-cluster size census over the LSH near-dup graph: cluster "
-    "sizes -> size histogram (n_clusters, n_docs per size) — the dedup "
-    "blast-radius audit that sizes banding caps before any 100 TB pass; "
-    "singletons included so n_docs sums to the corpus",
+    "duplicate-cluster size census over the LSH near-dup graph (plane "
+    "count sized from the corpus via e17's rule): cluster sizes -> size "
+    "histogram (n_clusters, n_docs per size) — the dedup blast-radius "
+    "audit that sizes banding caps before any 100 TB pass; singletons "
+    "included so n_docs sums to the corpus",
 )
 def g09_dup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = SIM.bucketed_neardup_pairs(
-        emb, threshold=_D18_THRESHOLD, n_planes=_D18_PLANES, dim=64
-    ).select("id_a", "id_b")
+    pairs = _d18_edges(spark, sf_dir)
     comp = DD.connected_components(pairs, "id_a", "id_b")
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     labeled = docs.join(
@@ -5962,4 +6022,164 @@ def dq17_profile_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.n_distinct").cast("double") / F.col("a.n_distinct")
             ).alias("distinct_ratio"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# e21 — product-quantization codebook TRAINING (round 7): the missing
+# first stage of the faiss recipe whose encode/search stages s07/s08
+# already exercise with a fixed deterministic codebook. Per SUBSPACE
+# (4 slices of 16 dims), k=4 centroids learned by 2 Lloyd iterations from
+# a fixed LCG init — e07's unrolled-loop pattern, but in PQ's metric
+# (squared L2, not cosine) and sharded by subspace: one broadcast join of
+# the (subspace × k)-row centroid table + one shuffle agg per round, so a
+# 100 TB corpus trains all subspace codebooks in the same two passes.
+# Distances are FLOOR-quantized per dimension to integer nano-units and
+# summed as BIGINTs (order-free, engine-portable — the e20 trick), so
+# assignment argmins and the reported total distortion are bit-exact;
+# centroid means are 6dp-rounded before re-use (e03/e07 precedent).
+# --------------------------------------------------------------------------
+_E21_SUBSPACES = 4
+_E21_SUBDIM = 16
+_E21_K = 4
+_E21_ITERS = 2
+_E21_INIT = {
+    s: SIM._hyperplanes(dim=_E21_SUBDIM, n_planes=_E21_K, seed=211 + s)
+    for s in range(_E21_SUBSPACES)
+}
+
+
+def _e21_oracle() -> str:
+    init_vals = " UNION ALL ".join(
+        f"SELECT {s} AS sub_id, {c} AS cand, {_E21_INIT[s][c]}::DOUBLE[] AS centroid"
+        for s in range(_E21_SUBSPACES)
+        for c in range(_E21_K)
+    )
+    d = _E21_SUBDIM
+    ctes = [
+        f"""sub AS (
+      SELECT vec_id, g.s AS sub_id,
+             CAST(embedding AS DOUBLE[])[g.s * {d} + 1 : g.s * {d} + {d}] AS sv
+      FROM embeddings, generate_series(0, {_E21_SUBSPACES - 1}) g(s))""",
+        f"cent0 AS ({init_vals})",
+    ]
+    for it in range(1, _E21_ITERS + 1):
+        prev = f"cent{it - 1}"
+        ctes.append(f"""s{it} AS (
+      SELECT sub.vec_id, sub.sub_id, c.cand, sub.sv,
+             (SELECT CAST(SUM(CAST(FLOOR((sub.sv[i] - c.centroid[i]) *
+                                         (sub.sv[i] - c.centroid[i]) * 1e9)
+                              AS BIGINT)) AS BIGINT)
+              FROM generate_series(1, {d}) t(i)) AS dist
+      FROM sub JOIN {prev} c ON sub.sub_id = c.sub_id)""")
+        ctes.append(f"""a{it} AS (
+      SELECT vec_id, sub_id, cand, dist, sv FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                     ORDER BY dist, cand) AS rnk
+        FROM s{it}) WHERE rnk = 1)""")
+        if it < _E21_ITERS:
+            ctes.append(f"""ex{it} AS (
+      SELECT sub_id, cand, gs AS pos, sv[gs] AS val
+      FROM a{it}, generate_series(1, {d}) g(gs))""")
+            ctes.append(f"""cm{it} AS (
+      SELECT sub_id, cand, pos, ROUND(SUM(val) / COUNT(*), 6) AS val
+      FROM ex{it} GROUP BY sub_id, cand, pos)""")
+            ctes.append(f"""cent{it} AS (
+      SELECT sub_id, cand, list(val ORDER BY pos) AS centroid
+      FROM cm{it} GROUP BY sub_id, cand)""")
+    last = f"a{_E21_ITERS}"
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(sub_id AS INT) AS subspace, CAST(cand AS INT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(dist) AS BIGINT) AS total_dist_nano
+    FROM {last} GROUP BY sub_id, cand
+    """
+    )
+
+
+@register(
+    "e21_pq_codebook_training",
+    _e21_oracle(),
+    "PQ codebook training: per-subspace k-means (2 Lloyd iterations, "
+    "fixed LCG init, squared-L2 in exact integer nano-units) — the "
+    "train stage in front of s07/s08's encode/search; one broadcast "
+    "centroid join + one shuffle agg per round covers ALL subspaces",
+)
+def e21_pq_codebook_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _E21_SUBDIM
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub_id"),
+                        F.slice("e", s * d + 1, d).alias("sv"),
+                    )
+                    for s in range(_E21_SUBSPACES)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.sub_id", "x.sv")
+
+    def dist_nano(sv, cent):
+        diffs = F.zip_with(
+            sv, cent, lambda x, y: F.floor((x - y) * (x - y) * F.lit(1e9))
+        )
+        return F.aggregate(
+            diffs, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        )
+
+    cent = spark.createDataFrame(
+        [
+            (s, c, _E21_INIT[s][c])
+            for s in range(_E21_SUBSPACES)
+            for c in range(_E21_K)
+        ],
+        "sub_id int, cand int, centroid array<double>",
+    )
+    assigned = None
+    for it in range(1, _E21_ITERS + 1):
+        scored = sub.join(F.broadcast(cent), "sub_id").withColumn(
+            "dist", dist_nano(F.col("sv"), F.col("centroid"))
+        )
+        assigned = (
+            scored.groupBy("vec_id", "sub_id")
+            .agg(
+                F.min_by(
+                    F.struct("cand", "dist"), F.struct("dist", "cand")
+                ).alias("b"),
+                F.first("sv").alias("sv"),
+            )
+            .select(
+                "vec_id",
+                "sub_id",
+                F.col("b.cand").alias("cand"),
+                F.col("b.dist").alias("dist"),
+                "sv",
+            )
+        )
+        if it < _E21_ITERS:
+            ex = assigned.select(
+                "sub_id", "cand", F.posexplode("sv").alias("pos", "val")
+            )
+            cm = ex.groupBy("sub_id", "cand", "pos").agg(
+                F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("val")
+            )
+            cent = cm.groupBy("sub_id", "cand").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("centroid")
+            )
+    return assigned.groupBy(
+        F.col("sub_id").cast("int").alias("subspace"),
+        F.col("cand").cast("int").alias("cluster_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("dist").cast("bigint").alias("total_dist_nano"),
     )

@@ -554,3 +554,24 @@ def test_event_time_queries_null_ts_parity(spark, tmp_path):
     for name in names:
         q = QUERIES[name]
         compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
+
+
+def test_d18_oracle_planes_match_fixture(spark, sf_dir):
+    """d18/g08/g09 size their LSH plane count from a live embedding count
+    (e17's rule) while their oracles bake the rule's value at the driver's
+    correctness corpus size. Pin the two together: if the fixture corpus is
+    ever regenerated at a size where the rule yields a different p, this
+    fails loudly instead of the queries hash-diverging."""
+    from aws_data_engineering_spark.operators import similarity as SIM
+    from aws_data_engineering_spark.plans import breadth_queries as B
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert n == B._D18_ORACLE_N_EMB
+    assert SIM.recommended_lsh_planes(n) == B._D18_ORACLE_PLANES
+    # the driver's sf0.01 corpus must agree too (same 500-vector table)
+    import duckdb
+
+    n001 = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.01/embeddings.parquet'"
+    ).fetchone()[0]
+    assert SIM.recommended_lsh_planes(n001) == B._D18_ORACLE_PLANES
