@@ -467,8 +467,114 @@ def st16_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     grams, bits = read_bloom_views(spark, os.path.join(base, "partials"))
-    cand = _D._gram_fanout(
-        docs.filter(~bench_pred), "doc_id", "text", 5
-    ).localCheckpoint(eager=True)
+    # lazy: bloom_probe is single-pass, so the corpus gram fan-out has one
+    # consumer and never needs materializing (the 100×-measured st16 cost)
+    cand = _D._gram_fanout(docs.filter(~bench_pred), "doc_id", "text", 5)
     out = _D.bloom_probe(cand, grams, bits)
     return out.withColumnRenamed("id", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# st17 — CUSTOM stateful sessionization as a driver-checked query (round
+# 7): q25's inactivity-gap sessions computed by applyInPandasWithState —
+# the per-key state machine form (§2b "custom stateful operators"), where
+# st06 is the ENGINE-managed session_window twin. State per user is four
+# scalars (O(active users), never O(events)); sessions are emitted when a
+# later event breaks the gap or the event-time timeout fires. The corpus
+# is fed as three TIME-RANGE files (state correctness requires per-user
+# arrival in time order, which disjoint ranges guarantee at any SF) plus
+# a far-future sentinel file, so the final watermark advance times out
+# every open session and the emitted set equals the batch gaps-and-islands
+# result EXACTLY — hash-checked, not subset-checked. Event values are
+# quantized to integer cents BEFORE the state machine so the Python
+# accumulator and the oracle's SUM are both exact (no float-order drift).
+# --------------------------------------------------------------------------
+_ST17_CUTS = ("2024-01-11", "2024-01-21")
+_ST17_SENTINEL_NS = 1_740_787_200_000_000_000  # 2025-03-01 UTC, past any fixture
+
+
+@register(
+    "st17_stream_stateful_sessions",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CAST(COALESCE(FLOOR(value * 100), 0) AS DOUBLE) AS cents
+      FROM events WHERE ts IS NOT NULL
+    ), flagged AS (
+      SELECT user_id, ts, cents,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, cents,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(cents) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "custom stateful streaming sessionization (applyInPandasWithState, "
+    "30-min gap, event-time timeout): three time-range feed files + a "
+    "sentinel flush so the emitted session set hash-matches the batch "
+    "gaps-and-islands oracle exactly; per-user state is four scalars",
+)
+def st17_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_data_engineering_spark.sources.tables import load_table
+    from aws_data_engineering_spark.streaming import (
+        sessionize_with_state,
+        stamp_feed_mtimes,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    feed = events.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    base = os.path.join(tempfile.gettempdir(), "spark_st17", uuid.uuid4().hex[:8])
+    in_dir = os.path.join(base, "in")
+    lo = F.lit(_ST17_CUTS[0]).cast("timestamp")
+    hi = F.lit(_ST17_CUTS[1]).cast("timestamp")
+    t = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ranges = [t < lo, (t >= lo) & (t < hi), t >= hi]
+    seen: set = set()
+    for b, pred in enumerate(ranges):
+        feed.filter(pred).coalesce(1).write.mode("append").parquet(in_dir)
+        seen = stamp_feed_mtimes(in_dir, seen, b)
+    # sentinel: one far-future event for user -1 — the final batch advances
+    # the watermark past every real session's (last + gap), so the
+    # event-time timeout flushes ALL open sessions; user -1's own session
+    # never closes and is filtered below
+    spark.createDataFrame(
+        [(int(1e9), _ST17_SENTINEL_NS, -1, "sentinel", 0.0, None)],
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    seen = stamp_feed_mtimes(in_dir, seen, len(ranges))
+
+    stream = read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    stream = stream.withColumn(
+        "value",
+        F.coalesce(F.floor(F.col("value") * 100).cast("double"), F.lit(0.0)),
+    )
+    sess = sessionize_with_state(stream, gap_minutes=30, watermark="0 seconds")
+    name = f"st17_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(sess, name, "append")
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("session_value").alias("session_value"),
+    )
