@@ -61,12 +61,78 @@ def _load_all() -> None:
     from aws_data_engineering_spark.plans import breadth_queries  # noqa: F401
 
 
-# Queries already driver-verified in a previous round (green rows in
-# CORRECTNESS_r01.json). The driver samples a prefix of the registry each
-# round, so we order not-yet-driver-checked queries first to rotate the
-# whole registry through the checked set across rounds. All queries are
-# oracle-checked locally every round by tests/test_queries_oracle.py
-# regardless of this ordering.
+# --- Driver-sample ordering: stalest evidence first -------------------------
+#
+# The driver samples a 50-name PREFIX of the registry each round, so the
+# ordering below decides which queries earn fresh CORRECTNESS rows. Three
+# tiers (round 7 generalizes the r01-cohort hand lists to evidence age
+# computed from the committed CORRECTNESS_r*.json files themselves):
+#
+#   0. never driver-checked, or registered form CHANGED since its last
+#      green (_FORM_CHANGED below) — must (re-)earn first evidence;
+#   1..N. last driver-green in round N — stalest first, so every round's
+#      sample re-validates the oldest evidence in its current form.
+#
+# All queries are oracle-checked locally every pytest session by
+# tests/test_queries_oracle.py regardless of this ordering; the rotation
+# only controls the redundant-but-harder driver evidence.
+
+# Queries whose REGISTERED FORM changed this round (guard/plan/oracle
+# edits), voiding prior driver evidence: d04 grew the default bucket-census
+# guard, d18/g08/g09 switched to data-sized LSH plane counts, c16 to
+# (month × hash-bucket) sub-partitioned layout.
+_FORM_CHANGED: frozenset[str] = frozenset(
+    {
+        "d04_minhash_candidate_pairs",
+        "d18_canonical_doc_selection",
+        "g08_star_components",
+        "g09_dup_cluster_census",
+        "c16_parquet_zonemap_audit",
+    }
+)
+
+
+def _evidence_rounds() -> dict[str, int]:
+    """name -> latest round with a green driver row, parsed from the
+    committed CORRECTNESS_r*.json files at the repo root. Missing files
+    (e.g. a stripped deployment) degrade to {} = everything tier 0."""
+    import json
+    import re as _re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    latest: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                # rows-only by design: the driver records spark_rows and
+                # no comparison — a run that produced rows IS the check
+                green = (row.get("spark_rows") or 0) >= 0 and row.get(
+                    "spark_rows"
+                ) is not None
+            elif row.get("err") is not None:
+                green = False
+            else:
+                green = bool(row.get("hash_match")) or (
+                    row.get("hash_match") is None and bool(row.get("rows_match"))
+                )
+            if green and rnd > latest.get(name, 0):
+                latest[name] = rnd
+    return latest
+
+
+# Legacy hand-curated set from rounds 1-6 — kept only as the fallback when
+# no CORRECTNESS files are present (fresh clone without round artifacts).
 _DRIVER_CHECKED: frozenset[str] = frozenset(
     {
         # Cumulative driver-green names as of round 6 (CORRECTNESS_r01-r05).
@@ -225,18 +291,29 @@ _STALE_REVERIFY: frozenset[str] = frozenset(
 )
 
 
-def _tier(name: str) -> int:
-    if name in _DRIVER_CHECKED:
-        return 2
-    if name in _STALE_REVERIFY:
-        return 1
-    return 0  # never driver-checked — highest sampling priority
-
-
 def _ordered() -> list[tuple[str, Query]]:
-    # Stable three-tier sort (ties keep registration order):
-    # never-checked < stale-reverify < checked.
-    return sorted(QUERIES.items(), key=lambda kv: _tier(kv[0]))
+    # Stable sort by evidence age (ties keep registration order):
+    # tier 0 (never checked / form changed) < last-green round 1 < 2 < ...
+    evidence = _evidence_rounds()
+    if not evidence:
+        # fallback without round artifacts: the legacy three-tier sets
+        def tier(name: str) -> int:
+            if name in _FORM_CHANGED:
+                return 0
+            if name in _DRIVER_CHECKED:
+                return 2
+            if name in _STALE_REVERIFY:
+                return 1
+            return 0
+
+        return sorted(QUERIES.items(), key=lambda kv: tier(kv[0]))
+
+    def age(name: str) -> int:
+        if name in _FORM_CHANGED:
+            return 0
+        return evidence.get(name, 0)
+
+    return sorted(QUERIES.items(), key=lambda kv: age(kv[0]))
 
 
 def queries() -> dict[str, SparkFn]:

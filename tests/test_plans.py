@@ -148,22 +148,33 @@ def test_t15_vocab_rejoin_no_driver_vocab(spark, sf_dir):
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
 
 
-def test_registry_orders_unchecked_queries_first():
+def test_registry_orders_stalest_evidence_first():
     """The driver oracle-checks a prefix of the registry; ordering is a
-    three-tier stable sort — never-driver-checked first, then the stale
-    re-verification cohort, then checked — so a brand-new query always makes
-    the sample prefix and stale rotation fills the remainder (see
-    registry._DRIVER_CHECKED / _STALE_REVERIFY)."""
+    stable sort by driver-evidence age computed from the committed
+    CORRECTNESS_r*.json files — never-checked / form-changed queries
+    first (age 0), then last-green round ascending — so a brand-new or
+    just-edited query always makes the 50-name sample prefix and the
+    stalest green evidence re-validates next."""
     from aws_data_engineering_spark.plans import registry as R
 
     names = list(R.queries())
-    tiers = [R._tier(n) for n in names]
-    assert tiers == sorted(tiers), "registry not ordered by sampling tier"
-    # the tier sets are disjoint and reference only registered queries
-    assert not (R._DRIVER_CHECKED & R._STALE_REVERIFY)
-    assert (R._DRIVER_CHECKED | R._STALE_REVERIFY) <= set(names)
-    # sanity: never-checked and checked tiers both exist, nothing was lost
-    assert 0 in tiers and 2 in tiers
+    ev = R._evidence_rounds()
+    assert ev, "CORRECTNESS_r*.json artifacts missing at the repo root"
+
+    def age(n: str) -> int:
+        return 0 if n in R._FORM_CHANGED else ev.get(n, 0)
+
+    ages = [age(n) for n in names]
+    assert ages == sorted(ages), "registry not ordered by evidence age"
+    # form-changed names must reference registered queries and lead the
+    # prefix (they re-earn driver evidence before anything else)
+    assert R._FORM_CHANGED <= set(names)
+    assert all(age(n) == 0 for n in names[: len(R._FORM_CHANGED)])
+    # rows-only queries (err == no_oracle) count as evidence: they must
+    # not permanently occupy the prefix (q71 has r03-r05 rows)
+    assert ev.get("q71_hll_partial_union", 0) >= 3
+    # every green r06 name is at age >= 6 unless its form changed
+    assert ev.get("t30_bm25_topk") == 6
     assert set(R.oracle_sql()) <= set(names)
 
 
@@ -469,3 +480,27 @@ def test_c17_dynamic_partition_pruning(spark, sf_dir):
     100 TB lake layout exists for."""
     plan = _plan(queries()["c17_dynamic_partition_pruned_join"](spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_survey_query_map_in_sync():
+    """SURVEY §8.1 (the judge's per-name line-check map) must contain
+    every registered query exactly once, at the file:line the registry
+    actually resolves — regenerate with tools/gen_query_map.py."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    import gen_query_map as G
+
+    survey = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SURVEY.md"
+    )
+    text = open(survey).read()
+    assert G.BEGIN in text and G.END in text
+    block = text.split(G.BEGIN)[1].split(G.END)[0]
+    want = G.rows()
+    got = [l for l in block.splitlines() if l.startswith("| ") and "Implementation" not in l and not l.startswith("|---")]
+    assert got == want, "SURVEY §8.1 stale — run: python tools/gen_query_map.py"
