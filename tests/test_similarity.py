@@ -489,3 +489,56 @@ def test_e19_probe_recall_monotone(spark, sf_dir):
     overlaps = [o for _, o in rows]
     assert overlaps == sorted(overlaps), rows
     assert overlaps[-1] > overlaps[0], "sweep is flat — probes not applied"
+
+
+def test_e21_pq_training_recovers_planted_subspace_clusters(spark, tmp_path):
+    """PQ codebook training on a separable planted corpus: vectors whose
+    subspace slices sit in 4 tight blobs around distinct corners. A blob's
+    members are near-identical, so a blob must never SPLIT across clusters
+    — every cluster size is a whole multiple of 16 summing to 64 (k-means
+    may merge blobs when init centroids collide; it must not tear one
+    apart) — and DuckDB must reproduce the training bit-exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_data_engineering_spark.plans.registry import QUERIES, queries
+
+    queries()  # force registration
+
+    # 64 vectors; slice s of vector v points at corner (v % 4) scaled
+    # well apart, with a tiny deterministic jitter so means differ from
+    # the init planes
+    vecs = []
+    for v in range(64):
+        e = []
+        for s in range(4):
+            corner = v % 4
+            base = [0.0] * 16
+            base[corner * 4] = 10.0 * (corner + 1)
+            base[corner * 4 + 1] = -5.0 * (corner + 1)
+            jitter = ((v * 31 + s * 7) % 5) * 1e-3
+            e.extend([x + jitter for x in base])
+        vecs.append(e)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(64), pa.int64()),
+            "label": pa.array([v % 4 for v in range(64)], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    q = QUERIES["e21_pq_codebook_training"]
+    rows = q.spark(spark, str(tmp_path)).collect()
+    by_sub = {}
+    for r in rows:
+        by_sub.setdefault(r["subspace"], []).append(r)
+    assert set(by_sub) == {0, 1, 2, 3}
+    for s, cl in by_sub.items():
+        sizes = sorted(r["n_vectors"] for r in cl)
+        assert sum(sizes) == 64, (s, sizes)
+        # blobs may merge (init collision) but must never split
+        assert all(n % 16 == 0 for n in sizes), (s, sizes)
+    # and the oracle agrees on the planted corpus too
+    from tests.oracle_utils import compare
+
+    compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
