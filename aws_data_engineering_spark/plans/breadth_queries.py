@@ -6036,8 +6036,12 @@ def dq17_profile_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB corpus trains all subspace codebooks in the same two passes.
 # Distances are FLOOR-quantized per dimension to integer nano-units and
 # summed as BIGINTs (order-free, engine-portable — the e20 trick), so
-# assignment argmins and the reported total distortion are bit-exact;
-# centroid means are 6dp-rounded before re-use (e03/e07 precedent).
+# assignment argmins and the reported total distortion are bit-exact.
+# Centroid means are exact too: components FLOOR-quantize to integer
+# MICRO-units before the sum (integer addition is order-free, unlike the
+# e03/e07 6dp-rounded double mean, which sits one ulp from a .5 boundary
+# away from a cross-engine flip), then one deterministic division pair
+# (/count, /1e6) recovers the double centroid bit-identically.
 # --------------------------------------------------------------------------
 _E21_SUBSPACES = 4
 _E21_SUBDIM = 16
@@ -6082,7 +6086,9 @@ def _e21_oracle() -> str:
       SELECT sub_id, cand, gs AS pos, sv[gs] AS val
       FROM a{it}, generate_series(1, {d}) g(gs))""")
             ctes.append(f"""cm{it} AS (
-      SELECT sub_id, cand, pos, ROUND(SUM(val) / COUNT(*), 6) AS val
+      SELECT sub_id, cand, pos,
+             CAST(SUM(CAST(FLOOR(val * 1e6) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e6 AS val
       FROM ex{it} GROUP BY sub_id, cand, pos)""")
             ctes.append(f"""cent{it} AS (
       SELECT sub_id, cand, list(val ORDER BY pos) AS centroid
@@ -6168,7 +6174,12 @@ def e21_pq_codebook_training(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sub_id", "cand", F.posexplode("sv").alias("pos", "val")
             )
             cm = ex.groupBy("sub_id", "cand", "pos").agg(
-                F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("val")
+                (
+                    F.sum(F.floor(F.col("val") * F.lit(1e6)).cast("bigint"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(1e6)
+                ).alias("val")
             )
             cent = cm.groupBy("sub_id", "cand").agg(
                 F.transform(

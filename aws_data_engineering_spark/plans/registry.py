@@ -78,12 +78,15 @@ def _load_all() -> None:
 # only controls the redundant-but-harder driver evidence.
 
 # Queries whose REGISTERED FORM changed this round (guard/plan/oracle
-# edits), voiding prior driver evidence: d04 grew the default bucket-census
-# guard, d18/g08/g09 switched to data-sized LSH plane counts, c16 to
-# (month × hash-bucket) sub-partitioned layout.
+# edits), voiding prior driver evidence: d04/d13/d19 grew the default
+# bucket-census guard (d13/d19 call minhash_candidate_pairs with default
+# args, so their plans changed too), d18/g08/g09 switched to data-sized
+# LSH plane counts, c16 to (month × hash-bucket) sub-partitioned layout.
 _FORM_CHANGED: frozenset[str] = frozenset(
     {
         "d04_minhash_candidate_pairs",
+        "d13_minhash_estimate_accuracy",
+        "d19_lsh_scurve_audit",
         "d18_canonical_doc_selection",
         "g08_star_components",
         "g09_dup_cluster_census",
@@ -92,10 +95,18 @@ _FORM_CHANGED: frozenset[str] = frozenset(
 )
 
 
+_EVIDENCE_CACHE: dict[str, int] | None = None
+
+
 def _evidence_rounds() -> dict[str, int]:
     """name -> latest round with a green driver row, parsed from the
     committed CORRECTNESS_r*.json files at the repo root. Missing files
-    (e.g. a stripped deployment) degrade to {} = everything tier 0."""
+    (e.g. a stripped deployment) degrade to {} = everything tier 0.
+    Memoized: the artifacts are immutable within a process, and
+    queries()/oracle_sql() are called repeatedly."""
+    global _EVIDENCE_CACHE
+    if _EVIDENCE_CACHE is not None:
+        return _EVIDENCE_CACHE
     import json
     import re as _re
     from pathlib import Path
@@ -111,15 +122,16 @@ def _evidence_rounds() -> dict[str, int]:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
             if row.get("err") == "no_oracle":
                 # rows-only by design: the driver records spark_rows and
-                # no comparison — a run that produced rows IS the check
-                green = (row.get("spark_rows") or 0) >= 0 and row.get(
-                    "spark_rows"
-                ) is not None
+                # no comparison — a completed run (spark_rows recorded)
+                # IS the check
+                green = row.get("spark_rows") is not None
             elif row.get("err") is not None:
                 green = False
             else:
@@ -128,6 +140,7 @@ def _evidence_rounds() -> dict[str, int]:
                 )
             if green and rnd > latest.get(name, 0):
                 latest[name] = rnd
+    _EVIDENCE_CACHE = latest
     return latest
 
 

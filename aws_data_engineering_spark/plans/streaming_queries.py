@@ -501,14 +501,18 @@ _ST17_SENTINEL_NS = 1_740_787_200_000_000_000  # 2025-03-01 UTC, past any fixtur
              CAST(COALESCE(FLOOR(value * 100), 0) AS DOUBLE) AS cents
       FROM events WHERE ts IS NOT NULL
     ), flagged AS (
-      SELECT user_id, ts, cents,
+      SELECT user_id, ts, event_id, cents,
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
                   THEN 1 ELSE 0 END AS new_session
       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
+      -- event_id tiebreak on the cumulative window too: without it, tied
+      -- timestamps could be summed in either order and a tied row lands
+      -- nondeterministically in the previous session
       SELECT user_id, ts, cents,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND CURRENT ROW) AS session_id
       FROM flagged

@@ -174,7 +174,7 @@ def test_registry_orders_stalest_evidence_first():
     # not permanently occupy the prefix (q71 has r03-r05 rows)
     assert ev.get("q71_hll_partial_union", 0) >= 3
     # every green r06 name is at age >= 6 unless its form changed
-    assert ev.get("t30_bm25_topk") == 6
+    assert ev.get("t30_bm25_topk", 0) >= 6
     assert set(R.oracle_sql()) <= set(names)
 
 

@@ -568,10 +568,17 @@ def test_d18_oracle_planes_match_fixture(spark, sf_dir):
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert n == B._D18_ORACLE_N_EMB
     assert SIM.recommended_lsh_planes(n) == B._D18_ORACLE_PLANES
-    # the driver's sf0.01 corpus must agree too (same 500-vector table)
+    # the driver's sf0.01 corpus must agree too (same 500-vector table);
+    # derived from the configured sf_dir so SPARK_GRAFT_TEST_SF_DIR
+    # overrides keep working — skipped when no sibling sf0.01 exists
+    import os
+    import re
+
     import duckdb
 
-    n001 = duckdb.sql(
-        "SELECT COUNT(*) FROM '/root/testdata/sf0.01/embeddings.parquet'"
-    ).fetchone()[0]
-    assert SIM.recommended_lsh_planes(n001) == B._D18_ORACLE_PLANES
+    sf001 = re.sub(r"sf[\d.]+$", "sf0.01", sf_dir.rstrip("/"))
+    if os.path.exists(os.path.join(sf001, "embeddings.parquet")):
+        n001 = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf001}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert SIM.recommended_lsh_planes(n001) == B._D18_ORACLE_PLANES
