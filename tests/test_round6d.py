@@ -582,3 +582,52 @@ def test_d18_oracle_planes_match_fixture(spark, sf_dir):
             f"SELECT COUNT(*) FROM '{sf001}/embeddings.parquet'"
         ).fetchone()[0]
         assert SIM.recommended_lsh_planes(n001) == B._D18_ORACLE_PLANES
+
+
+def test_st17_tied_timestamps_and_null_ts_parity(spark, tmp_path):
+    """st17 regression corpus for the round-7 review finding: two events
+    with an IDENTICAL timestamp right after a gap boundary (the cumulative
+    session-id window must tiebreak on event_id on both engines), plus
+    NULL-ts rows and a user with only NULL ts — the emitted session set
+    must still hash-match the batch oracle exactly."""
+    import datetime
+
+    from tests.oracle_utils import compare
+
+    base = datetime.datetime(2024, 1, 5, 9, 0, 0)
+    rows = [
+        # user 1: one event, 31-min gap, then TWO tied-ts events — the
+        # tied pair must open the new session together (gap > 30 min)
+        (1, base, 1, "view", 5.0, None),
+        (2, base + datetime.timedelta(minutes=31), 1, "click", 7.25, None),
+        (3, base + datetime.timedelta(minutes=31), 1, "view", 2.5, None),
+        # user 1 continues within-gap: same session as the tied pair
+        (4, base + datetime.timedelta(minutes=45), 1, "purchase", 1.0, None),
+        # user 2: single event + a NULL-ts row (dropped on both sides)
+        (5, base, 2, "view", 3.0, None),
+        (6, None, 2, "click", 9.0, None),
+        # user 3: ONLY a NULL-ts event — no session on either side
+        (7, None, 3, "view", 4.0, None),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    q = QUERIES["st17_stream_stateful_sessions"]
+    df = q.spark(spark, str(tmp_path))
+    got = {(r["user_id"], r["session_start"]): r for r in df.collect()}
+    # user 1: two sessions — the tied pair + event 4 form the second
+    u1 = sorted(k for k in got if k[0] == 1)
+    assert len(u1) == 2
+    second = got[u1[1]]
+    assert second["n_events"] == 3
+    assert second["session_value"] == 725.0 + 250.0 + 100.0  # cents
+    assert (3,) not in {(k[0],) for k in got}  # NULL-only user absent
+    compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
