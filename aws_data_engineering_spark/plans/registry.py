@@ -81,16 +81,21 @@ def _load_all() -> None:
 # edits), voiding prior driver evidence: d04/d13/d19 grew the default
 # bucket-census guard (d13/d19 call minhash_candidate_pairs with default
 # args, so their plans changed too), d18/g08/g09 switched to data-sized
-# LSH plane counts, c16 to (month × hash-bucket) sub-partitioned layout.
+# LSH plane counts, c16 to (month × hash-bucket) sub-partitioned layout,
+# and d11/st16 consume the rewritten single-pass bloom_probe (left-join
+# markers + one per-doc aggregate instead of the 3-consumer semi-join
+# form with the eager gram checkpoint).
 _FORM_CHANGED: frozenset[str] = frozenset(
     {
         "d04_minhash_candidate_pairs",
+        "d11_bloom_contamination",
         "d13_minhash_estimate_accuracy",
         "d19_lsh_scurve_audit",
         "d18_canonical_doc_selection",
         "g08_star_components",
         "g09_dup_cluster_census",
         "c16_parquet_zonemap_audit",
+        "st16_stream_bloom_filter",
     }
 )
 
