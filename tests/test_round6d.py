@@ -631,3 +631,45 @@ def test_st17_tied_timestamps_and_null_ts_parity(spark, tmp_path):
     assert second["session_value"] == 725.0 + 250.0 + 100.0  # cents
     assert (3,) not in {(k[0],) for k in got}  # NULL-only user absent
     compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
+
+
+def test_tracked_checkpoints_concurrent_threads_disjoint(spark):
+    """Two threads interleaving tracked_local_checkpoint on the shared
+    session must never capture each other's block ids (ADVICE r06: the
+    before/after id diff races without the module lock), and releasing
+    one thread's set must leave the other thread's checkpoints usable."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from aws_data_engineering_spark.operators.checkpoints import (
+        release_checkpoints,
+        tracked_local_checkpoint,
+    )
+
+    results: dict[str, list] = {"a": [], "b": []}
+    own: dict[str, set] = {"a": set(), "b": set()}
+    errs: list = []
+
+    def work(key: str, base: int) -> None:
+        try:
+            for i in range(8):
+                df = spark.range(base + i, base + i + 50).select(
+                    F.col("id").alias("x")
+                )
+                results[key].append(tracked_local_checkpoint(df, own[key]))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ta = threading.Thread(target=work, args=("a", 0))
+    tb = threading.Thread(target=work, args=("b", 10_000))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errs, errs
+    # the tracked id sets are disjoint: neither thread captured the
+    # other's materialization
+    assert not (own["a"] & own["b"]), (own["a"], own["b"])
+    # releasing thread a's set leaves every b checkpoint computable
+    release_checkpoints(spark, own["a"])
+    for df in results["b"]:
+        assert df.agg(F.count(F.lit(1))).first()[0] == 50
+    release_checkpoints(spark, own["b"])
