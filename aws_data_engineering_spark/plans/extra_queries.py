@@ -457,7 +457,11 @@ def q81_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT order_day, n_orders,
            ROUND((n_orders - mean) / sqrt(m2 - mean * mean), 3) AS z_score
     FROM d, s
-    WHERE abs((n_orders - mean) / sqrt(m2 - mean * mean)) > 2
+    -- zero-variance guard: a perfectly steady feed has no outliers (and
+    -- an unguarded divide is an ANSI DIVIDE_BY_ZERO crash on the Spark
+    -- side, engine-divergent inf on this side)
+    WHERE m2 - mean * mean > 0
+      AND abs((n_orders - mean) / sqrt(m2 - mean * mean)) > 2
     """,
     "data quality: daily ingest-volume outliers via z-score from exact "
     "integer moment sums (broadcast 1-row stats, bit-stable cut)",
@@ -477,8 +481,12 @@ def dq04_partition_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame
     z = (F.col("n_orders") - F.col("mean")) / F.sqrt(
         F.col("m2") - F.col("mean") * F.col("mean")
     )
+    var = F.col("m2") - F.col("mean") * F.col("mean")
     return (
         d.crossJoin(F.broadcast(s))
+        # zero-variance guard BEFORE the divide: ANSI mode turns the
+        # division into a DIVIDE_BY_ZERO crash on a perfectly steady feed
+        .filter(var > 0)
         .filter(F.abs(z) > 2)
         .select("order_day", "n_orders", F.round(z, 3).alias("z_score"))
     )

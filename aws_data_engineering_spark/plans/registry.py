@@ -96,6 +96,9 @@ _FORM_CHANGED: frozenset[str] = frozenset(
         "g09_dup_cluster_census",
         "c16_parquet_zonemap_audit",
         "st16_stream_bloom_filter",
+        # zero-variance guard added to the z-score divide (row-identical
+        # on the fixture corpora, but the plan changed)
+        "dq04_partition_volume_anomaly",
     }
 )
 

@@ -550,6 +550,13 @@ def test_event_time_queries_null_ts_parity(spark, tmp_path):
         "q90_event_path_mining", "q93_cumulative_users",
         "q35_yoy_revenue", "q89_rfm_segmentation",
         "q98_wow_revenue_delta", "q50_trailing_window_revenue",
+        # round-7 sweep extension: the remaining event-time consumers,
+        # probed NULL-safe on this corpus and pinned here so they stay so
+        "q22_events_json_extract", "q23_events_user_gaps",
+        "q41_conversion_funnel", "q94_trailing_distinct_users",
+        "q97_ordered_funnel", "d02_latest_event_per_user",
+        "dq04_partition_volume_anomaly", "dq13_mad_outliers",
+        "dq15_chi2_independence", "dq17_profile_drift_audit",
     ]
     for name in names:
         q = QUERIES[name]
