@@ -1028,7 +1028,7 @@ def _minhash_sig_cte_sql(num_hashes: int, source_sql: str = "documents") -> str:
     )
     return f"""toks AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
                AS t
       FROM {source_sql}
     ), grams AS (
@@ -1105,7 +1105,7 @@ def bloom_oracle_sql(bench_in: str, shingle_n: int = 5) -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id, source,
-             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id, source,

@@ -123,7 +123,9 @@ def _winnow_worker_fns(k: int, window: int):
 
         if text is None:
             return ""
-        return re.sub(r"\s+", " ", text.strip().lower())
+        # explicit ASCII-6 class: Python's unicode \s also matches NBSP /
+        # U+2028 etc., which Java \s and the oracle's RE2 class do not
+        return re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip().lower())
 
     def rolling_hashes(s: str):
         """uint64-wrap polynomial k-gram hashes, equal to the Rabin-Karp
@@ -303,7 +305,7 @@ def winnowing_sql_cte(k: int = 5, window: int = 4) -> str:
     w = window
     return f"""
     __wn AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
       FROM documents
     ), __wc AS (
       SELECT doc_id, s, length(s) AS n FROM __wn WHERE length(s) >= {k}
@@ -376,7 +378,7 @@ def gopher_metrics(
     kept for composability, but the mode count is O(distinct x n) per row
     interpreted — quadratic on long documents. This kernel is O(n) per
     row via a hash counter and measured ~4x faster at sf0.1; tokenization
-    mirrors ``F.split(trim(text), '\\s+')`` with ASCII whitespace (the
+    mirrors ``F.split(trim(text), '[ \\t\\n\\x0b\\f\\r]+')`` with ASCII whitespace (the
     Java regex default), so outputs are identical integers.
 
     Returns ``id_cols + (n_words, char_sum, n_distinct, top_cnt)``.
@@ -610,7 +612,7 @@ def cdc_sql_cte(k: int = 8, divisor: int = 64) -> str:
         for j in range(k)
     )
     return f"""__cn AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
       FROM documents
     ), __cc AS (
       SELECT doc_id, s, length(s) AS n FROM __cn WHERE length(s) >= 1
@@ -981,7 +983,7 @@ def bm25_oracle_sql(
     return f"""
     WITH base AS (
       SELECT {id_expr} AS id,
-             string_split_regex(TRIM(LOWER({text_expr})), '\\s+') AS t
+             string_split_regex(TRIM(LOWER({text_expr})), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM {table}
     ), feat AS (
       SELECT id, len(t) AS dl,

@@ -2328,16 +2328,18 @@ def dq12_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFr
 # --------------------------------------------------------------------------
 # t26 — Flesch-style readability per language. Pure column expressions:
 # words = non-space runs, sentences = [.!?]+ runs (clamped to >=1),
-# syllable proxy = vowel-group runs, identical regexes on both engines
-# (the character classes behave the same under Java regex and RE2). All
-# JVM-side, whole-stage-codegen friendly, one shuffle for the lang groupBy.
+# syllable proxy = vowel-group runs. Word runs use the EXPLICIT negated
+# ASCII-whitespace class: Java's \S excludes vertical tab, RE2's \S does
+# not (RE2 \s is only [\t\n\f\r ]), so a bare \S+ diverges on corpora
+# containing VT (round-7 exotic-whitespace sweep). All JVM-side,
+# whole-stage-codegen friendly, one shuffle for the lang groupBy.
 # --------------------------------------------------------------------------
 @register(
     "t26_readability_by_lang",
     r"""
     WITH d AS (
       SELECT lang,
-             len(regexp_extract_all(text, '\S+')) AS words,
+             len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS words,
              GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
              len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
       FROM documents WHERE text IS NOT NULL
@@ -2358,9 +2360,11 @@ def t26_readability_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull())
         .select(
             "lang",
-            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))).alias(
-                "words"
-            ),
+            F.size(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(r"[^ \t\n\x0b\f\r]+"), F.lit(0)
+                )
+            ).alias("words"),
             F.greatest(
                 F.size(
                     F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))
@@ -4308,7 +4312,7 @@ def m17_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT doc_id, source,
-             list_filter(string_split_regex(lower(TRIM(text)), '\s+'),
+             list_filter(string_split_regex(lower(TRIM(text)), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '') AS t
       FROM documents
     ), bg AS (
@@ -4523,7 +4527,7 @@ def dq16_mean_shift_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_src AS (
       SELECT source,
              CAST(SUM(len(list_filter(
-                    string_split_regex(lower(TRIM(text)), '\s+'),
+                    string_split_regex(lower(TRIM(text)), '[ \t\n\x0b\f\r]+'),
                     x -> x <> ''))) AS BIGINT) AS c_tokens
       FROM documents GROUP BY source
     ), tot AS MATERIALIZED (
@@ -5312,7 +5316,7 @@ def _t32_oracle() -> str:
     return f"""
     WITH norm AS (
       SELECT doc_id, lang,
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+             regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS s
       FROM documents WHERE text IS NOT NULL
     ), grams AS (
       SELECT doc_id, lang, substr(s, g, 3) AS gram

@@ -816,7 +816,7 @@ def c06_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t16_tfidf_top_terms",
     """
     WITH tf AS (
-      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token
+      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')) AS token
       FROM documents
     ), tfc AS (
       SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2
@@ -967,7 +967,7 @@ def s07_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH feats AS (
       SELECT doc_id, source,
-             string_split_regex(TRIM(text), '\\s+') AS toks
+             string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
       FROM documents
     ), m AS (
       SELECT doc_id, source,
@@ -1176,7 +1176,7 @@ def m09_audio_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id,
@@ -1244,7 +1244,7 @@ def d12_duplicate_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFram
     """
     WITH toks AS (
       SELECT doc_id, source,
-             list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+             list_filter(string_split_regex(lower(TRIM(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                          x -> x <> '') AS t
       FROM documents
     ), uni AS (
@@ -1762,7 +1762,7 @@ def _d13_oracle() -> str:
     WITH est AS ({est_sql}),
     toks2 AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams2 AS (
       SELECT doc_id,
@@ -1833,7 +1833,7 @@ def d13_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
     "t19_lexical_diversity",
     """
     WITH tok AS (
-      SELECT source, lower(unnest(string_split_regex(TRIM(text), '\\s+'))) AS token
+      SELECT source, lower(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+'))) AS token
       FROM documents
     ), t2 AS (SELECT * FROM tok WHERE token <> ''),
     counts AS (
@@ -2708,7 +2708,7 @@ def e07_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id, source,
-             lower(unnest(string_split_regex(TRIM(text), '\\s+'))) AS token
+             lower(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+'))) AS token
       FROM documents
     ), t2 AS (SELECT * FROM tok WHERE token <> ''),
     rc AS (SELECT token, COUNT(*) AS cr FROM t2 GROUP BY token),

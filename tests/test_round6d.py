@@ -680,3 +680,38 @@ def test_tracked_checkpoints_concurrent_threads_disjoint(spark):
     for df in results["b"]:
         assert df.agg(F.count(F.lit(1))).first()[0] == 50
     release_checkpoints(spark, own["b"])
+
+
+def test_text_queries_exotic_whitespace_parity(spark, tmp_path):
+    """The round-7 exotic-whitespace class: Java \\s, Python unicode \\s,
+    and RE2 \\s all disagree at the edges (vertical tab is Java/Python
+    whitespace but not RE2's; NBSP/U+2028 are Python-unicode whitespace
+    only), so every tokenizing query now uses the explicit ASCII-6 class
+    [ \\t\\n\\x0b\\f\\r] on ALL THREE engines. This planted corpus (NBSP,
+    zero-width space, vertical tab, form feed, ideographic space, empty
+    text) found 7 live divergences before the unification; keep it green."""
+    from tests.oracle_utils import compare
+
+    NBSP, ZWSP, IDEO, VT, FF = "\xa0", "​", "　", "\x0b", "\x0c"
+    rows = [
+        (1, f"alpha{NBSP}beta{NBSP}gamma tokens", "en", "web", 24),
+        (2, f"zero{ZWSP}width{ZWSP}joined words", "en", "web", 23),
+        (3, f"vertical{VT}tab and{FF}formfeed. sentence two!", "en", "web", 24),
+        (4, f"ideographic{IDEO}space separated", "zh", "web", 24),
+        (5, "normal control text for pairs", "en", "web", 29),
+        (6, "normal control text for pairs ok", "en", "web", 32),
+        (7, "", "en", "web", 0),
+    ]
+    _write_docs(tmp_path, [(r[0], r[1], r[2], r[3], r[4]) for r in rows])
+    names = [
+        "t01_text_stats", "t02_quality_scores", "t03_token_counts_by_source",
+        "t05_token_length_stats", "t07_repetition_signals", "t10_top_tokens",
+        "t17_gopher_quality_rules", "t19_lexical_diversity",
+        "t26_readability_by_lang", "d01_exact_dedup_groups",
+        "d03_fingerprint_dedup", "d05_ngram_jaccard_pairs", "d06_simhash",
+        "t32_langid_ngram_profile", "t33_heaps_law_fit",
+        "t31_kneser_ney_bigram", "t20_dsir_importance", "t16_tfidf_top_terms",
+    ]
+    for name in names:
+        q = QUERIES[name]
+        compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
