@@ -90,16 +90,26 @@ def q21_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_events_json_extract",
+    # json_valid guard: Spark's get_json_object returns NULL on malformed
+    # JSON, but DuckDB's json_extract_string THROWS — a single corrupt
+    # props row would kill the oracle (round-7 malformed-JSON sweep)
     """
+    WITH p AS (
+      SELECT event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-                 / COUNT(*) AS avg_k
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM p
     GROUP BY event_type
     """,
-    "JSON field extraction from string column (events.props)",
+    "JSON field extraction from string column (events.props); malformed "
+    "rows yield NULL on both engines, never a crash",
 )
 def q22_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -271,17 +281,25 @@ def q41_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q47_json_struct_parse",
+    # json_valid guard mirrors from_json's PERMISSIVE default (null struct
+    # on malformed input); DuckDB would otherwise throw on one bad row
     """
-    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+    WITH p AS (
+      SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS INT)
+             END AS k
+      FROM events
+    )
+    SELECT k % 10 AS k_mod,
            COUNT(*) AS n_events,
-           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
-    FROM events
+           CAST(MIN(k) AS INT) AS min_k,
+           CAST(MAX(k) AS INT) AS max_k
+    FROM p
     GROUP BY k_mod
     """,
     "from_json into a typed struct (schema-on-read JSON parsing — the "
     "JacksonParser path, vs q22's JSONPath extraction), grouped by a "
-    "derived field",
+    "derived field; malformed rows parse to NULL on both engines",
 )
 def q47_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -302,7 +320,9 @@ def q47_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
       SELECT event_type, user_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
       FROM events)
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -311,14 +331,16 @@ def q47_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(k) AS BIGINT) AS max_k
     FROM v GROUP BY event_type
     """,
-    "VariantType semi-structured path (Spark 4): parse_json -> open binary "
-    "variant -> typed variant_get extraction. Unlike from_json (q47) no "
-    "schema is declared up front — the 100 TB pattern for heterogeneous "
-    "event payloads (shredded variant scans beat string re-parsing)",
+    "VariantType semi-structured path (Spark 4): try_parse_json -> open "
+    "binary variant -> typed variant_get extraction. Unlike from_json "
+    "(q47) no schema is declared up front — the 100 TB pattern for "
+    "heterogeneous event payloads (shredded variant scans beat string "
+    "re-parsing); try_parse_json yields a NULL variant on malformed rows "
+    "instead of parse_json's FAILFAST job kill",
 )
 def q59_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "bigint")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -99,6 +99,11 @@ _FORM_CHANGED: frozenset[str] = frozenset(
         # zero-variance guard added to the z-score divide (row-identical
         # on the fixture corpora, but the plan changed)
         "dq04_partition_volume_anomaly",
+        # malformed-JSON tolerance: json_valid oracle guards (q22/q47) and
+        # try_parse_json instead of FAILFAST parse_json (q59)
+        "q22_events_json_extract",
+        "q47_json_struct_parse",
+        "q59_variant_semistructured",
     }
 )
 

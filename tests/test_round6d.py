@@ -715,3 +715,50 @@ def test_text_queries_exotic_whitespace_parity(spark, tmp_path):
     for name in names:
         q = QUERIES[name]
         compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
+
+
+def test_json_queries_malformed_props_parity(spark, tmp_path):
+    """Round-7 malformed-JSON sweep: a web-events corpus WILL contain
+    corrupt props rows. Spark's get_json_object/from_json yield NULL on
+    them, DuckDB's json functions THROW, and Spark's parse_json is
+    FAILFAST — so q22/q47 guard the oracle with json_valid and q59 uses
+    try_parse_json. Malformed, empty, NULL, missing-key, and nested
+    payloads must all produce identical NULL-semantics on both engines."""
+    import datetime
+
+    from tests.oracle_utils import compare
+
+    base = datetime.datetime(2024, 1, 2, 0, 0, 0)
+    props = [
+        '{"device": "mobile", "k": 12}',
+        '{"device": "desktop"}',
+        "not json at all",
+        '{"k": null}',
+        "",
+        None,
+        '{"k": 77, "nested": {"x": [1,2,3]}}',
+        '{"K": 42}',
+    ]
+    rows = [
+        (i, base + datetime.timedelta(minutes=13 * i), 1 + i % 3,
+         ["view", "click", "purchase"][i % 3], 5.0 + i, props[i % len(props)])
+        for i in range(16)
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    for name in (
+        "q22_events_json_extract",
+        "q47_json_struct_parse",
+        "q59_variant_semistructured",
+    ):
+        q = QUERIES[name]
+        compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
