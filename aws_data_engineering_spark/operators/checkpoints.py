@@ -14,6 +14,13 @@ code path (raw ``df.localCheckpoint``) during the materialization window
 could still be captured — the lock scopes what this module does, not the
 whole session — so keep every eager checkpoint that shares a session on
 these helpers.
+
+COST: the lock is held across the JVM-side eager materialization, so all
+tracked checkpoints in the process SERIALIZE — concurrent threads queue
+behind each other's materialization. Acceptable for the current callers
+(bpe_learn / q-digest run their chains single-threaded); if parallel
+materialization ever matters, diff ids under the lock but materialize
+outside via a per-session retry loop.
 """
 
 from __future__ import annotations

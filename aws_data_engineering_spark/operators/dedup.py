@@ -760,7 +760,14 @@ def bloom_probe(
     worst streaming ratio). Single consumer ⇒ no materialization; the
     probe work per gram is k+1 broadcast hash lookups either way, and the
     groupBy is map-side-combined to one row per (doc, partition) before
-    the only shuffle."""
+    the only shuffle.
+
+    CONTRACT: ``bench_bits.pos`` and ``bench_grams.shingle`` MUST be
+    duplicate-free. The left-join hit markers (unlike the old semi-join
+    form) fan out candidate rows on duplicate build-side keys, which would
+    inflate n_grams/bloom_hits/exact_hits. Both call sites satisfy this by
+    construction (``bloom_contamination`` builds them via ``.distinct()``;
+    st16's streaming state upserts by key)."""
     probed = cand.select(
         "id",
         "shingle",

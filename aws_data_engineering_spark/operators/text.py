@@ -942,17 +942,18 @@ def bm25_scores(
     return scored.select("id", score.alias("bm25")).filter(F.col("bm25") > 0)
 
 
-def bm25_oracle_sql(
+def bm25_scored_cte_sql(
     terms: tuple[str, ...],
-    k: int,
     k1: float = 1.2,
     b: float = 0.75,
     table: str = "documents",
     id_expr: str = "doc_id",
     text_expr: str = "text",
 ) -> str:
-    """DuckDB SQL twin of :func:`bm25_scores` + top-k ranking — identical
-    literal arithmetic order so the unrounded doubles match bit-for-bit."""
+    """The ``base``/``feat``/``stats``/``scored`` CTE chain of
+    :func:`bm25_oracle_sql` (``scored`` = (id, bm25)) as a reusable SQL
+    fragment, so composite oracles (s11's RRF fusion) share the one
+    bit-exact BM25 definition instead of re-deriving it."""
     tf_cols = ",\n             ".join(
         f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
         for i, t in enumerate(terms)
@@ -980,8 +981,7 @@ def bm25_oracle_sql(
     score = term_exprs[0]
     for t in term_exprs[1:]:
         score = f"({score} + {t})"
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT {id_expr} AS id,
              string_split_regex(TRIM(LOWER({text_expr})), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM {table}
@@ -997,7 +997,25 @@ def bm25_oracle_sql(
     ), scored AS (
       SELECT id, {score} AS bm25
       FROM feat CROSS JOIN stats
+    )"""
+
+
+def bm25_oracle_sql(
+    terms: tuple[str, ...],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB SQL twin of :func:`bm25_scores` + top-k ranking — identical
+    literal arithmetic order so the unrounded doubles match bit-for-bit."""
+    cte = bm25_scored_cte_sql(
+        terms, k1=k1, b=b, table=table, id_expr=id_expr, text_expr=text_expr
     )
+    return f"""
+    WITH {cte}
     SELECT id, ROUND(bm25, 6) AS bm25, rnk FROM (
       SELECT id, bm25,
              CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS INT) AS rnk

@@ -6198,3 +6198,224 @@ def e21_pq_codebook_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("dist").cast("bigint").alias("total_dist_nano"),
     )
+
+
+# --------------------------------------------------------------------------
+# s11 — reciprocal-rank-fusion hybrid retrieval (VERDICT r07 #5): fuse the
+# sparse (t30 BM25) and dense (s01-style cosine) rankings the way every
+# production RAG pipeline does (Cormack/Clarke/Buettcher SIGIR'09):
+# RRF(d) = Σ_rankings 1/(K + rank_d), K = 60. Both arms reuse the repo's
+# bit-exact building blocks (the one BM25 definition via
+# T.bm25_scores/bm25_scored_cte_sql; the fold-order-matched cosine), ranks
+# are exact integers (row_number with id tiebreaks), and the fused score is
+# a fixed-order sum of two integer-reciprocal doubles — bit-identical
+# across engines — quantized to floor(rrf·1e9) so the hash compare never
+# meets a decimal .5 boundary.
+#
+# Scale: each arm is the already-audited retrieval plan (BM25: two corpus
+# scans + a 1-row broadcast; dense: one corpus scan against a broadcast
+# query vector — swap in s02/s08's LSH/IVFPQ arm for ad-hoc query sets);
+# the fusion itself touches only 2×POOL ranked rows — a full-outer join and
+# a top-k on a bounded table, independent of corpus size. The doc↔vector
+# identity contract is positional: embeddings.vec_id is taken as
+# documents.doc_id (both fixture tables enumerate the same corpus ids).
+# --------------------------------------------------------------------------
+_S11_TERMS = ("spark", "merge", "window")  # t30's fixed query
+_S11_QVEC = 0  # dense query = this vec_id's embedding
+_S11_POOL = 20  # per-arm candidate pool fed to the fusion
+_S11_K = 10  # fused output size
+_S11_RRFK = 60  # the standard RRF constant
+
+
+@register(
+    "s11_rrf_hybrid_retrieval",
+    f"""
+    WITH {T.bm25_scored_cte_sql(terms=_S11_TERMS)},
+    sr AS (
+      SELECT id, s_rnk FROM (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS INT) AS s_rnk
+        FROM scored WHERE bm25 > 0
+      ) WHERE s_rnk <= {_S11_POOL}
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {_S11_QVEC}
+    ), dense AS (
+      SELECT vec_id AS id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS sim
+      FROM embeddings CROSS JOIN q WHERE vec_id <> {_S11_QVEC}
+    ), dr AS (
+      SELECT id, d_rnk FROM (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, id) AS INT) AS d_rnk
+        FROM dense
+      ) WHERE d_rnk <= {_S11_POOL}
+    ), fused AS (
+      SELECT COALESCE(sr.id, dr.id) AS id, sr.s_rnk, dr.d_rnk,
+             COALESCE(CAST(1.0 AS DOUBLE) / ({_S11_RRFK} + sr.s_rnk),
+                      CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({_S11_RRFK} + dr.d_rnk),
+                        CAST(0.0 AS DOUBLE)) AS rrf
+      FROM sr FULL OUTER JOIN dr ON sr.id = dr.id
+    )
+    SELECT id, rrf_n9, s_rnk, d_rnk, rnk FROM (
+      SELECT id, CAST(FLOOR(rrf * 1e9) AS BIGINT) AS rrf_n9, s_rnk, d_rnk,
+             CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS INT) AS rnk
+      FROM fused
+    ) WHERE rnk <= {_S11_K}
+    """,
+    "reciprocal-rank-fusion hybrid retrieval: BM25 arm + dense-cosine arm "
+    "fused by sum of 1/(60+rank) — bounded-by-pool fusion join, exact "
+    "integer ranks, floor-quantized score",
+)
+def s11_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    sw = Window.orderBy(F.desc("bm25"), F.asc("id"))
+    sr = (
+        T.bm25_scores(docs, "doc_id", "text", terms=_S11_TERMS)
+        .select("id", F.row_number().over(sw).cast("int").alias("s_rnk"))
+        .filter(F.col("s_rnk") <= _S11_POOL)
+    )
+
+    qv = emb.filter(F.col("vec_id") == _S11_QVEC).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != _S11_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            SIM.cosine(F.col("embedding").cast("array<double>"), F.col("qv")).alias(
+                "sim"
+            ),
+        )
+    )
+    dw = Window.orderBy(F.desc("sim"), F.asc("id"))
+    dr = dense.select(
+        "id", F.row_number().over(dw).cast("int").alias("d_rnk")
+    ).filter(F.col("d_rnk") <= _S11_POOL)
+
+    fused = (
+        sr.withColumnRenamed("id", "s_id")
+        .join(dr.withColumnRenamed("id", "d_id"),
+              F.col("s_id") == F.col("d_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("s_id"), F.col("d_id")).alias("id"),
+            "s_rnk",
+            "d_rnk",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_S11_RRFK) + F.col("s_rnk")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_S11_RRFK) + F.col("d_rnk")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    fw = Window.orderBy(F.desc("rrf"), F.asc("id"))
+    return (
+        fused.select(
+            "id",
+            F.floor(F.col("rrf") * F.lit(1e9)).cast("bigint").alias("rrf_n9"),
+            "s_rnk",
+            "d_rnk",
+            F.row_number().over(fw).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _S11_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# t35 — hashed-n-gram quality-classifier inference (VERDICT r07 #6): the
+# fastText-style linear scorer every production quality filter runs
+# (Joulin et al. 2016): score(doc) = Σ_grams w[h(gram) mod B] over word
+# unigrams+bigrams, keep iff score ≥ 0 (σ is monotone, so thresholding the
+# raw sum IS thresholding the sigmoid — and keeps the oracle exact-integer).
+# The weight table is deterministic and engine-portable: bucket = the t28
+# md5 trick (hash_bucket/bucket_sql, B=256), weight = a fixed integer mix
+# ((bucket·2654435761) mod 2001 − 1000 ∈ [-1000,1000]) computed INLINE from
+# the bucket — no weight table to join, no floats anywhere until nothing.
+#
+# Scale: shuffle-free like t17 — tokenize/gram/hash/score are all
+# scan-stage expressions (per-doc HOF over the token list), and the only
+# exchange is the final (source, keep) census partial-agg over a bounded
+# key space. Linear in corpus bytes, map-parallel at 100 TB. A learned
+# (non-toy) model drops in by replacing the weight expression with a
+# broadcast bucket→weight table join — same plan shape.
+# --------------------------------------------------------------------------
+_T35_SALT = "t35-qc-v1"
+_T35_MIX = 2654435761  # Knuth multiplicative constant
+_T35_RANGE = 2001  # weights in [-1000, 1000]
+
+
+def _t35_weight_spark(gram):
+    """Integer weight for one gram Column (HOF-lambda safe)."""
+    b = SAMP.hash_bucket(gram, _T35_SALT)
+    return (b.cast("bigint") * F.lit(_T35_MIX)) % F.lit(_T35_RANGE) - F.lit(1000)
+
+
+def _t35_weight_sql(gram_expr: str) -> str:
+    return (
+        f"((CAST({SAMP.bucket_sql(gram_expr, _T35_SALT)} AS BIGINT)"
+        f" * {_T35_MIX}) % {_T35_RANGE}) - 1000"
+    )
+
+
+@register(
+    "t35_hashed_ngram_quality",
+    f"""
+    WITH base AS (
+      SELECT source,
+             string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT source,
+             t || [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS g
+      FROM base
+    ), scored AS (
+      SELECT source,
+             len(g) AS n_grams,
+             CAST(list_aggregate([{_t35_weight_sql('x')} FOR x IN g], 'sum')
+                  AS BIGINT) AS score_units
+      FROM grams
+    )
+    SELECT source,
+           CASE WHEN score_units >= 0 THEN 1 ELSE 0 END AS keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_units) AS BIGINT) AS sum_score_units,
+           CAST(SUM(n_grams) AS BIGINT) AS sum_grams
+    FROM scored GROUP BY source, keep
+    """,
+    "fastText-style hashed unigram+bigram linear quality scorer with a "
+    "deterministic md5-bucket weight table — shuffle-free scan-stage "
+    "scoring, exact-integer keep/drop census per source",
+)
+def t35_hashed_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n1 = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(toks, bigrams)
+    score = F.aggregate(
+        F.transform(grams, _t35_weight_spark),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + w,
+    )
+    scored = docs.select(
+        "source",
+        F.size(grams).cast("bigint").alias("n_grams"),
+        score.alias("score_units"),
+    )
+    return scored.groupBy(
+        "source",
+        F.when(F.col("score_units") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_units").alias("sum_score_units"),
+        F.sum("n_grams").alias("sum_grams"),
+    )

@@ -457,9 +457,10 @@ def q81_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT order_day, n_orders,
            ROUND((n_orders - mean) / sqrt(m2 - mean * mean), 3) AS z_score
     FROM d, s
-    -- zero-variance guard: a perfectly steady feed has no outliers (and
-    -- an unguarded divide is an ANSI DIVIDE_BY_ZERO crash on the Spark
-    -- side, engine-divergent inf on this side)
+    -- zero-variance guard: a perfectly steady feed has no outliers; an
+    -- unguarded 0/0 divide yields NaN/Inf z-scores (double division is
+    -- IEEE 754 on BOTH engines, even under Spark ANSI mode) — the guard
+    -- keeps both engines emitting nothing instead of junk rows
     WHERE m2 - mean * mean > 0
       AND abs((n_orders - mean) / sqrt(m2 - mean * mean)) > 2
     """,
@@ -484,8 +485,9 @@ def dq04_partition_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame
     var = F.col("m2") - F.col("mean") * F.col("mean")
     return (
         d.crossJoin(F.broadcast(s))
-        # zero-variance guard BEFORE the divide: ANSI mode turns the
-        # division into a DIVIDE_BY_ZERO crash on a perfectly steady feed
+        # zero-variance guard BEFORE the divide: double division is IEEE
+        # 754 even under ANSI (no crash) — this drops the NaN/Inf z-score
+        # rows a perfectly steady feed (0/0 or x/0) would otherwise emit
         .filter(var > 0)
         .filter(F.abs(z) > 2)
         .select("order_day", "n_orders", F.round(z, 3).alias("z_score"))

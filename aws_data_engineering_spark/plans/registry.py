@@ -77,35 +77,36 @@ def _load_all() -> None:
 # tests/test_queries_oracle.py regardless of this ordering; the rotation
 # only controls the redundant-but-harder driver evidence.
 
-# Queries whose REGISTERED FORM changed this round (guard/plan/oracle
-# edits), voiding prior driver evidence: d04/d13/d19 grew the default
-# bucket-census guard (d13/d19 call minhash_candidate_pairs with default
-# args, so their plans changed too), d18/g08/g09 switched to data-sized
-# LSH plane counts, c16 to (month × hash-bucket) sub-partitioned layout,
-# and d11/st16 consume the rewritten single-pass bloom_probe (left-join
-# markers + one per-doc aggregate instead of the 3-consumer semi-join
-# form with the eager gram checkpoint).
-_FORM_CHANGED: frozenset[str] = frozenset(
-    {
-        "d04_minhash_candidate_pairs",
-        "d11_bloom_contamination",
-        "d13_minhash_estimate_accuracy",
-        "d19_lsh_scurve_audit",
-        "d18_canonical_doc_selection",
-        "g08_star_components",
-        "g09_dup_cluster_census",
-        "c16_parquet_zonemap_audit",
-        "st16_stream_bloom_filter",
-        # zero-variance guard added to the z-score divide (row-identical
-        # on the fixture corpora, but the plan changed)
-        "dq04_partition_volume_anomaly",
-        # malformed-JSON tolerance: json_valid oracle guards (q22/q47) and
-        # try_parse_json instead of FAILFAST parse_json (q59)
-        "q22_events_json_extract",
-        "q47_json_struct_parse",
-        "q59_variant_semistructured",
-    }
-)
+# Queries whose REGISTERED FORM changed (guard/plan/oracle edits), voiding
+# prior driver evidence — mapped to the ROUND the form changed. An entry
+# SELF-EXPIRES: once the query's latest driver-green round is >= the round
+# recorded here, the new form has re-earned evidence and the name drops out
+# of tier 0 automatically (VERDICT r07 #2 — no per-round manual clearing).
+# Keep expired entries as history; they are inert.
+#
+# Round-7 changes (all re-earned green in CORRECTNESS_r07, so expired):
+# d04/d13/d19 grew the default bucket-census guard, d18/g08/g09 switched to
+# data-sized LSH plane counts, c16 to (month × hash-bucket) sub-partitioned
+# layout, d11/st16 consume the rewritten single-pass bloom_probe, dq04 the
+# zero-variance guard, q22/q47/q59 the malformed-JSON tolerance.
+_FORM_CHANGED: dict[str, int] = {
+    "d04_minhash_candidate_pairs": 7,
+    "d11_bloom_contamination": 7,
+    "d13_minhash_estimate_accuracy": 7,
+    "d19_lsh_scurve_audit": 7,
+    "d18_canonical_doc_selection": 7,
+    "g08_star_components": 7,
+    "g09_dup_cluster_census": 7,
+    "c16_parquet_zonemap_audit": 7,
+    "st16_stream_bloom_filter": 7,
+    "dq04_partition_volume_anomaly": 7,
+    "q22_events_json_extract": 7,
+    "q47_json_struct_parse": 7,
+    "q59_variant_semistructured": 7,
+    # Round-8 changes: st17 retuned state-exchange (Arrow batch size /
+    # shuffle partitions) per VERDICT r07 #3 — plan changed, re-earn.
+    "st17_stream_stateful_sessions": 8,
+}
 
 
 _EVIDENCE_CACHE: dict[str, int] | None = None
@@ -323,6 +324,7 @@ def _ordered() -> list[tuple[str, Query]]:
     evidence = _evidence_rounds()
     if not evidence:
         # fallback without round artifacts: the legacy three-tier sets
+        # (no evidence files → every _FORM_CHANGED entry is unexpired)
         def tier(name: str) -> int:
             if name in _FORM_CHANGED:
                 return 0
@@ -335,9 +337,11 @@ def _ordered() -> list[tuple[str, Query]]:
         return sorted(QUERIES.items(), key=lambda kv: tier(kv[0]))
 
     def age(name: str) -> int:
-        if name in _FORM_CHANGED:
+        last_green = evidence.get(name, 0)
+        # unexpired form change: evidence predates the new form → tier 0
+        if last_green < _FORM_CHANGED.get(name, 0):
             return 0
-        return evidence.get(name, 0)
+        return last_green
 
     return sorted(QUERIES.items(), key=lambda kv: age(kv[0]))
 

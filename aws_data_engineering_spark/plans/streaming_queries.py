@@ -546,7 +546,9 @@ def st17_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     in_dir = os.path.join(base, "in")
     lo = F.lit(_ST17_CUTS[0]).cast("timestamp")
     hi = F.lit(_ST17_CUTS[1]).cast("timestamp")
-    t = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    # integer DIV, not double /: double division loses precision above
+    # 2^53 ns — the exact pitfall read_events_stream's docstring calls out
+    t = F.timestamp_micros(F.expr("ts DIV 1000"))
     ranges = [t < lo, (t >= lo) & (t < hi), t >= hi]
     seen: set = set()
     for b, pred in enumerate(ranges):

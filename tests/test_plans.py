@@ -162,14 +162,21 @@ def test_registry_orders_stalest_evidence_first():
     assert ev, "CORRECTNESS_r*.json artifacts missing at the repo root"
 
     def age(n: str) -> int:
-        return 0 if n in R._FORM_CHANGED else ev.get(n, 0)
+        # _FORM_CHANGED entries self-expire: tier 0 only while the latest
+        # driver-green round predates the round the form changed
+        return 0 if ev.get(n, 0) < R._FORM_CHANGED.get(n, 0) else ev.get(n, 0)
 
     ages = [age(n) for n in names]
     assert ages == sorted(ages), "registry not ordered by evidence age"
-    # form-changed names must reference registered queries and lead the
-    # prefix (they re-earn driver evidence before anything else)
-    assert R._FORM_CHANGED <= set(names)
-    assert all(age(n) == 0 for n in names[: len(R._FORM_CHANGED)])
+    # form-changed names must reference registered queries; UNEXPIRED ones
+    # lead the prefix (they re-earn driver evidence before anything else)
+    assert set(R._FORM_CHANGED) <= set(names)
+    unexpired = {n for n, rnd in R._FORM_CHANGED.items() if ev.get(n, 0) < rnd}
+    assert all(age(n) == 0 for n in names[: len(unexpired)])
+    # expired entries are inert history: r07 re-greened the 13 round-7
+    # names, so none of them may still claim a tier-0 slot
+    assert ev.get("d04_minhash_candidate_pairs", 0) >= 7
+    assert age("d04_minhash_candidate_pairs") >= 7
     # rows-only queries (err == no_oracle) count as evidence: they must
     # not permanently occupy the prefix (q71 has r03-r05 rows)
     assert ev.get("q71_hll_partial_union", 0) >= 3
@@ -504,3 +511,32 @@ def test_survey_query_map_in_sync():
     want = G.rows()
     got = [l for l in block.splitlines() if l.startswith("| ") and "Implementation" not in l and not l.startswith("|---")]
     assert got == want, "SURVEY §8.1 stale — run: python tools/gen_query_map.py"
+
+
+def test_readme_and_survey_counts_in_sync():
+    """The README's headline registry counts ("M of N" oracle-checked)
+    must match the live registry — VERDICT r07 #4 pinned these after two
+    rounds of drift. SURVEY §8's totals line is pinned by the same rule."""
+    import os
+    import re
+
+    from aws_data_engineering_spark.plans.registry import QUERIES, queries
+
+    queries()  # load all modules
+    total = len(QUERIES)
+    oracle = sum(1 for q in QUERIES.values() if q.oracle is not None)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(root, "README.md")).read()
+    assert f"{total} named queries" in readme, (
+        f"README 'named queries' count drifted — registry has {total}"
+    )
+    assert readme.count(f"{oracle} of {total}") == 2, (
+        f"README oracle counts drifted — registry is {oracle} of {total}"
+    )
+    # no stale "M of N" phrasing with other numbers may remain
+    for m, n in re.findall(r"\((\d+) of (\d+)[;)]", readme):
+        assert (int(m), int(n)) == (oracle, total), (
+            f"README contains stale count ({m} of {n}); registry is "
+            f"({oracle} of {total})"
+        )
