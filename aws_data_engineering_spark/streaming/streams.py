@@ -453,11 +453,18 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     (ValueState/ListState/MapState), TTL, and timers managed per key by the
     state store.
 
-    Environment gate: the transformWithState protocol speaks protobuf
-    between the JVM and the Python state server; on hosts without
-    ``google.protobuf`` the query crashes at start — callers should gate on
-    that import (the parity test skips without it), the same pattern as the
-    Delta-gated writer paths.
+    Environment requirements (round 8: both SOLVED in this sandbox, the
+    parity test is un-gated): (1) the transformWithState protocol speaks
+    protobuf between the JVM and the Python state server — call
+    ``compat.ensure_protobuf()`` BEFORE creating the SparkSession so the
+    vendored runtime reaches the Python workers via PYTHONPATH; (2) the
+    operator creates multiple state-store column families, which
+    ``HDFSBackedStateStoreProvider`` rejects — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` (rocksdbjni ships with Spark 4).
+    NOT registered as a driver query: the driver harness creates its
+    SparkSession before importing this package, so the PYTHONPATH export
+    cannot reach its workers.
 
     State here is one ValueState of two scalars per user — O(active users),
     sharded by the grouping key across executors exactly like the state

