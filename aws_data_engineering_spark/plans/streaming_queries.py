@@ -491,6 +491,7 @@ def st16_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _ST17_CUTS = ("2024-01-11", "2024-01-21")
 _ST17_SENTINEL_NS = 1_740_787_200_000_000_000  # 2025-03-01 UTC, past any fixture
+_ST17_FEED_FILES = 8  # files per time-range feed batch (parallel write)
 
 
 @register(
@@ -552,8 +553,26 @@ def st17_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     ranges = [t < lo, (t >= lo) & (t < hi), t >= hi]
     seen: set = set()
     for b, pred in enumerate(ranges):
-        feed.filter(pred).coalesce(1).write.mode("append").parquet(in_dir)
+        # round 8: repartition(K) instead of coalesce(1) — coalesce
+        # collapsed the whole scan+filter+write into ONE task (3 single-
+        # threaded passes over the corpus, the dominant share of the 100×
+        # wall-clock). K files per range keeps micro-batch alignment via
+        # max_files_per_trigger=K below; within-batch file order is free
+        # (the state fn sorts each batch), across-batch order is the
+        # time-range construction. A range emitting != K files would break
+        # alignment (a later range's file pulled into an earlier batch can
+        # deliver a user's events out of time order), so it is asserted.
+        feed.filter(pred).repartition(_ST17_FEED_FILES).write.mode(
+            "append"
+        ).parquet(in_dir)
+        prev = seen
         seen = stamp_feed_mtimes(in_dir, seen, b)
+        n_new = sum(1 for f in seen - prev if f.endswith(".parquet"))
+        if n_new != _ST17_FEED_FILES:
+            raise RuntimeError(
+                f"st17 feed range {b} wrote {n_new} files, expected "
+                f"{_ST17_FEED_FILES} — micro-batch alignment would break"
+            )
     # sentinel: one far-future event for user -1 — the final batch advances
     # the watermark past every real session's (last + gap), so the
     # event-time timeout flushes ALL open sessions; user -1's own session
@@ -565,14 +584,31 @@ def st17_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     ).coalesce(1).write.mode("append").parquet(in_dir)
     seen = stamp_feed_mtimes(in_dir, seen, len(ranges))
 
-    stream = read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    stream = read_events_stream(
+        spark, in_dir, max_files_per_trigger=_ST17_FEED_FILES
+    )
     stream = stream.withColumn(
         "value",
         F.coalesce(F.floor(F.col("value") * 100).cast("double"), F.lit(0.0)),
     )
     sess = sessionize_with_state(stream, gap_minutes=30, watermark="0 seconds")
     name = f"st17_{uuid.uuid4().hex[:8]}"
-    out = run_to_memory_sink(sess, name, "append")
+    # 64k-record Arrow batches for the state exchange: the default 10k
+    # chunks the ~100k-row per-partition micro-batch into 10+ Arrow
+    # batches, and every group straddling a chunk boundary pays an extra
+    # per-group pandas concat inside pyspark's serializer. Measured at
+    # 100× (SCALING_r08): stream phase 138s -> 112s. Set/restore around
+    # the drain so the session-wide setting is untouched.
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev_arrow = spark.conf.get(arrow_key, None)
+    spark.conf.set(arrow_key, "65536")
+    try:
+        out = run_to_memory_sink(sess, name, "append")
+    finally:
+        if prev_arrow is None:
+            spark.conf.unset(arrow_key)
+        else:
+            spark.conf.set(arrow_key, prev_arrow)
     return out.filter(F.col("user_id") >= 0).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(

@@ -135,6 +135,11 @@ HEADLINE = [
     "t34_lang_jsd_matrix",
     "m19_palette_png_channel_sums",
     "st16_stream_bloom_filter",
+    # round-8: the two new retrieval/curation families — RRF hybrid fusion
+    # (both retrieval arms + the bounded fusion join) and the hashed-n-gram
+    # quality classifier (shuffle-free scan-stage HOF scoring).
+    "s11_rrf_hybrid_retrieval",
+    "t35_hashed_ngram_quality",
 ]
 
 
