@@ -21,6 +21,31 @@ STOPWORDS = ("a", "and", "in", "of", "the", "to")
 # BPE-ish token pattern: letter runs, single digits, single punctuation marks.
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
+# Engine-portable ASCII case fold (round 8, the case twin of the ASCII-6
+# whitespace class): Spark/Java LOWER is context-sensitive Unicode
+# (U+0130 İ -> 'i'+combining dot, final Σ -> ς) while DuckDB's lower maps
+# İ -> plain 'i' and never emits final sigma — a live divergence class
+# (the planted unicode-case corpus flipped t10/t35/d03/d06 before this
+# unification; tests/test_round8.py keeps it green). Every TOKEN-IDENTITY
+# case fold (tokenizers, fingerprints, n-grams, retrieval) therefore folds
+# ONLY A-Z via translate on all three engines; non-ASCII codepoints pass
+# through unchanged everywhere.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWERED = "abcdefghijklmnopqrstuvwxyz"
+ASCII_FOLD_TABLE = str.maketrans(ASCII_UPPER, ASCII_LOWERED)
+
+
+def ascii_lower(col: str | Column) -> Column:
+    """A-Z -> a-z only (see ASCII_UPPER comment); the Spark member of the
+    three-engine fold contract."""
+    return F.translate(col if isinstance(col, Column) else F.col(col),
+                       ASCII_UPPER, ASCII_LOWERED)
+
+
+def ascii_lower_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ascii_lower` as a SQL fragment."""
+    return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWERED}')"
+
 
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization (after trim)."""
@@ -41,7 +66,7 @@ def char_count(col: str | Column) -> Column:
 
 
 def stopword_count(col: str | Column) -> Column:
-    toks = tokens(F.lower(col))
+    toks = tokens(ascii_lower(col))
     return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
 
 
@@ -93,7 +118,7 @@ def lang_id(col: str | Column) -> Column:
 
 def normalize_text(col: str | Column) -> Column:
     """Lowercase + collapse whitespace — canonical form for fingerprinting."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.regexp_replace(ascii_lower(F.trim(col)), r"\s+", " ")
 
 
 def fingerprint(col: str | Column) -> Column:
@@ -118,14 +143,21 @@ def _winnow_worker_fns(k: int, window: int):
     """Factory so cloudpickle ships everything by value (executors may not
     have the package importable — see operators/dedup._shingle_worker_fns)."""
 
+    # built here (not module-level) so cloudpickle ships it by value
+    fold = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
+
     def normalize(text: str | None) -> str:
         import re
 
         if text is None:
             return ""
         # explicit ASCII-6 class: Python's unicode \s also matches NBSP /
-        # U+2028 etc., which Java \s and the oracle's RE2 class do not
-        return re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip().lower())
+        # U+2028 etc., which Java \s and the oracle's RE2 class do not;
+        # ASCII-only case fold: Python str.lower is Unicode-context-aware
+        # (İ, final Σ) where DuckDB's is not — same contract as ascii_lower
+        return re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip().translate(fold))
 
     def rolling_hashes(s: str):
         """uint64-wrap polynomial k-gram hashes, equal to the Rabin-Karp
@@ -305,7 +337,7 @@ def winnowing_sql_cte(k: int = 5, window: int = 4) -> str:
     w = window
     return f"""
     __wn AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
+      SELECT doc_id, regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
       FROM documents
     ), __wc AS (
       SELECT doc_id, s, length(s) AS n FROM __wn WHERE length(s) >= {k}
@@ -612,7 +644,7 @@ def cdc_sql_cte(k: int = 8, divisor: int = 64) -> str:
         for j in range(k)
     )
     return f"""__cn AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
+      SELECT doc_id, regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
       FROM documents
     ), __cc AS (
       SELECT doc_id, s, length(s) AS n FROM __cn WHERE length(s) >= 1
@@ -899,7 +931,7 @@ def bm25_scores(
     """
     from pyspark.sql import functions as F
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(ascii_lower(F.col(text_col))), r"\s+")
 
     def _eq(term: str):
         # single-arg lambda: a 2-arg function would make pyspark pass the
@@ -983,7 +1015,7 @@ def bm25_scored_cte_sql(
         score = f"({score} + {t})"
     return f"""base AS (
       SELECT {id_expr} AS id,
-             string_split_regex(TRIM(LOWER({text_expr})), '[ \\t\\n\\x0b\\f\\r]+') AS t
+             string_split_regex(TRIM(translate({text_expr}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM {table}
     ), feat AS (
       SELECT id, len(t) AS dl,

@@ -1178,7 +1178,7 @@ def m09_audio_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id,
@@ -1246,7 +1246,7 @@ def d12_duplicate_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFram
     """
     WITH toks AS (
       SELECT doc_id, source,
-             list_filter(string_split_regex(lower(TRIM(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+             list_filter(string_split_regex(translate(TRIM(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'),
                          x -> x <> '') AS t
       FROM documents
     ), uni AS (
@@ -1290,7 +1290,7 @@ def t18_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.filter(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+            F.split(T.ascii_lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
         ).alias("t"),
     )
     uni = toks.select(F.explode("t").alias("token"))
@@ -1764,7 +1764,7 @@ def _d13_oracle() -> str:
     WITH est AS ({est_sql}),
     toks2 AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams2 AS (
       SELECT doc_id,
@@ -1835,7 +1835,7 @@ def d13_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
     "t19_lexical_diversity",
     """
     WITH tok AS (
-      SELECT source, lower(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+'))) AS token
+      SELECT source, translate(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
       FROM documents
     ), t2 AS (SELECT * FROM tok WHERE token <> ''),
     counts AS (
@@ -1868,7 +1868,7 @@ def t19_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
         )
-        .select("source", F.lower(F.col("raw")).alias("token"))
+        .select("source", T.ascii_lower(F.col("raw")).alias("token"))
         .filter(F.col("token") != "")
     )
     counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -2710,7 +2710,7 @@ def e07_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id, source,
-             lower(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+'))) AS token
+             translate(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
       FROM documents
     ), t2 AS (SELECT * FROM tok WHERE token <> ''),
     rc AS (SELECT token, COUNT(*) AS cr FROM t2 GROUP BY token),
@@ -2748,7 +2748,7 @@ def t20_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source",
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw"),
         )
-        .select("doc_id", "source", F.lower(F.col("raw")).alias("token"))
+        .select("doc_id", "source", T.ascii_lower(F.col("raw")).alias("token"))
         .filter(F.col("token") != "")
     )
     rc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cr"))

@@ -58,7 +58,7 @@ def d02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d03_fingerprint_dedup",
     """
-    SELECT md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp,
+    SELECT md5(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp,
            MIN(doc_id) AS canonical_id,
            COUNT(*) AS group_size
     FROM documents GROUP BY 1
@@ -105,7 +105,7 @@ _D05_MAXDF = 20
     f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id,
@@ -160,7 +160,7 @@ def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
+             string_split(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
                AS toks
       FROM documents
     ), h AS (
@@ -213,7 +213,7 @@ def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH feats AS (
       SELECT doc_id, source,
              CAST(LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n_tok,
-             CAST(LEN(list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+             CAST(LEN(list_filter(string_split_regex(TRIM(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+'),
                                   x -> x IN {_SW_LIST_SQL})) AS DOUBLE) AS n_sw,
              CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_dig,
              CAST(LENGTH(text) AS DOUBLE) AS n_chars
@@ -451,7 +451,7 @@ def t05_token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
+             string_split(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
                AS toks
       FROM documents
     ), h AS (
@@ -599,7 +599,7 @@ _BENCH_IN = "('" + "', '".join(_BENCH_SOURCES) + "')"
     f"""
     WITH toks AS (
       SELECT doc_id, source,
-             string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id, source,
@@ -708,7 +708,7 @@ def t09_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t10_top_tokens",
     """
     WITH tok AS (
-      SELECT lower(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+'))) AS token
+      SELECT translate(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
       FROM documents
     ), counts AS (
       SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
@@ -728,7 +728,7 @@ def t10_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
         )
-        .select(F.lower(F.col("raw")).alias("token"))
+        .select(T.ascii_lower(F.col("raw")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -869,7 +869,7 @@ def _pp01_oracle() -> str:
     WITH feats AS (
       SELECT doc_id, source, text,
              CAST(LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n_tok,
-             CAST(LEN(list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+             CAST(LEN(list_filter(string_split_regex(TRIM(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+'),
                                   x -> x IN {_SW_LIST_SQL})) AS DOUBLE) AS n_sw,
              CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_dig,
              CAST(LENGTH(text) AS DOUBLE) AS n_chars
@@ -883,7 +883,7 @@ def _pp01_oracle() -> str:
              CASE WHEN n_sw / GREATEST(n_tok, 1) >= 0.05 THEN 'en'
                   WHEN n_tok < 3 THEN 'short' ELSE 'unknown' END AS lang_pred,
              CAST(n_tok AS BIGINT) AS n_tokens,
-             md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
+             md5(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
       FROM feats
     ), filtered AS (
       SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
@@ -967,7 +967,7 @@ def s05_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t13_vocab_coverage",
     """
     WITH tok AS (
-      SELECT source, lower(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+'))) AS token
+      SELECT source, translate(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
       FROM documents
     ), t2 AS (
       SELECT * FROM tok WHERE token <> ''
@@ -993,7 +993,7 @@ def t13_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
         )
-        .select("source", F.lower(F.col("raw")).alias("token"))
+        .select("source", T.ascii_lower(F.col("raw")).alias("token"))
         .filter(F.col("token") != "")
     )
     vocab = (
@@ -1055,7 +1055,7 @@ def t14_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id, source,
-             lower(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+'))) AS token
+             translate(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
       FROM documents
     ), t2 AS (SELECT * FROM tok WHERE token <> ''),
     vocab AS (
@@ -1087,7 +1087,7 @@ def t15_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source",
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw"),
         )
-        .select("doc_id", "source", F.lower(F.col("raw")).alias("token"))
+        .select("doc_id", "source", T.ascii_lower(F.col("raw")).alias("token"))
         .filter(F.col("token") != "")
     )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1165,7 +1165,7 @@ def _d19_oracle() -> str:
     WITH exact AS (
       WITH toks AS (
         SELECT doc_id,
-               string_split_regex(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
+               string_split_regex(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
         FROM documents
       ), grams AS (
         SELECT doc_id,

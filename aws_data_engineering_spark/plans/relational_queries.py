@@ -1524,7 +1524,7 @@ def q50_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q51_row_udf_dim",
     """
     SELECT n_name,
-           CAST(LEN(regexp_extract_all(lower(n_name), '[aeiou]')) AS INT)
+           CAST(LEN(regexp_extract_all(translate(n_name, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiou]')) AS INT)
              AS n_vowels,
            CAST(LENGTH(n_name) AS INT) AS name_len
     FROM nation
@@ -1534,8 +1534,14 @@ def q50_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas UDFs or JVM expressions), oracle-checked",
 )
 def q51_row_udf_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ASCII fold, not str.lower — matches the oracle's translate() (the
+    # unicode-case divergence class; nation names are ASCII anyway)
+    _fold = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
     count_vowels = F.udf(
-        lambda s: sum(1 for ch in (s or "").lower() if ch in "aeiou"), "int"
+        lambda s: sum(1 for ch in (s or "").translate(_fold) if ch in "aeiou"),
+        "int",
     )
     nation = _t(spark, sf_dir, "nation")
     return nation.select(

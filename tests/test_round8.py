@@ -1,0 +1,97 @@
+"""Round-8 adversarial cross-engine sweep: Unicode case folding.
+
+Spark/Java ``lower()`` is context-sensitive Unicode — U+0130 İ lowers to
+'i' + COMBINING DOT ABOVE (two codepoints) and a word-final Σ lowers to ς —
+while DuckDB's ``lower()`` maps İ to plain 'i' and always emits σ. Python
+``str.lower`` matches Java. Before round 8 unified every token-identity
+case fold to the engine-portable ASCII A-Z translate
+(operators/text.py ascii_lower / ascii_lower_sql / ASCII_FOLD_TABLE), this
+planted corpus flipped four live queries: t10 (token strings), t35 (hashed
+grams), d03 (md5 fingerprints), d06 (simhash token hashes). Fixture
+corpora are pure ASCII, so the unification changed no fixture outputs —
+this sweep is what keeps the class closed.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aws_data_engineering_spark.plans.registry import QUERIES, queries
+
+queries()  # load registrations
+
+
+def _write_docs(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+
+# Turkish dotted capital İ, Greek final-sigma contexts, capital sharp S,
+# fullwidth forms, titlecase digraph ǅ — every known seam between Java
+# (context-sensitive Unicode), Python (same), and DuckDB (not) lowercasing.
+_UNICODE_CASE_ROWS = [
+    (1, "İSTANBUL ticket İÇİN details okay", "tr", "web"),
+    (2, "ΣΟΦΟΣ ΣΑΣ words ΟΔΟΣ end", "el", "web"),
+    (3, "STRAẞE crossing STRASSE walk", "de", "web"),
+    (4, "ＦＵＬＬＷＩＤＴＨ ＴＥＸＴ here now", "ja", "web"),
+    (5, "ǅungla Ǆ mixed titlecase words", "hr", "web"),
+    (6, "normal ascii CONTROL text for pairs", "en", "web"),
+    (7, "normal ascii CONTROL text for pairs ok", "en", "web"),
+]
+
+_SWEEP_QUERIES = [
+    "t01_text_stats", "t02_quality_scores", "t03_token_counts_by_source",
+    "t05_token_length_stats", "t07_repetition_signals", "t10_top_tokens",
+    "t12_collapse_repeated_tokens", "t13_vocab_coverage",
+    "t15_unigram_logprob", "t16_tfidf_top_terms", "t17_gopher_quality_rules",
+    "t18_bigram_logprob", "t19_lexical_diversity", "t20_dsir_importance",
+    "t23_pmi_collocations", "t25_zipf_fit", "t26_readability_by_lang",
+    "t27_charclass_entropy", "t30_bm25_topk", "t31_kneser_ney_bigram",
+    "t32_langid_ngram_profile", "t33_heaps_law_fit", "t34_lang_jsd_matrix",
+    "t35_hashed_ngram_quality", "t06_winnowing_fingerprints",
+    "d01_exact_dedup_groups", "d03_fingerprint_dedup",
+    "d05_ngram_jaccard_pairs", "d06_simhash",
+    "d12_duplicate_shingle_fraction",
+]
+
+
+@pytest.mark.parametrize("name", _SWEEP_QUERIES)
+def test_text_queries_unicode_case_parity(spark, tmp_path, name):
+    from tests.oracle_utils import compare
+
+    _write_docs(tmp_path, _UNICODE_CASE_ROWS)
+    q = QUERIES[name]
+    compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
+
+
+def test_ascii_fold_contract():
+    """The three-engine fold definitions agree and touch ONLY A-Z."""
+    import duckdb
+
+    from aws_data_engineering_spark.operators.text import (
+        ASCII_FOLD_TABLE,
+        ASCII_LOWERED,
+        ASCII_UPPER,
+        ascii_lower_sql,
+    )
+
+    assert ASCII_UPPER == "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    assert ASCII_LOWERED == "abcdefghijklmnopqrstuvwxyz"
+    probe = "İSTANBUL Mix ΣΑΣ STRAẞE Ａz09"
+    py = probe.translate(ASCII_FOLD_TABLE)
+    duck = duckdb.sql(
+        f"SELECT {ascii_lower_sql('?')}", params=[probe]
+    ).fetchone()[0]
+    assert py == duck == "İstanbul mix ΣΑΣ straẞe Ａz09"
+    # the fold must NOT equal unicode lower on the seam chars
+    assert py != probe.lower()
