@@ -201,6 +201,26 @@ def sessionize_with_state(
     not O(events); exactly how a production cluster holds millions of
     concurrent sessions.
     """
+    fn = _session_fold_fn(gap_minutes)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUT_DDL,
+            stateStructType=_SESSION_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _session_fold_fn(gap_minutes: int):
+    """Factory for the per-group state fold (factory so the returned
+    closure cloudpickles by value — the `_winnow_worker_fns` pattern — and
+    so tests/test_round8.py can property-check the vectorized
+    gaps-and-islands fold against a reference without a streaming query)."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(
@@ -286,17 +306,7 @@ def sessionize_with_state(
                 }
             )
 
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=_SESSION_OUT_DDL,
-            stateStructType=_SESSION_STATE_DDL,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
-    )
+    return fn
 
 
 def run_to_memory_sink(

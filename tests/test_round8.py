@@ -95,3 +95,123 @@ def test_ascii_fold_contract():
     assert py == duck == "İstanbul mix ΣΑΣ straẞe Ａz09"
     # the fold must NOT equal unicode lower on the seam chars
     assert py != probe.lower()
+
+
+# ---------------------------------------------------------------------------
+# Property test for the round-8 vectorized session fold (streams._session_
+# fold_fn): the numpy gaps-and-islands rewrite must agree with the obvious
+# per-row reference on arbitrary batch splits of arbitrary event sequences.
+# ---------------------------------------------------------------------------
+class _FakeState:
+    """Minimal stand-in for pyspark's GroupState."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _reference_sessions(ts_us_sorted, vals, gap_us):
+    """Per-row reference fold: list of closed (start, last, n, total) plus
+    the open tail."""
+    closed, cur = [], None
+    for t, v in zip(ts_us_sorted, vals):
+        if cur is None:
+            cur = [t, t, 1, float(v)]
+        elif t - cur[1] > gap_us:
+            closed.append(tuple(cur))
+            cur = [t, t, 1, float(v)]
+        else:
+            cur[1], cur[2], cur[3] = t, cur[2] + 1, cur[3] + float(v)
+    return closed, tuple(cur) if cur else None
+
+
+def _drive_fold(fn, batches):
+    """Feed time-ordered batches of (ts_us, event_id, value) through fn,
+    collecting closed sessions; then fire the timeout."""
+    import pandas as pd
+
+    state = _FakeState()
+    out = []
+    for batch in batches:
+        if not batch:
+            continue
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([b[0] for b in batch], unit="us"),
+                "event_id": [b[1] for b in batch],
+                "value": [b[2] for b in batch],
+            }
+        )
+        for emitted in fn((7,), iter([pdf]), state):
+            out.extend(
+                (int(r.session_start.value // 1000), int(r.session_end.value // 1000),
+                 int(r.n_events), float(r.session_value))
+                for r in emitted.itertuples()
+            )
+    state.hasTimedOut = True
+    for emitted in fn((7,), iter([]), state):
+        out.extend(
+            (int(r.session_start.value // 1000), int(r.session_end.value // 1000),
+             int(r.n_events), float(r.session_value))
+            for r in emitted.itertuples()
+        )
+    assert not state.exists, "timeout must clear state"
+    return out
+
+
+def test_session_fold_matches_reference_property():
+    """Random event sequences, random batch splits (time-ordered across
+    batches, shuffled within a batch): the vectorized fold's emitted
+    sessions == the per-row reference's closed+open sessions."""
+    import random
+
+    from aws_data_engineering_spark.streaming.streams import _session_fold_fn
+
+    gap_min = 30
+    gap_us = gap_min * 60 * 1_000_000
+    for seed in range(40):
+        rng = random.Random(seed)
+        n = rng.randint(1, 60)
+        # event times: mixture of small (< gap) and large (> gap) steps,
+        # including exact-gap ties (boundary: == gap does NOT split)
+        t, ts = 1_600_000_000_000_000, []
+        for _ in range(n):
+            step = rng.choice(
+                [0, 1, 999, gap_us, gap_us + 1, gap_us * 3, 60_000_000]
+            )
+            t += step
+            ts.append(t)
+        vals = [float(rng.randint(0, 50000)) for _ in range(n)]  # int cents
+        rows = [(ts[i], i, vals[i]) for i in range(n)]
+        # split into time-ordered batches; shuffle WITHIN each batch
+        k = rng.randint(1, min(4, n + 1))
+        cuts = sorted(rng.sample(range(n + 1), k - 1)) if k > 1 else []
+        batches, prev = [], 0
+        for c in cuts + [n]:
+            b = rows[prev:c]
+            rng.shuffle(b)
+            batches.append(b)
+            prev = c
+        got = sorted(_drive_fold(_session_fold_fn(gap_min), batches))
+        ref_closed, ref_open = _reference_sessions(ts, vals, gap_us)
+        want = list(ref_closed) + ([ref_open] if ref_open else [])
+        want = sorted((s, l, c, round(tot, 2)) for (s, l, c, tot) in want)
+        assert got == want, f"seed={seed}\ngot={got}\nwant={want}"
