@@ -215,3 +215,61 @@ def test_session_fold_matches_reference_property():
         want = list(ref_closed) + ([ref_open] if ref_open else [])
         want = sorted((s, l, c, round(tot, 2)) for (s, l, c, tot) in want)
         assert got == want, f"seed={seed}\ngot={got}\nwant={want}"
+
+
+# ---------------------------------------------------------------------------
+# Edge cases for the round-8 queries: s11's fusion when one arm is empty,
+# t35 on degenerate documents.
+# ---------------------------------------------------------------------------
+def _write_embeddings(tmp_path, n=12, dim=8):
+    vecs = []
+    for i in range(n):
+        # deterministic, non-degenerate vectors
+        vecs.append([((i * 7 + j * 3) % 13) / 13.0 + 0.1 for j in range(dim)])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+
+def test_s11_fusion_with_empty_sparse_arm(spark, tmp_path):
+    """No document matches the BM25 terms -> the sparse ranking is empty
+    and every fused row comes from the dense arm alone (s_rnk all NULL);
+    the full-outer fusion and the oracle must agree exactly."""
+    from tests.oracle_utils import compare
+
+    rows = [
+        (i, f"nothing relevant here doc{i} filler words", "en", "web")
+        for i in range(1, 13)
+    ]
+    _write_docs(tmp_path, rows)
+    _write_embeddings(tmp_path)
+    q = QUERIES["s11_rrf_hybrid_retrieval"]
+    df = q.spark(spark, str(tmp_path))
+    got = df.collect()
+    assert len(got) > 0
+    assert all(r["s_rnk"] is None for r in got), "sparse arm should be empty"
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_t35_degenerate_documents(spark, tmp_path):
+    """Empty text, single-token text, and a doc that is ONLY whitespace:
+    gram construction (unigrams + bigrams) must agree cross-engine on all
+    of them — the bigram comprehension and the Spark zip_with/slice must
+    both emit zero bigrams for <2 tokens."""
+    from tests.oracle_utils import compare
+
+    rows = [
+        (1, "", "en", "a"),
+        (2, "solo", "en", "a"),
+        (3, "   ", "en", "b"),
+        (4, "two tokens", "en", "b"),
+        (5, "ordinary document with several tokens inside", "en", "c"),
+    ]
+    _write_docs(tmp_path, rows)
+    q = QUERIES["t35_hashed_ngram_quality"]
+    compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
