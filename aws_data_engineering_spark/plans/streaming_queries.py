@@ -494,6 +494,32 @@ _ST17_SENTINEL_NS = 1_740_787_200_000_000_000  # 2025-03-01 UTC, past any fixtur
 _ST17_FEED_FILES = 8  # files per time-range feed batch (parallel write)
 
 
+def _pad_empty_feed_files(in_dir: str, batch_idx: int, n: int) -> None:
+    """Write ``n`` schema-only empty parquet files matching the st17 feed
+    schema (raw nanos-bigint ts), so every time-range batch holds exactly
+    _ST17_FEED_FILES files regardless of corpus size."""
+    if n <= 0:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    for i in range(n):
+        pq.write_table(
+            pa.table({f.name: pa.array([], f.type) for f in schema}, schema=schema),
+            os.path.join(in_dir, f"pad-{batch_idx}-{i}.parquet"),
+        )
+
+
 @register(
     "st17_stream_stateful_sessions",
     """
@@ -566,13 +592,26 @@ def st17_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
             "append"
         ).parquet(in_dir)
         prev = seen
-        seen = stamp_feed_mtimes(in_dir, seen, b)
-        n_new = sum(1 for f in seen - prev if f.endswith(".parquet"))
-        if n_new != _ST17_FEED_FILES:
+        import glob as _glob
+
+        n_new = sum(
+            1
+            for f in set(_glob.glob(os.path.join(in_dir, "*"))) - prev
+            if f.endswith(".parquet")
+        )
+        if n_new > _ST17_FEED_FILES:
             raise RuntimeError(
-                f"st17 feed range {b} wrote {n_new} files, expected "
+                f"st17 feed range {b} wrote {n_new} files > "
                 f"{_ST17_FEED_FILES} — micro-batch alignment would break"
             )
+        # pad to EXACTLY K files: repartition leaves empty partitions
+        # unwritten on tiny corpora, and a short range would let the
+        # fixed max_files_per_trigger pull a LATER range's file into
+        # this batch (delivering a user's events out of time order).
+        # Schema-only empty parquet files keep the count invariant at
+        # any corpus size and contribute zero rows.
+        _pad_empty_feed_files(in_dir, b, _ST17_FEED_FILES - n_new)
+        seen = stamp_feed_mtimes(in_dir, seen, b)
     # sentinel: one far-future event for user -1 — the final batch advances
     # the watermark past every real session's (last + gap), so the
     # event-time timeout flushes ALL open sessions; user -1's own session

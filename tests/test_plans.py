@@ -366,6 +366,11 @@ _BNLJ_ALLOW = {
     # e20 scores every vector against a <=16-row broadcast centroid table
     # per k — the e03/e19 shape
     "e20_inertia_elbow_sweep",
+    # s11's dense arm crossJoins the broadcast 1-ROW query vector into the
+    # candidate scan (the t30 corpus-stats shape); the BM25 arm reuses
+    # t30's allowlisted 1-row stats broadcast. Fusion itself is a
+    # pool-bounded full-outer SMJ, never nested-loop.
+    "s11_rrf_hybrid_retrieval",
 }
 
 
