@@ -1105,18 +1105,18 @@ def ivfpq_topk(
     )
 
 
-def ivfpq_oracle_sql(
+def ivfpq_scores_cte_sql(
     centroids: list[list[float]],
     m_sub: int = 8,
     k_codes: int = 16,
     subdim: int = 8,
-    k: int = 5,
     n_probe: int = 4,
     query_pred: str = "vec_id < 10",
 ) -> str:
-    """DuckDB SQL reproducing :func:`ivfpq_topk`: the ivf_fixed assignment
-    CTEs (literal centroids, max-cosine, cid tie-break) restrict which
-    pairs the pq CTEs (lattice codebook, nano-unit integer ADC) score."""
+    """The CTE chain of :func:`ivfpq_oracle_sql` up to ``scores`` =
+    (query_id, neighbor_id, adc_dist), with ``v`` = (vec_id, DOUBLE[] v)
+    also in scope — reusable by composite oracles (s12's exact-refine
+    stage re-ranks the same candidate set)."""
     cent_rows = ", ".join(
         f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
         for i, c in enumerate(centroids)
@@ -1125,8 +1125,7 @@ def ivfpq_oracle_sql(
         f"(v[s*{subdim}+{d + 1}]-cw[{d + 1}])*(v[s*{subdim}+{d + 1}]-cw[{d + 1}])"
         for d in range(subdim)
     )
-    return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents(cid, c) AS (VALUES {cent_rows}),
     ass AS (
       SELECT vec_id, v, cid,
@@ -1160,7 +1159,31 @@ def ivfpq_oracle_sql(
       FROM pairs pr
       JOIN codes c ON c.vec_id = pr.neighbor_id
       JOIN qlut ql ON ql.query_id = pr.query_id AND ql.s = c.s AND ql.j = c.code
-      GROUP BY 1, 2)
+      GROUP BY 1, 2)"""
+
+
+def ivfpq_oracle_sql(
+    centroids: list[list[float]],
+    m_sub: int = 8,
+    k_codes: int = 16,
+    subdim: int = 8,
+    k: int = 5,
+    n_probe: int = 4,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB SQL reproducing :func:`ivfpq_topk`: the ivf_fixed assignment
+    CTEs (literal centroids, max-cosine, cid tie-break) restrict which
+    pairs the pq CTEs (lattice codebook, nano-unit integer ADC) score."""
+    cte = ivfpq_scores_cte_sql(
+        centroids,
+        m_sub=m_sub,
+        k_codes=k_codes,
+        subdim=subdim,
+        n_probe=n_probe,
+        query_pred=query_pred,
+    )
+    return f"""
+    WITH {cte}
     SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rnk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk

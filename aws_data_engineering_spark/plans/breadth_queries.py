@@ -6419,3 +6419,96 @@ def t35_hashed_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("score_units").alias("sum_score_units"),
         F.sum("n_grams").alias("sum_grams"),
     )
+
+
+# --------------------------------------------------------------------------
+# s12 — IVFPQ search + EXACT refine (faiss IndexRefineFlat): the last
+# stage of the billion-scale recipe the repo already trains (e21), encodes
+# (s07), and searches (s08). The PQ index returns a candidate pool of
+# R >> k approximately-ranked ids; the refine stage re-scores ONLY those
+# Q×R pairs with exact full-precision cosine and emits the exact top-k.
+# Output carries both ranks (adc_rnk vs rnk) so the re-ordering the
+# refine performs is itself visible and oracle-checked.
+#
+# Scale: the candidate pool (Q×R rows) broadcasts into two equi-joins
+# against the vector table — refine cost is O(Q·R) full-vector fetches +
+# exact distances, independent of corpus size; the corpus is only ever
+# touched through s08's prune-lists/scan-codes plan. This is exactly how
+# faiss composes IndexIVFPQ + IndexRefineFlat.
+# --------------------------------------------------------------------------
+_S12_CENTROIDS = SIM._hyperplanes(dim=64, n_planes=16, seed=7)  # == s08's
+_S12_R = 10  # PQ candidate pool per query
+_S12_K = 5  # exact top-k after refine
+
+
+@register(
+    "s12_ann_ivfpq_refine_topk",
+    f"""
+    WITH {SIM.ivfpq_scores_cte_sql(_S12_CENTROIDS, m_sub=8, k_codes=16,
+                                   subdim=8, n_probe=4,
+                                   query_pred="vec_id < 10")},
+    cand AS (
+      SELECT query_id, neighbor_id, arnk FROM (
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist ASC, neighbor_id ASC)
+                    AS INT) AS arnk
+        FROM scores) WHERE arnk <= {_S12_R}),
+    refined AS (
+      SELECT c.query_id, c.neighbor_id, c.arnk,
+             list_cosine_similarity(q.v, n.v) AS sim
+      FROM cand c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+           arnk AS adc_rnk, rnk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id)
+                     AS INT) AS rnk
+      FROM refined) WHERE rnk <= {_S12_K}
+    """,
+    "IVFPQ search + exact refine (faiss IndexRefineFlat): PQ top-R "
+    "candidate pool re-scored with exact cosine, both ranks emitted — "
+    "refine cost O(Q*R), corpus touched only through the code scan",
+)
+def s12_ann_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = SIM.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        _S12_CENTROIDS,
+        SIM.pq_codebook(m_sub=8, k_codes=16, subdim=8),
+        k=_S12_R,
+        n_probe=4,
+    ).select("query_id", "neighbor_id", F.col("rnk").alias("adc_rnk"))
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    refined = (
+        qv.join(F.broadcast(cands), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_rnk",
+            SIM.cosine(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        refined.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _S12_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("sim"),
+            "adc_rnk",
+            "rnk",
+        )
+    )

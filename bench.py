@@ -140,6 +140,9 @@ HEADLINE = [
     # quality classifier (shuffle-free scan-stage HOF scoring).
     "s11_rrf_hybrid_retrieval",
     "t35_hashed_ngram_quality",
+    # round-8: the faiss refine stage composed on the s08 index (PQ top-R
+    # pool re-scored exactly; corpus touched only through the code scan).
+    "s12_ann_ivfpq_refine_topk",
 ]
 
 
