@@ -92,7 +92,9 @@ def _shingle_worker_fns(shingle_n: int):
     n = shingle_n
 
     def shingle_set(text: str | None) -> list[str]:
-        toks = ws.sub(" ", (text or "").strip(" ").translate(fold)).split(" ")
+        toks = ws.sub(
+            " ", (text or "").strip(" \t\n\x0b\f\r").translate(fold)
+        ).split(" ")
         if len(toks) - (n - 1) <= 0:
             return [" ".join(toks)]
         return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
@@ -1040,7 +1042,7 @@ def _minhash_sig_cte_sql(num_hashes: int, source_sql: str = "documents") -> str:
     )
     return f"""toks AS (
       SELECT doc_id,
-             string_split(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
+             string_split(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
                AS t
       FROM {source_sql}
     ), grams AS (
@@ -1117,7 +1119,7 @@ def bloom_oracle_sql(bench_in: str, shingle_n: int = 5) -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id, source,
-             string_split_regex(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id, source,
@@ -1229,11 +1231,14 @@ def _simhash_worker_fns(bits: int):
             "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
         )
         for text in texts:
-            # exact mirror of simhash()'s normalize_text: trim(spaces) ->
+            # exact mirror of simhash()'s normalize_text: ASCII-6 strip ->
             # ASCII fold -> collapse ASCII \s+ (Java regex \s is ASCII-only;
             # the fold is A-Z-only for DuckDB parity — İ / final Σ)
             s = re_w.sub(
-                r"\s+", " ", str(text).strip(" ").translate(fold), flags=re_w.ASCII
+                r"\s+",
+                " ",
+                str(text).strip(" \t\n\x0b\f\r").translate(fold),
+                flags=re_w.ASCII,
             )
             toks = s.split(" ")
             hs = np_w.empty(len(toks), dtype=np_w.uint64)

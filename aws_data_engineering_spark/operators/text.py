@@ -47,9 +47,35 @@ def ascii_lower_sql(expr: str) -> str:
     return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWERED}')"
 
 
+# Engine-portable ASCII-6 TRIM (round 8, completing the whitespace
+# contract): the three engines' native trims all differ — Spark F.trim
+# strips 0x20 SPACES ONLY, DuckDB's 1-arg trim strips Unicode space-class
+# chars (NBSP, U+3000) but NOT \t/\n/\x0b/\f/\r, and Python str.strip()
+# strips full Unicode whitespace. A doc with a leading TAB already diverges
+# Spark-vs-DuckDB; leading NBSP diverges the other way (13 live queries on
+# the planted corpus). Every compared trim now strips exactly the
+# tokenizer's ASCII-6 class on all three engines.
+ASCII_WS = " \t\n\x0b\f\r"
+
+
+def ascii_trim(col: str | Column) -> Column:
+    """Strip exactly ASCII_WS from both ends (Spark member of the
+    three-engine trim contract)."""
+    return F.btrim(col if isinstance(col, Column) else F.col(col),
+                   F.lit(ASCII_WS))
+
+
+def ascii_trim_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ascii_trim` as a SQL fragment."""
+    return (
+        f"trim({expr}, ' ' || chr(9) || chr(10) || chr(11) || chr(12)"
+        f" || chr(13))"
+    )
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization (after trim)."""
-    return F.split(F.trim(col), r"\s+")
+    return F.split(ascii_trim(col), r"\s+")
 
 
 def token_count(col: str | Column) -> Column:
@@ -118,7 +144,7 @@ def lang_id(col: str | Column) -> Column:
 
 def normalize_text(col: str | Column) -> Column:
     """Lowercase + collapse whitespace — canonical form for fingerprinting."""
-    return F.regexp_replace(ascii_lower(F.trim(col)), r"\s+", " ")
+    return F.regexp_replace(ascii_lower(ascii_trim(col)), r"\s+", " ")
 
 
 def fingerprint(col: str | Column) -> Column:
@@ -157,7 +183,9 @@ def _winnow_worker_fns(k: int, window: int):
         # U+2028 etc., which Java \s and the oracle's RE2 class do not;
         # ASCII-only case fold: Python str.lower is Unicode-context-aware
         # (İ, final Σ) where DuckDB's is not — same contract as ascii_lower
-        return re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip().translate(fold))
+        return re.sub(
+            r"[ \t\n\x0b\f\r]+", " ", text.strip(" \t\n\x0b\f\r").translate(fold)
+        )
 
     def rolling_hashes(s: str):
         """uint64-wrap polynomial k-gram hashes, equal to the Rabin-Karp
@@ -337,7 +365,7 @@ def winnowing_sql_cte(k: int = 5, window: int = 4) -> str:
     w = window
     return f"""
     __wn AS (
-      SELECT doc_id, regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
+      SELECT doc_id, regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
       FROM documents
     ), __wc AS (
       SELECT doc_id, s, length(s) AS n FROM __wn WHERE length(s) >= {k}
@@ -410,7 +438,7 @@ def gopher_metrics(
     kept for composability, but the mode count is O(distinct x n) per row
     interpreted — quadratic on long documents. This kernel is O(n) per
     row via a hash counter and measured ~4x faster at sf0.1; tokenization
-    mirrors ``F.split(trim(text), '[ \\t\\n\\x0b\\f\\r]+')`` with ASCII whitespace (the
+    mirrors ``F.split(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')`` with ASCII whitespace (the
     Java regex default), so outputs are identical integers.
 
     Returns ``id_cols + (n_words, char_sum, n_distinct, top_cnt)``.
@@ -435,15 +463,14 @@ def gopher_metrics(
                     out[c].append(d[c])
                 text = d[text_col]
                 if text is None:
-                    # JVM: size(split(trim(NULL))) is NULL in Spark 4
+                    # JVM: size(split(ascii_trim(NULL))) is NULL in Spark 4
                     nw.append(None); cs.append(None)
                     nd.append(None); tc.append(None)
                     continue
-                # JVM F.trim strips SPACES only (not \t/\n/unicode ws) —
-                # same deliberate choice as _shingle_worker_fns; a Python
-                # .strip() here would silently diverge from the oracle on
-                # text with leading/trailing non-space whitespace
-                toks = ws.split(str(text).strip(" "))
+                # the ASCII-6 trim contract (ascii_trim / ascii_trim_sql):
+                # a bare Python .strip() here would silently diverge from
+                # the oracle on Unicode leading/trailing whitespace
+                toks = ws.split(str(text).strip(" \t\n\x0b\f\r"))
                 counts = Counter(toks)
                 nw.append(len(toks))
                 cs.append(sum(len(t) for t in toks))
@@ -644,7 +671,7 @@ def cdc_sql_cte(k: int = 8, divisor: int = 64) -> str:
         for j in range(k)
     )
     return f"""__cn AS (
-      SELECT doc_id, regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
+      SELECT doc_id, regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
       FROM documents
     ), __cc AS (
       SELECT doc_id, s, length(s) AS n FROM __cn WHERE length(s) >= 1
@@ -931,7 +958,7 @@ def bm25_scores(
     """
     from pyspark.sql import functions as F
 
-    toks = F.split(F.trim(ascii_lower(F.col(text_col))), r"\s+")
+    toks = F.split(ascii_trim(ascii_lower(F.col(text_col))), r"\s+")
 
     def _eq(term: str):
         # single-arg lambda: a 2-arg function would make pyspark pass the
@@ -1015,7 +1042,7 @@ def bm25_scored_cte_sql(
         score = f"({score} + {t})"
     return f"""base AS (
       SELECT {id_expr} AS id,
-             string_split_regex(TRIM(translate({text_expr}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+') AS t
+             string_split_regex(trim(translate({text_expr}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM {table}
     ), feat AS (
       SELECT id, len(t) AS dl,

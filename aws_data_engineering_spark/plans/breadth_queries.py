@@ -4312,7 +4312,7 @@ def m17_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT doc_id, source,
-             list_filter(string_split_regex(translate(TRIM(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'),
+             list_filter(string_split_regex(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '') AS t
       FROM documents
     ), bg AS (
@@ -4359,7 +4359,7 @@ def t31_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.filter(
-            F.split(T.ascii_lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+            F.split(T.ascii_lower(T.ascii_trim(F.col("text"))), r"\s+"), lambda x: x != ""
         ).alias("t"),
     )
     bg = toks.filter(F.size("t") >= 2).select(
@@ -4527,7 +4527,7 @@ def dq16_mean_shift_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_src AS (
       SELECT source,
              CAST(SUM(len(list_filter(
-                    string_split_regex(translate(TRIM(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'),
+                    string_split_regex(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'),
                     x -> x <> ''))) AS BIGINT) AS c_tokens
       FROM documents GROUP BY source
     ), tot AS MATERIALIZED (
@@ -4576,7 +4576,7 @@ def p15_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(
             F.filter(
-                F.split(T.ascii_lower(F.trim(F.col("text"))), r"\s+"),
+                F.split(T.ascii_lower(T.ascii_trim(F.col("text"))), r"\s+"),
                 lambda x: x != "",
             )
         ).alias("n_tok"),
@@ -5316,7 +5316,7 @@ def _t32_oracle() -> str:
     return f"""
     WITH norm AS (
       SELECT doc_id, lang,
-             regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS s
+             regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS s
       FROM documents WHERE text IS NOT NULL
     ), grams AS (
       SELECT doc_id, lang, substr(s, g, 3) AS gram
@@ -5379,7 +5379,7 @@ def t32_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = docs.select(
         "doc_id",
         "lang",
-        F.regexp_replace(T.ascii_lower(F.trim("text")), r"\s+", " ").alias("s"),
+        F.regexp_replace(T.ascii_lower(T.ascii_trim("text")), r"\s+", " ").alias("s"),
     )
     grams = (
         norm.filter(F.length("s") >= 3)
@@ -6367,7 +6367,7 @@ def _t35_weight_sql(gram_expr: str) -> str:
     f"""
     WITH base AS (
       SELECT source,
-             string_split_regex(TRIM(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+') AS t
+             string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM documents WHERE text IS NOT NULL
     ), grams AS (
       SELECT source,
@@ -6393,7 +6393,7 @@ def _t35_weight_sql(gram_expr: str) -> str:
 )
 def t35_hashed_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = F.split(F.trim(T.ascii_lower(F.col("text"))), r"\s+")
+    toks = F.split(T.ascii_trim(T.ascii_lower(F.col("text"))), r"\s+")
     n1 = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
     bigrams = F.zip_with(
         F.slice(toks, 1, n1),

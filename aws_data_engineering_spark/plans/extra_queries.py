@@ -818,7 +818,7 @@ def c06_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t16_tfidf_top_terms",
     """
     WITH tf AS (
-      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')) AS token
+      SELECT doc_id, UNNEST(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')) AS token
       FROM documents
     ), tfc AS (
       SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2
@@ -847,7 +847,7 @@ def t16_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        "doc_id", F.explode(F.split(T.ascii_trim("text"), r"\s+")).alias("token")
     )
     tfc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfc = tfc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -969,7 +969,7 @@ def s07_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH feats AS (
       SELECT doc_id, source,
-             string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+             string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
       FROM documents
     ), m AS (
       SELECT doc_id, source,
@@ -1178,7 +1178,7 @@ def m09_audio_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id,
@@ -1246,7 +1246,7 @@ def d12_duplicate_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFram
     """
     WITH toks AS (
       SELECT doc_id, source,
-             list_filter(string_split_regex(translate(TRIM(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'),
+             list_filter(string_split_regex(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'),
                          x -> x <> '') AS t
       FROM documents
     ), uni AS (
@@ -1290,7 +1290,7 @@ def t18_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.filter(
-            F.split(T.ascii_lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+            F.split(T.ascii_lower(T.ascii_trim(F.col("text"))), r"\s+"), lambda x: x != ""
         ).alias("t"),
     )
     uni = toks.select(F.explode("t").alias("token"))
@@ -1764,7 +1764,7 @@ def _d13_oracle() -> str:
     WITH est AS ({est_sql}),
     toks2 AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams2 AS (
       SELECT doc_id,
@@ -1835,7 +1835,7 @@ def d13_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
     "t19_lexical_diversity",
     """
     WITH tok AS (
-      SELECT source, translate(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
+      SELECT source, translate(unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
       FROM documents
     ), t2 AS (SELECT * FROM tok WHERE token <> ''),
     counts AS (
@@ -1866,7 +1866,7 @@ def t19_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = (
         docs.select(
-            "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
+            "source", F.explode(F.split(T.ascii_trim(F.col("text")), r"\s+")).alias("raw")
         )
         .select("source", T.ascii_lower(F.col("raw")).alias("token"))
         .filter(F.col("token") != "")
@@ -2710,7 +2710,7 @@ def e07_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id, source,
-             translate(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
+             translate(unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
       FROM documents
     ), t2 AS (SELECT * FROM tok WHERE token <> ''),
     rc AS (SELECT token, COUNT(*) AS cr FROM t2 GROUP BY token),
@@ -2746,7 +2746,7 @@ def t20_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         docs.select(
             "doc_id", "source",
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw"),
+            F.explode(F.split(T.ascii_trim(F.col("text")), r"\s+")).alias("raw"),
         )
         .select("doc_id", "source", T.ascii_lower(F.col("raw")).alias("token"))
         .filter(F.col("token") != "")

@@ -58,7 +58,7 @@ def d02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d03_fingerprint_dedup",
     """
-    SELECT md5(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp,
+    SELECT md5(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp,
            MIN(doc_id) AS canonical_id,
            COUNT(*) AS group_size
     FROM documents GROUP BY 1
@@ -105,7 +105,7 @@ _D05_MAXDF = 20
     f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id,
@@ -160,7 +160,7 @@ def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (
       SELECT doc_id,
-             string_split(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
+             string_split(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
                AS toks
       FROM documents
     ), h AS (
@@ -189,7 +189,7 @@ def d06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            LENGTH(text) AS n_chars_actual,
-           LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
+           LEN(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
            LEN(regexp_extract_all(text, '[0-9]')) AS n_digits,
            LEN(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS n_punct
     FROM documents
@@ -212,8 +212,8 @@ def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH feats AS (
       SELECT doc_id, source,
-             CAST(LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n_tok,
-             CAST(LEN(list_filter(string_split_regex(TRIM(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+'),
+             CAST(LEN(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n_tok,
+             CAST(LEN(list_filter(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+'),
                                   x -> x IN {_SW_LIST_SQL})) AS DOUBLE) AS n_sw,
              CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_dig,
              CAST(LENGTH(text) AS DOUBLE) AS n_chars
@@ -246,8 +246,8 @@ def t02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            COUNT(*) AS n_docs,
-           CAST(SUM(LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS total_tokens,
-           CAST(SUM(LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+'))) AS DOUBLE) / COUNT(*)
+           CAST(SUM(LEN(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(LEN(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+'))) AS DOUBLE) / COUNT(*)
              AS avg_tokens,
            CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]'))) AS BIGINT)
              AS total_bpe_tokens
@@ -425,7 +425,7 @@ def s06_ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id, lang,
-             string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
+             string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM documents
     )
     SELECT lang,
@@ -451,7 +451,7 @@ def t05_token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (
       SELECT doc_id,
-             string_split(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
+             string_split(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
                AS toks
       FROM documents
     ), h AS (
@@ -533,7 +533,7 @@ def d08_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t07_repetition_signals",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
+      SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM documents
     ), stats AS (
       SELECT doc_id,
@@ -599,7 +599,7 @@ _BENCH_IN = "('" + "', '".join(_BENCH_SOURCES) + "')"
     f"""
     WITH toks AS (
       SELECT doc_id, source,
-             string_split_regex(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
+             string_split_regex(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id, source,
@@ -635,7 +635,7 @@ def d09_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t08_pandas_udf_tokens",
     """
     SELECT source,
-           CAST(SUM(LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT)
+           CAST(SUM(LEN(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT)
              AS total_tokens,
            COUNT(*) AS n_docs
     FROM documents GROUP BY source
@@ -652,11 +652,11 @@ def t08_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("int")
     def tok_count(s: pd.Series) -> pd.Series:
-        # mirror T.tokens exactly: trim, split on ASCII whitespace runs —
-        # the EXPLICIT class, because pandas' unicode \s also splits on
-        # NBSP/U+2028 where Java \s and the oracle's RE2 class do not
+        # mirror T.tokens exactly: ASCII-6 trim, split on ASCII whitespace
+        # runs — BOTH explicit, because pandas' unicode strip/\s also cover
+        # NBSP/U+2028 where the JVM/RE2 twins do not
         return (
-            s.str.strip()
+            s.str.strip(" \t\n\x0b\f\r")
             .str.split(r"[ \t\n\x0b\f\r]+", regex=True)
             .str.len()
             .astype("int32")
@@ -673,7 +673,7 @@ def t08_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t09_udtf_tokenize",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
+      SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM documents WHERE doc_id < 50
     )
     SELECT doc_id,
@@ -691,8 +691,15 @@ def t09_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string")
     class Tokenize:
         def eval(self, text: str):
-            # mirror the \s+ tokenizer: strip, split on whitespace runs
-            for i, t in enumerate((text or "").strip().split()):
+            # mirror the ASCII-6 tokenizer exactly (a bare .strip()/.split()
+            # is Unicode-whitespace in Python; re.split keeps the oracle's
+            # empty-token-on-empty-text behavior that .split() drops)
+            import re
+
+            toks = re.split(
+                r"[ \t\n\x0b\f\r]+", (text or "").strip(" \t\n\x0b\f\r")
+            )
+            for i, t in enumerate(toks):
                 yield i, t
 
     name = "t09_tok"
@@ -708,7 +715,7 @@ def t09_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t10_top_tokens",
     """
     WITH tok AS (
-      SELECT translate(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
+      SELECT translate(unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
       FROM documents
     ), counts AS (
       SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
@@ -726,7 +733,7 @@ def t10_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
+            F.explode(F.split(T.ascii_trim(F.col("text")), r"\s+")).alias("raw")
         )
         .select(T.ascii_lower(F.col("raw")).alias("token"))
         .filter(F.col("token") != "")
@@ -868,8 +875,8 @@ def _pp01_oracle() -> str:
     return f"""
     WITH feats AS (
       SELECT doc_id, source, text,
-             CAST(LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n_tok,
-             CAST(LEN(list_filter(string_split_regex(TRIM(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+'),
+             CAST(LEN(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n_tok,
+             CAST(LEN(list_filter(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+'),
                                   x -> x IN {_SW_LIST_SQL})) AS DOUBLE) AS n_sw,
              CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_dig,
              CAST(LENGTH(text) AS DOUBLE) AS n_chars
@@ -883,7 +890,7 @@ def _pp01_oracle() -> str:
              CASE WHEN n_sw / GREATEST(n_tok, 1) >= 0.05 THEN 'en'
                   WHEN n_tok < 3 THEN 'short' ELSE 'unknown' END AS lang_pred,
              CAST(n_tok AS BIGINT) AS n_tokens,
-             md5(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
+             md5(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
       FROM feats
     ), filtered AS (
       SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
@@ -967,7 +974,7 @@ def s05_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t13_vocab_coverage",
     """
     WITH tok AS (
-      SELECT source, translate(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
+      SELECT source, translate(unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
       FROM documents
     ), t2 AS (
       SELECT * FROM tok WHERE token <> ''
@@ -991,7 +998,7 @@ def t13_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select(
-            "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
+            "source", F.explode(F.split(T.ascii_trim(F.col("text")), r"\s+")).alias("raw")
         )
         .select("source", T.ascii_lower(F.col("raw")).alias("token"))
         .filter(F.col("token") != "")
@@ -1055,7 +1062,7 @@ def t14_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id, source,
-             translate(unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
+             translate(unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS token
       FROM documents
     ), t2 AS (SELECT * FROM tok WHERE token <> ''),
     vocab AS (
@@ -1085,7 +1092,7 @@ def t15_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         docs.select(
             "doc_id", "source",
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw"),
+            F.explode(F.split(T.ascii_trim(F.col("text")), r"\s+")).alias("raw"),
         )
         .select("doc_id", "source", T.ascii_lower(F.col("raw")).alias("token"))
         .filter(F.col("token") != "")
@@ -1165,7 +1172,7 @@ def _d19_oracle() -> str:
     WITH exact AS (
       WITH toks AS (
         SELECT doc_id,
-               string_split_regex(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
+               string_split_regex(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
         FROM documents
       ), grams AS (
         SELECT doc_id,

@@ -124,7 +124,7 @@ def p04_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT doc_id, source,
-             CAST(LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tokens
+             CAST(LEN(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tokens
       FROM documents
     ), o AS (
       SELECT doc_id, source, n_tokens,
@@ -195,7 +195,7 @@ def c01_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT doc_id, source,
-             CAST(LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tokens
+             CAST(LEN(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tokens
       FROM documents
     ), o AS (
       SELECT doc_id, source, n_tokens,

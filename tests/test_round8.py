@@ -273,3 +273,58 @@ def test_t35_degenerate_documents(spark, tmp_path):
     _write_docs(tmp_path, rows)
     q = QUERIES["t35_hashed_ngram_quality"]
     compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 sweep #2: LEADING/TRAILING exotic whitespace (the trim seam).
+# The three engines' native trims all differ — Spark F.trim strips 0x20
+# spaces only, DuckDB's 1-arg trim strips Unicode space-class chars (NBSP,
+# U+3000) but NOT \t/\n/\x0b/\f/\r, Python str.strip() strips full Unicode
+# whitespace. Round 7's sweep planted only INTERIOR whitespace, so this
+# corpus flipped 13 live queries (incl. plain leading ASCII tabs) before
+# every compared trim moved to the ASCII-6 contract
+# (text.ascii_trim / ascii_trim_sql / .strip(" \t\n\x0b\f\r")).
+# ---------------------------------------------------------------------------
+_EDGE_WS_ROWS = [
+    (1, "\xa0leading nbsp text here", "en", "web"),
+    (2, "trailing ideographic space　", "en", "web"),
+    (3, "\x0bleading vertical tab words", "en", "web"),
+    (4, "\t\tleading ascii tabs fine", "en", "web"),
+    (5, "\xa0\xa0double nbsp lead and trail\xa0", "en", "web"),
+    (6, "normal control text for pairs", "en", "web"),
+    (7, "normal control text for pairs ok", "en", "web"),
+]
+
+_EDGE_WS_QUERIES = _SWEEP_QUERIES + [
+    "t08_pandas_udf_tokens", "t09_udtf_tokenize", "t11_arrow_native_stats",
+]
+
+
+@pytest.mark.parametrize("name", _EDGE_WS_QUERIES)
+def test_text_queries_edge_whitespace_parity(spark, tmp_path, name):
+    from tests.oracle_utils import compare
+
+    _write_docs(tmp_path, _EDGE_WS_ROWS)
+    q = QUERIES[name]
+    compare(q.spark(spark, str(tmp_path)), q.oracle, str(tmp_path))
+
+
+def test_ascii_trim_contract():
+    """The three-engine ASCII-6 trim definitions agree, strip exactly the
+    tokenizer class, and differ from every native trim on the seam."""
+    import duckdb
+
+    from aws_data_engineering_spark.operators.text import (
+        ASCII_WS,
+        ascii_trim_sql,
+    )
+
+    assert ASCII_WS == " \t\n\x0b\f\r"
+    probe = "\xa0\t keep me　\n\x0b"
+    py = probe.strip(ASCII_WS)
+    duck = duckdb.sql(
+        f"SELECT {ascii_trim_sql('?')}", params=[probe]
+    ).fetchone()[0]
+    assert py == duck == "\xa0\t keep me　".strip(" \t")  # NBSP/IDEO kept
+    assert py == "\xa0\t keep me　"
+    assert py != probe.strip()  # unicode strip would eat NBSP/IDEO too
