@@ -2837,3 +2837,262 @@ def resampled_wav_features(df: DataFrame, id_col: str, data_col: str) -> DataFra
         F.col(id_col).alias("id"), F.col(data_col).alias("data"), "n_in"
     )
     return src.mapInPandas(feats, AUDIO_RESAMPLE_DDL)
+
+
+# ---------------------------------------------------------------------------
+# GIF89a (round 8): the one mainstream image container still missing after
+# PNG (gray/RGB/palette), JPEG (baseline/progressive/4:2:0) and MJPEG —
+# indexed color with REAL LZW compression and multi-frame animation. The
+# encoder writes genuine GIF89a bytes (logical screen descriptor, global
+# color table, per-frame graphic control extensions, LSB-first variable-
+# width LZW code stream in 255-byte sub-blocks); the decoder implements
+# the full GIF LZW algorithm (clear/end codes, code-width growth at
+# 2^width, dictionary reset at 4096) — one wrong code anywhere shifts a
+# pixel index and moves a channel sum, failing the closed-form oracle.
+# ---------------------------------------------------------------------------
+GIF_N_COLORS = 16  # 4-bit palette -> LZW min code size 4
+
+
+def _gif_worker_fns():
+    """Encoder/decoder pair for real GIF89a, built inside a factory so
+    cloudpickle ships them by value with the Arrow-stage closures (the
+    mapInPandas pickling contract — see _shingle_worker_fns)."""
+
+    n_colors = GIF_N_COLORS
+    min_code_size = 4  # 2^4 = 16 palette entries
+
+    def _lzw_encode(indices: bytes) -> bytes:
+        """GIF-variant LZW: emit CLEAR first, grow code width when the
+        next free code would overflow it, reset the dictionary at 4096."""
+        clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+        out_bits: list[int] = []  # (value, width) flattened as ints
+        widths: list[int] = []
+
+        def emit(code: int, width: int) -> None:
+            out_bits.append(code)
+            widths.append(width)
+
+        table = {bytes([i]): i for i in range(n_colors)}
+        next_code = end + 1
+        width = min_code_size + 1
+        emit(clear, width)
+        prefix = b""
+        for b in indices:
+            cand = prefix + bytes([b])
+            if cand in table:
+                prefix = cand
+                continue
+            emit(table[prefix], width)
+            if next_code < 4096:
+                table[cand] = next_code
+                # GIF growth rule: width covers codes UP TO next_code
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+                next_code += 1
+            else:
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(n_colors)}
+                next_code = end + 1
+                width = min_code_size + 1
+            prefix = bytes([b])
+        if prefix:
+            emit(table[prefix], width)
+        emit(end, width)
+        # pack LSB-first
+        acc = 0
+        nbits = 0
+        packed = bytearray()
+        for code, w in zip(out_bits, widths):
+            acc |= code << nbits
+            nbits += w
+            while nbits >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            packed.append(acc & 0xFF)
+        return bytes(packed)
+
+    def _lzw_decode(data: bytes, n_pixels: int) -> bytes:
+        clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+        pos = 0  # bit cursor
+        width = min_code_size + 1
+
+        def read_code() -> int:
+            nonlocal pos
+            v = 0
+            for j in range(width):
+                byte = data[(pos + j) >> 3]
+                v |= ((byte >> ((pos + j) & 7)) & 1) << j
+            pos += width
+            return v
+
+        table: list[bytes] = [bytes([i]) for i in range(n_colors)] + [b"", b""]
+        out = bytearray()
+        prev: bytes | None = None
+        while len(out) < n_pixels:
+            code = read_code()
+            if code == clear:
+                table = [bytes([i]) for i in range(n_colors)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            out.extend(entry)
+            if prev is not None and len(table) == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+        return bytes(out)
+
+    def encode_gif(
+        w: int, h: int, frames: list, palette: list
+    ) -> bytes:
+        """Real GIF89a: LSD + GCT + per-frame GCE + LZW image data."""
+        out = bytearray(b"GIF89a")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        # GCT present, color resolution 3 (->3 bits stored), GCT size 2^(3+1)=16
+        out.append(0x80 | (0x3 << 4) | 0x3)
+        out += b"\x00\x00"  # bg color, aspect
+        for r, g, b in palette:
+            out += bytes((r, g, b))
+        for fi, idx in enumerate(frames):
+            # graphic control extension (delay = frame index, no transparency)
+            out += b"\x21\xf9\x04\x00" + fi.to_bytes(2, "little") + b"\x00\x00"
+            out += b"\x2c\x00\x00\x00\x00"  # image descriptor at (0,0)
+            out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            out.append(0x00)  # no LCT, not interlaced
+            out.append(min_code_size)
+            comp = _lzw_encode(idx)
+            for off in range(0, len(comp), 255):
+                chunk = comp[off : off + 255]
+                out.append(len(chunk))
+                out += chunk
+            out.append(0x00)  # block terminator
+        out.append(0x3B)  # trailer
+        return bytes(out)
+
+    def decode_gif(data: bytes) -> tuple:
+        """Parse header/LSD/GCT, walk extensions and image descriptors,
+        LZW-decode every frame. Returns (w, h, palette, frames)."""
+        if data[:6] not in (b"GIF89a", b"GIF87a"):
+            raise ValueError("not a GIF")
+        w = int.from_bytes(data[6:8], "little")
+        h = int.from_bytes(data[8:10], "little")
+        packed = data[10]
+        pos = 13
+        palette: list = []
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            for j in range(n):
+                palette.append(
+                    (data[pos + 3 * j], data[pos + 3 * j + 1], data[pos + 3 * j + 2])
+                )
+            pos += 3 * n
+        frames: list = []
+        while pos < len(data):
+            b0 = data[pos]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+            fw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            fh = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            if data[pos + 9] & 0x80:
+                raise ValueError("local color tables not supported")
+            pos += 10
+            # min code size byte then sub-blocks
+            pos += 1
+            comp = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                comp += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            frames.append(_lzw_decode(bytes(comp), fw * fh))
+        return w, h, palette, frames
+
+    return encode_gif, decode_gif
+
+
+def synthesize_gif_animations(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL animated GIFs keyed by id: the m19 palette
+    (entry j = (17j, 29j, 43j) mod 256), ``1 + id % 3`` frames of
+    ``(4 + id % 8) x (4 + id % 6)`` pixels, frame f's pixel k index =
+    ``(id + f + 3k) % 16`` — closed-form channel sums for the oracle."""
+    encode_gif, _ = _gif_worker_fns()
+    ncol = GIF_N_COLORS
+
+    def gen(batches):
+        import pandas as pd_w
+
+        palette = [((j * 17) % 256, (j * 29) % 256, (j * 43) % 256) for j in range(ncol)]
+        for pdf in batches:
+            ids = list(pdf["id"])
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, h = 4 + i % 8, 4 + i % 6
+                frames = [
+                    bytes((i + f + 3 * k) % ncol for k in range(w * h))
+                    for f in range(1 + i % 3)
+                ]
+                blobs.append(encode_gif(w, h, frames, palette))
+            yield pd_w.DataFrame({"id": ids, "data": blobs, "mime": "image/gif"})
+
+    src = df.select(F.col(id_col).alias("id"))
+    return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+def gif_channel_sums(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """Decode real GIFs (full LZW) and emit per-animation frame count and
+    across-frame per-channel pixel sums. Blobs die inside the Arrow map
+    stage; 7 scalars per animation cross the shuffle — the m19 contract
+    on the LZW codec path."""
+    _, decode_gif = _gif_worker_fns()
+
+    def features(batches):
+        import pandas as pd_w
+
+        cols = ("id", "width", "height", "n_frames", "sum_r", "sum_g", "sum_b")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for i, data in zip(pdf[id_col], pdf[data_col]):
+                w, h, palette, frames = decode_gif(bytes(data))
+                sr = sg = sb = 0
+                for idx in frames:
+                    for b in idx:
+                        r, g, bl = palette[b]
+                        sr += r
+                        sg += g
+                        sb += bl
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd_w.DataFrame(out)
+
+    return df.mapInPandas(
+        features,
+        "id bigint, width int, height int, n_frames int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )

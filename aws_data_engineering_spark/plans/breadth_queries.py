@@ -6512,3 +6512,396 @@ def s12_ann_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# s13 — label-filtered vector search (round 8): the "filtered ANN" shape
+# every production vector store serves — a metadata predicate restricts the
+# candidate set BEFORE the similarity ranking (tenant isolation, language
+# filter, time-range filter). Expressed Spark-first as an equi-join on the
+# filter key instead of a post-filtered cross join: each query scores ONLY
+# its own label's partition of the corpus, so the work is
+# sum_q |corpus_label(q)| rather than Q x N. At 100 TB the corpus is
+# hash-partitioned (or bucketed) by the tenant key, the tiny query table
+# broadcasts, and the scan prunes to the touched labels — the same plan
+# this registers. Exact within the filtered set, so fully oracle-checkable
+# (the s-family's approximate paths cover the unfiltered scale story).
+# --------------------------------------------------------------------------
+_S13_K = 5
+_S13_NQ = 10  # query vectors: vec_id < 10 (one per label bucket at sf0.01)
+
+
+@register(
+    "s13_ann_label_filtered_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {_S13_NQ}
+    ), c AS (
+      SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS nv
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, c.label, neighbor_id,
+             list_cosine_similarity(qv, nv) AS sim
+      FROM q JOIN c USING (label)
+      WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, label, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS INT)
+               AS rnk
+      FROM scored
+    )
+    SELECT query_id, label, neighbor_id, ROUND(sim, 4) AS sim, rnk
+    FROM ranked WHERE rnk <= {_S13_K}
+    """,
+    "label-filtered exact cosine top-k (filtered vector search): the "
+    "metadata predicate becomes an equi-join on the filter key, so each "
+    "query scores only its label's corpus slice — never a post-filtered "
+    "cross join",
+)
+def s13_ann_label_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _S13_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "label",
+            "neighbor_id",
+            # F.aggregate fold: same left-to-right IEEE sequence as
+            # DuckDB's list_cosine_similarity (see s01/e01 contract)
+            SIM.cosine(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _S13_K)
+        .select("query_id", "label", "neighbor_id",
+                F.round("sim", 4).alias("sim"), "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# t36 — cross-document n-gram novelty (round 8): the corpus-curation curve
+# that tells you when a crawl stops adding new content. Attribution rule:
+# a distinct 3-gram is NOVEL in the lowest doc_id that contains it (a
+# deterministic stand-in for crawl order), so a doc's novelty is the
+# fraction of its distinct grams it introduced. Plan: Arrow-batched shingle
+# fanout (exploded_shingles, the d05/d09 kernel) -> gram-keyed min(doc_id)
+# partial agg -> big-big shuffle join back on gram -> per-doc agg ->
+# bounded per-source census. Both shuffles key on the gram (the inverted-
+# index shape d09/d14 already run at 100x); nothing is quadratic and no
+# state ever leaves the executors.
+# --------------------------------------------------------------------------
+@register(
+    "t36_crossdoc_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                      FOR i IN generate_series(1, len(t) - 2)])
+             END AS sh
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, UNNEST(sh) AS shingle FROM grams
+    ), firsts AS (
+      SELECT shingle, MIN(doc_id) AS first_id FROM ex GROUP BY shingle
+    ), per_doc AS (
+      SELECT e.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN e.doc_id = f.first_id THEN 1 ELSE 0 END) AS n_novel
+      FROM ex e JOIN firsts f USING (shingle)
+      GROUP BY e.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+           CAST(FLOOR(1e6 * SUM(n_novel) / SUM(n_grams)) AS BIGINT)
+             AS novelty_ppm
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    "cross-document 3-gram novelty census per source: a gram is novel in "
+    "the lowest doc_id containing it — inverted-index min-attribution, "
+    "gram-keyed shuffles only",
+)
+def t36_crossdoc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ex = DD.exploded_shingles(docs, "doc_id", "text", shingle_n=3)
+    firsts = ex.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        ex.join(firsts, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("id") == F.col("first_id")).cast("int")).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("total_grams"),
+            F.sum("n_novel").cast("bigint").alias("novel_grams"),
+            F.floor(
+                F.lit(1e6) * F.sum("n_novel") / F.sum("n_grams")
+            ).cast("bigint").alias("novelty_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q102 — weekly retention cohorts (round 8): the classic product-analytics
+# matrix — users grouped by first-seen week, activity counted per weeks-
+# since-cohort. Plan: per-user min(ts) agg (map-side combined), distinct
+# (user, week) activity pairs, one join on user_id, then a bounded
+# (cohort x offset) cell agg; cohort size recovered from the offset-0 cell
+# by a window over the already-bounded cells (weeks^2 rows), so no extra
+# shuffle of the big table. At 100 TB: two user-keyed shuffles + one
+# bounded agg — the same shape as d02/q20.
+# --------------------------------------------------------------------------
+@register(
+    "q102_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    ), cells AS (
+      SELECT cw,
+             CAST(date_diff('day', CAST(cw AS DATE), CAST(aw AS DATE)) / 7
+                  AS INT) AS week_offset,
+             COUNT(*) AS n_users
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(FLOOR(1e6 * n_users /
+                      (MAX(CASE WHEN week_offset = 0 THEN n_users END)
+                       OVER (PARTITION BY cw))) AS BIGINT) AS retention_ppm
+    FROM cells
+    """,
+    "weekly retention cohort matrix: first-seen week x weeks-since-cohort "
+    "distinct-user counts with ppm retention vs the cohort's week-0 size",
+)
+def q102_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    cells = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cw",
+            (F.datediff(F.col("aw"), F.col("cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.partitionBy("cw")
+    return cells.select(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.floor(
+            F.lit(1e6)
+            * F.col("n_users")
+            / F.max(
+                F.when(F.col("week_offset") == 0, F.col("n_users"))
+            ).over(w)
+        )
+        .cast("bigint")
+        .alias("retention_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m20 — animated GIF decode (round 8): the one mainstream image container
+# missing after PNG x3 / JPEG x3 / MJPEG — indexed color under REAL LZW
+# compression plus multi-frame animation. The generator writes genuine
+# GIF89a bytes (LSD, global color table, per-frame graphic control
+# extensions, LSB-first variable-width LZW in 255-byte sub-blocks); the
+# decoder implements full GIF LZW (clear/end codes, width growth at
+# 2^width, KwKwK case, 4096 dictionary reset) and expands indices through
+# the palette. One wrong code anywhere shifts every later pixel of the
+# frame and moves a channel sum — the closed-form oracle catches it.
+# Blobs die inside the Arrow map stage (m19 contract); codec cost is
+# linear in pixels and embarrassingly parallel at 100 TB.
+# --------------------------------------------------------------------------
+@register(
+    "m20_gif_frame_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id AS id,
+             CAST(4 + doc_id % 8 AS INT) AS width,
+             CAST(4 + doc_id % 6 AS INT) AS height,
+             CAST(1 + doc_id % 3 AS INT) AS n_frames
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+    ), fr AS (
+      SELECT id, width, height, n_frames,
+             UNNEST(generate_series(0, n_frames - 1)) AS f
+      FROM dims
+    ), px AS (
+      SELECT id, width, height, n_frames, f,
+             UNNEST(generate_series(0, width * height - 1)) AS k
+      FROM fr
+    )
+    SELECT id,
+           CAST(MAX(width) AS INT) AS width,
+           CAST(MAX(height) AS INT) AS height,
+           CAST(MAX(n_frames) AS INT) AS n_frames,
+           CAST(SUM((id + f + 3 * k) % 16 * 17 % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((id + f + 3 * k) % 16 * 29 % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((id + f + 3 * k) % 16 * 43 % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY id
+    """,
+    "REAL animated-GIF decode: genuine GIF89a blobs (global color table, "
+    "graphic control extensions, variable-width LZW) decoded frame by "
+    "frame; across-frame per-channel sums hash-checked against the "
+    "closed-form generator",
+)
+def m20_gif_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-negative ids only, both sides: Python % is non-negative while
+    # DuckDB % keeps the dividend's sign (the m12/m19 generator contract)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
+    )
+    gifs = MM.synthesize_gif_animations(docs, "doc_id")
+    return MM.gif_channel_sums(gifs, "id", "data")
+
+
+# --------------------------------------------------------------------------
+# c18 — manifest-based snapshot time travel (round 8): the lakehouse
+# capability Delta/Iceberg provide, rebuilt on plain parquet + an explicit
+# commit protocol — because delta-spark is provably uninstallable here
+# (SURVEY §5) and the MECHANISM is what matters: data files are immutable,
+# a commit is "write new files, then publish a manifest listing the full
+# snapshot file set", and a reader pins a version by reading EXACTLY its
+# manifest's files. v1 commits the pre-cutoff orders; v2 appends the
+# post-cutoff delta INTO THE SAME DIRECTORY and publishes a superset
+# manifest — yet the as-of-v1 read still returns exactly the v1 aggregate
+# (snapshot isolation under concurrent appends). File listing happens
+# once at commit time on a bounded just-written set (the same driver-side
+# step every real table format's commit runs — writers.py:175 precedent);
+# readers never list the directory, so dirty/uncommitted files are
+# invisible by construction. At 100 TB: manifests are per-commit metadata
+# (KB), data files never rewrite, and the as-of read plans exactly the
+# pinned files — no full-directory listing anywhere.
+# --------------------------------------------------------------------------
+_C18_CUTOFF = "1997-01-01"
+_C18_FILES_PER_COMMIT = 4
+
+
+@register(
+    "c18_manifest_time_travel",
+    f"""
+    WITH v1 AS (
+      SELECT COUNT(*) AS n, SUM(o_totalprice) AS s FROM orders
+      WHERE o_orderdate < DATE '{_C18_CUTOFF}'
+    ), v2 AS (
+      SELECT COUNT(*) AS n, SUM(o_totalprice) AS s FROM orders
+    )
+    SELECT 'v1' AS version, CAST(n AS BIGINT) AS n_rows,
+           ROUND(s, 2) AS total_price,
+           CAST({_C18_FILES_PER_COMMIT} AS INT) AS n_files
+    FROM v1
+    UNION ALL
+    SELECT 'v2', CAST(n AS BIGINT), ROUND(s, 2),
+           CAST({2 * _C18_FILES_PER_COMMIT} AS INT)
+    FROM v2
+    """,
+    "snapshot time travel on plain parquet: immutable data files + "
+    "versioned full-snapshot manifests; the as-of-v1 read returns exactly "
+    "the v1 aggregate even though v2's delta was appended into the same "
+    "directory (oracle recomputes both snapshots from the raw table)",
+)
+def c18_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    orders = _t(spark, sf_dir, "orders")
+    root = f"{tempfile.gettempdir()}/c18_{uuid.uuid4().hex}"
+    data_dir = f"{root}/data"
+    manifest_dir = f"{root}/manifests"
+    os.makedirs(manifest_dir, exist_ok=True)
+
+    def _data_files() -> set[str]:
+        return {
+            f for f in os.listdir(data_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        }
+
+    def _commit(version: int, files: set[str]) -> None:
+        # manifest = the FULL snapshot file set; publish is an atomic
+        # rename so a reader never sees a half-written manifest
+        tmp = f"{manifest_dir}/.v{version}.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": sorted(files)}, fh)
+        os.replace(tmp, f"{manifest_dir}/v{version}.json")
+
+    # commit 1: the pre-cutoff snapshot
+    (
+        orders.filter(F.col("o_orderdate") < F.lit(_C18_CUTOFF))
+        .repartition(_C18_FILES_PER_COMMIT)
+        .write.mode("overwrite")
+        .parquet(data_dir)
+    )
+    v1_files = _data_files()
+    _commit(1, v1_files)
+
+    # commit 2: append the post-cutoff delta into the SAME directory;
+    # the new manifest is the superset (Iceberg append semantics)
+    (
+        orders.filter(F.col("o_orderdate") >= F.lit(_C18_CUTOFF))
+        .repartition(_C18_FILES_PER_COMMIT)
+        .write.mode("append")
+        .parquet(data_dir)
+    )
+    _commit(2, _data_files())
+
+    def _read_asof(version: int) -> DataFrame:
+        with open(f"{manifest_dir}/v{version}.json") as fh:
+            m = json.load(fh)
+        paths = [f"{data_dir}/{f}" for f in m["files"]]
+        df = spark.read.parquet(*paths)
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ).select(
+            F.lit(f"v{version}").alias("version"),
+            "n_rows",
+            "total_price",
+            F.lit(len(paths)).cast("int").alias("n_files"),
+        )
+
+    return _read_asof(1).unionByName(_read_asof(2))

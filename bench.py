@@ -143,6 +143,19 @@ HEADLINE = [
     # round-8: the faiss refine stage composed on the s08 index (PQ top-R
     # pool re-scored exactly; corpus touched only through the code scan).
     "s12_ann_ivfpq_refine_topk",
+    # round-8 second batch: label-filtered vector search (the equi-join-on-
+    # filter-key plan every multi-tenant vector store runs), cross-document
+    # n-gram novelty (gram-keyed min-attribution — the one big-big inverted-
+    # index JOIN shape not yet benched), and the weekly retention cohort
+    # matrix (two user-keyed shuffles + bounded cell agg).
+    "s13_ann_label_filtered_topk",
+    "t36_crossdoc_ngram_novelty",
+    "q102_retention_cohorts",
+    # round-8 second batch: the GIF89a LZW codec chain (the heaviest
+    # pure-Python per-pixel decoder — dictionary state per pixel, unlike
+    # the vectorizable PNG/JPEG paths). c18 time travel is deliberately
+    # NOT benched: a two-commit write demo, the c04 maintenance precedent.
+    "m20_gif_frame_decode",
 ]
 
 

@@ -328,3 +328,147 @@ def test_ascii_trim_contract():
     assert py == duck == "\xa0\t keep me　".strip(" \t")  # NBSP/IDEO kept
     assert py == "\xa0\t keep me　"
     assert py != probe.strip()  # unicode strip would eat NBSP/IDEO too
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions #2 (s13 / t36 / q102) — edge semantics pinned cross-engine.
+# ---------------------------------------------------------------------------
+def _write_events(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+
+def test_s13_label_isolation_and_short_slices(spark, tmp_path):
+    """A label whose only member is the query itself yields NO rows for
+    that query (filtered search never leaks across the filter key), and a
+    label with fewer than K+1 members yields fewer than K rows — both
+    engines must agree on the short result."""
+    from tests.oracle_utils import compare
+
+    vecs = []
+    labels = []
+    # label 0: only vec 0 (a query) -> no candidates for it
+    # label 1: vecs 1 (query) + 10, 11 -> 2 neighbors (< K=5)
+    # label 2: vecs 2 (query) + 12..17 -> full K
+    for i in range(18):
+        vecs.append([((i * 5 + j * 2) % 11) / 11.0 + 0.2 for j in range(8)])
+        labels.append(0 if i == 0 else (1 if i in (1, 10, 11) else 2))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(18)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    q = QUERIES["s13_ann_label_filtered_topk"]
+    df = q.spark(spark, str(tmp_path))
+    got = df.collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert 0 not in by_q, "label-isolated query must return nothing"
+    assert len(by_q[1]) == 2, "short label slice must yield < K rows"
+    assert all(r["label"] == 1 for r in by_q[1])
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_t36_duplicate_doc_has_zero_novelty(spark, tmp_path):
+    """An exact duplicate with a HIGHER doc_id introduces nothing (every
+    gram's min-doc attribution points at the original); the original owns
+    100% of its grams; an empty doc's single ''-gram attributes to the
+    lowest empty doc_id. Cross-engine exact."""
+    from tests.oracle_utils import compare
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "orig"),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "dup"),
+        (3, "", "en", "empty"),
+        (4, "  ", "en", "empty2"),
+        (5, "alpha beta gamma NEW tokens here", "en", "partial"),
+    ]
+    _write_docs(tmp_path, rows)
+    q = QUERIES["t36_crossdoc_ngram_novelty"]
+    df = q.spark(spark, str(tmp_path))
+    by_src = {r["source"]: r for r in df.collect()}
+    assert by_src["orig"]["novel_grams"] == by_src["orig"]["total_grams"]
+    assert by_src["dup"]["novel_grams"] == 0
+    assert by_src["empty"]["novel_grams"] == 1  # '' gram, lowest empty doc
+    assert by_src["empty2"]["novel_grams"] == 0  # same '' gram, higher id
+    assert 0 < by_src["partial"]["novel_grams"] < by_src["partial"]["total_grams"]
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_q102_cohort_edges(spark, tmp_path):
+    """Single-event users are their own cohort at offset 0 with
+    retention_ppm exactly 1_000_000; a user active across a year boundary
+    lands in the right week offsets (Monday-start date_trunc('week') must
+    agree between Spark and DuckDB across Jan 1); NULL-ts events form a
+    NULL cohort row identically in both engines."""
+    import datetime
+
+    from tests.oracle_utils import compare
+
+    d = datetime.datetime
+    rows = [
+        # user 1: one event only -> cohort=its week, offset 0 only
+        (1, d(2024, 3, 5, 10, 0), 1, "view", 1.0, None),
+        # user 2: active Dec 29 2023 (Fri, week of Mon Dec 25) and
+        # Jan 3 2024 (Wed, week of Mon Jan 1) -> offsets 0 and 1
+        (2, d(2023, 12, 29, 8, 0), 2, "view", 1.0, None),
+        (3, d(2024, 1, 3, 9, 0), 2, "click", 1.0, None),
+        # user 3: three weeks of activity incl. a gap (offsets 0, 2)
+        (4, d(2024, 3, 4, 7, 0), 3, "view", 1.0, None),
+        (5, d(2024, 3, 18, 7, 0), 3, "view", 1.0, None),
+        # user 4: NULL ts only -> NULL cohort row
+        (6, None, 4, "view", 1.0, None),
+    ]
+    _write_events(tmp_path, rows)
+    q = QUERIES["q102_retention_cohorts"]
+    df = q.spark(spark, str(tmp_path))
+    got = {(r["cohort_week"], r["week_offset"]): r for r in df.collect()}
+    assert got[("2023-12-25", 0)]["retention_ppm"] == 1_000_000
+    assert got[("2023-12-25", 1)]["n_users"] == 1  # year-boundary offset
+    assert got[("2024-03-04", 0)]["n_users"] == 2  # users 1 and 3
+    assert got[("2024-03-04", 2)]["retention_ppm"] == 500_000
+    assert (None, None) in got  # NULL-ts cohort row survives identically
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_gif_lzw_codec_roundtrip_property():
+    """The GIF89a encoder/decoder pair must be exact inverses across the
+    LZW regimes: random frames (width growth), a 40k-pixel frame crossing
+    the 4096-code dictionary reset, and an all-same-pixel frame (the
+    KwKwK corner where the decoder sees a code one past its table)."""
+    import random
+
+    from aws_data_engineering_spark.operators.multimodal import (
+        GIF_N_COLORS,
+        _gif_worker_fns,
+    )
+
+    enc, dec = _gif_worker_fns()
+    palette = [((j * 17) % 256, (j * 29) % 256, (j * 43) % 256)
+               for j in range(GIF_N_COLORS)]
+    rng = random.Random(7)
+    for _ in range(50):
+        w, h = rng.randint(1, 40), rng.randint(1, 40)
+        frames = [
+            bytes(rng.randrange(16) for _ in range(w * h))
+            for _ in range(rng.randint(1, 4))
+        ]
+        w2, h2, pal2, fr2 = dec(enc(w, h, frames, palette))
+        assert (w2, h2, pal2, fr2) == (w, h, palette, frames)
+    big = bytes((k * k + 7 * k) % 16 for k in range(200 * 200))
+    assert dec(enc(200, 200, [big], palette))[3] == [big]
+    mono = bytes([5]) * 997
+    assert dec(enc(997, 1, [mono], palette))[3] == [mono]
