@@ -357,6 +357,149 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_probe_pairs(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    max_bucket: int = GUARD_BUCKET_DEFAULT,
+) -> DataFrame:
+    """INCREMENTAL fuzzy dedup: probe a new batch against an existing
+    corpus index without re-comparing the corpus to itself — the shape a
+    production crawl pipeline runs daily (signatures of the 100 TB corpus
+    are computed ONCE and persisted; each day's delta only pays its own
+    signature pass plus a band-keyed join against the index).
+
+    Pipeline: signature both sides (the minhash_candidate_pairs Arrow
+    kernel) → explode bands → census the INDEX side and drop buckets
+    larger than ``max_bucket`` (an oversized index bucket is a duplicate
+    cluster inside the index — d04/d17's cap reasoning; probing it would
+    attach every new doc to the whole cluster instead of its canonical
+    representative) → equi-join batch bands against surviving index bands
+    → distinct (new, index) pairs → estimated Jaccard from signature
+    agreement. No self-join anywhere: work is |batch| × bucket-occupancy,
+    never |corpus|².
+
+    Returns (id_new, id_idx, est_jaccard). Signatures are bit-identical to
+    d04's, so the DuckDB oracle (:func:`minhash_probe_oracle_sql`)
+    reproduces the whole thing exactly."""
+    rows_per_band = num_hashes // num_bands
+    spark = index_df.sparkSession
+    params = _hash_params(num_hashes)
+    shingle_set, base_hash = _shingle_worker_fns(shingle_n=3)
+    mersenne_p = _MERSENNE_P
+
+    def compute_sigs(batches):
+        import numpy as np
+        import pandas as pd_w
+
+        a = np.array([p[0] for p in params], dtype=np.int64)
+        b = np.array([p[1] for p in params], dtype=np.int64)
+        for pdf in batches:
+            ids, sigs_out = [], []
+            for doc_id, text in zip(pdf["id"], pdf["text"]):
+                base = np.fromiter(
+                    (base_hash(s) for s in shingle_set(text)), dtype=np.int64
+                )
+                sig = ((base[:, None] * a[None, :] + b) % mersenne_p).min(axis=0)
+                ids.append(doc_id)
+                sigs_out.append(sig.tolist())
+            yield pd_w.DataFrame({"id": ids, "sig": sigs_out})
+
+    def banded_sigs(df: DataFrame) -> DataFrame:
+        fanout = df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        ).repartition(spark.sparkContext.defaultParallelism)
+        sigs = fanout.mapInPandas(compute_sigs, "id bigint, sig array<bigint>")
+        return sigs.select(
+            "id",
+            "sig",
+            F.explode(
+                minhash_bands(F.col("sig"), num_bands, rows_per_band)
+            ).alias("b"),
+        ).select(
+            "id", "sig", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
+        )
+
+    idx = banded_sigs(index_df)
+    new = banded_sigs(batch_df)
+    census = idx.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("__n"))
+    idx = idx.join(census.filter(F.col("__n") <= max_bucket), ["band", "band_hash"]).drop(
+        "__n"
+    )
+    pairs = (
+        new.alias("l")
+        .join(
+            idx.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .select(
+            F.col("l.id").alias("id_new"),
+            F.col("r.id").alias("id_idx"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_new", "id_idx"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "id_new",
+        "id_idx",
+        F.round(agree / F.size(F.col("sig_a")), 4).alias("est_jaccard"),
+    )
+
+
+def minhash_probe_oracle_sql(
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    max_bucket: int = GUARD_BUCKET_DEFAULT,
+    batch_pred: str = "doc_id % 10 = 0",
+) -> str:
+    """DuckDB SQL reproducing :func:`minhash_probe_pairs` over ``documents``
+    split by ``batch_pred`` (batch side = rows matching, index side = the
+    rest). Signatures via the shared d04 CTE; banding as signature-slice
+    equality (the d17 bandrows/census/keep pattern) with the census on the
+    INDEX side only, mirroring the probe's cap."""
+    rows = num_hashes // num_bands
+    prefix = _minhash_sig_cte_sql(num_hashes)
+    return f"""
+    WITH {prefix}
+    , bandrows AS (
+      SELECT doc_id, sig, b.band,
+             array_to_string(sig[b.band * {rows} + 1:b.band * {rows} + {rows}],
+                             ',') AS bkey
+      FROM sigs,
+           (SELECT UNNEST(generate_series(0, {num_bands - 1})) AS band) b
+    ), idx AS (
+      SELECT * FROM bandrows WHERE NOT ({batch_pred})
+    ), newb AS (
+      SELECT * FROM bandrows WHERE {batch_pred}
+    ), census AS (
+      SELECT band, bkey, COUNT(*) AS n FROM idx GROUP BY 1, 2
+    ), kept AS (
+      SELECT i.* FROM idx i JOIN census c USING (band, bkey)
+      WHERE c.n <= {max_bucket}
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_idx,
+             l.sig AS sig_a, r.sig AS sig_b
+      FROM newb l JOIN kept r USING (band, bkey)
+    )
+    SELECT id_new, id_idx,
+           ROUND(CAST(list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
+                                FOR i IN generate_series(1, {num_hashes})])
+                      AS DOUBLE) / {num_hashes}, 4) AS est_jaccard
+    FROM cand
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -684,6 +684,63 @@ def png_channel_sums(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
     return src.mapInPandas(features, PNG_CHANNEL_SUMS_DDL)
 
 
+PNG_RESIZE_SUMS_DDL = (
+    "id bigint, width int, height int, out_w int, out_h int, "
+    "sum_px bigint, wsum_px bigint"
+)
+
+
+def png_resize_channel_sums(
+    df: DataFrame, id_col: str, data_col: str, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """REAL decode + nearest-neighbor resize to a fixed (out_h, out_w)
+    thumbnail — the standard pre-embedding normalization step an image
+    training pipeline runs on every sample. Index map is the canonical
+    floor rule ``src_y = (y * h) // out_h`` / ``src_x = (x * w) // out_w``
+    (pure integer arithmetic, so closed-form oracles over the synthetic
+    pixel generators carry through the resize). Works for both downscale
+    and upscale (source pixels repeat). Grayscale uses the single plane;
+    truecolor uses the R plane. Besides the plain pixel sum, emits a
+    position-weighted checksum ``sum(px[k] * (k+1))`` over the row-major
+    resized grid — a plain sum can survive a wrong index map on smooth
+    images, the weighted one cannot. Resize happens vectorized in numpy
+    inside one Arrow map stage; only 7 scalars per image cross the
+    shuffle, so the plan is linear in bytes and embarrassingly parallel."""
+    _, decode_png, _, _ = _png_worker_fns()
+    ow, oh = int(out_w), int(out_h)
+
+    def features(batches):
+        import numpy as np_w
+        import pandas as pd_w
+
+        weights = np_w.arange(1, ow * oh + 1, dtype=np_w.int64)
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("id", "width", "height", "out_w", "out_h", "sum_px", "wsum_px")
+            }
+            for i, data in zip(pdf["id"], pdf["data"]):
+                w, h, ch, px = decode_png(bytes(data))
+                a = np_w.frombuffer(px, dtype=np_w.uint8)
+                if ch == 3:
+                    a = a[0::3]
+                a = a.reshape(h, w)
+                rows = (np_w.arange(oh, dtype=np_w.int64) * h) // oh
+                cols = (np_w.arange(ow, dtype=np_w.int64) * w) // ow
+                r = a[np_w.ix_(rows, cols)].astype(np_w.int64).ravel()
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["sum_px"].append(int(r.sum()))
+                out["wsum_px"].append(int((r * weights).sum()))
+            yield pd_w.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(features, PNG_RESIZE_SUMS_DDL)
+
+
 # ---------------------------------------------------------------------------
 # WAV (real format, pure-Python codec): stdlib struct only — no soundfile /
 # pyav needed. Canonical RIFF/WAVE with 16-bit PCM, arbitrary chunk order on
@@ -776,6 +833,68 @@ def synthesize_wav_audio(df: DataFrame, id_col: str) -> DataFrame:
 
     src = df.select(F.col(id_col).alias("id"))
     return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+WAV_SILENCE_DDL = (
+    "id bigint, sample_rate int, n_samples int, n_silent bigint, "
+    "n_segments int, longest_run int, first_silent int"
+)
+
+
+def wav_silence_segments(
+    df: DataFrame,
+    id_col: str,
+    data_col: str,
+    threshold: int = 32,
+    min_run: int = 2,
+) -> DataFrame:
+    """Real WAV decode → silence segmentation (the VAD-style preprocessing
+    an audio training pipeline runs to drop dead air): a sample is silent
+    when |amplitude| < ``threshold``; a segment is a maximal silent run of
+    length >= ``min_run``. The per-sample analysis stays INSIDE the Arrow
+    map stage (numpy run-length over the decoded buffer) — exploding
+    samples to rows would shuffle 500× the data for a per-clip answer.
+    Integer outputs only, so the oracle's SQL gaps-and-islands over the
+    closed-form generator matches bit-exactly. ``first_silent`` is the
+    0-based position of the first sample in any qualifying segment
+    (-1 when the clip has none)."""
+    _, decode_wav = _wav_worker_fns()
+    thr, mrun = int(threshold), int(min_run)
+
+    def features(batches):
+        import numpy as np_w
+        import pandas as pd_w
+
+        cols = (
+            "id", "sample_rate", "n_samples", "n_silent",
+            "n_segments", "longest_run", "first_silent",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for i, data in zip(pdf["id"], pdf["data"]):
+                sr, _nch, samples = decode_wav(bytes(data))
+                v = np_w.asarray(samples, dtype=np_w.int64)
+                silent = np_w.abs(v) < thr
+                # run-length encode the silent mask: boundaries where the
+                # mask flips, runs = diff of boundary positions
+                padded = np_w.concatenate(([False], silent, [False]))
+                flips = np_w.flatnonzero(padded[1:] != padded[:-1])
+                starts, ends = flips[0::2], flips[1::2]
+                lens = ends - starts
+                qual = lens >= mrun
+                out["id"].append(i)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(len(v))
+                out["n_silent"].append(int(silent.sum()))
+                out["n_segments"].append(int(qual.sum()))
+                out["longest_run"].append(int(lens.max()) if len(lens) else 0)
+                out["first_silent"].append(
+                    int(starts[qual][0]) if qual.any() else -1
+                )
+            yield pd_w.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(features, WAV_SILENCE_DDL)
 
 
 def decode_wav_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:

@@ -6905,3 +6905,530 @@ def c18_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _read_asof(1).unionByName(_read_asof(2))
+
+
+# --------------------------------------------------------------------------
+# d20 — blocked sorted-neighborhood edit-distance pairs (round 8): the
+# record-linkage family's classic alternative to LSH — sort records within
+# a blocking key and compare each record only to its next R sort-order
+# neighbors, so candidate pairs are n*R instead of n^2. Block key =
+# (first token, token-count//16 bucket): at 100 TB the blocks ARE the
+# window partitions, so the whole comparison is embarrassingly
+# block-parallel with no all-pairs stage and no global sort (a plain
+# sorted-neighborhood over ONE global order would collapse to a single
+# window partition — the blocked form is the scale-safe variant, at the
+# standard blocking cost of missing cross-block pairs). Distance is exact
+# Levenshtein on a 48-char prefix, ASCII-sanitized first on BOTH sides
+# (non-printable/non-ASCII chars -> '?'): Spark's levenshtein counts
+# codepoints while DuckDB's counts BYTES (measured: 'καλός'->'καλό' is 1
+# vs 2), so the portable contract pins the key to the byte==codepoint
+# range — the same reasoning as the ascii_lower fold. The single window
+# computes all R=3 leads in one pass.
+# --------------------------------------------------------------------------
+_D20_LEADS = 3
+_D20_PREFIX = 48
+
+
+@register(
+    "d20_sorted_neighborhood_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             split_part(text, ' ', 1) AS first_tok,
+             len(string_split(text, ' ')) AS n_toks,
+             regexp_replace(substring(text, 1, {_D20_PREFIX}),
+                            '[^\\x20-\\x7e]', '?', 'g') AS prefix
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), nb AS (
+      SELECT prefix,
+             lead(prefix, 1) OVER w AS p1,
+             lead(prefix, 2) OVER w AS p2,
+             lead(prefix, 3) OVER w AS p3
+      FROM d
+      WINDOW w AS (PARTITION BY first_tok, n_toks // 16
+                   ORDER BY n_toks, doc_id)
+    ), pairs AS (
+      SELECT 1 AS k, levenshtein(prefix, p1) AS dist FROM nb WHERE p1 IS NOT NULL
+      UNION ALL
+      SELECT 2 AS k, levenshtein(prefix, p2) AS dist FROM nb WHERE p2 IS NOT NULL
+      UNION ALL
+      SELECT 3 AS k, levenshtein(prefix, p3) AS dist FROM nb WHERE p3 IS NOT NULL
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(dist // 8 AS INT) AS dist_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(dist) AS INT) AS min_dist,
+           CAST(MAX(dist) AS INT) AS max_dist
+    FROM pairs GROUP BY 1, 2
+    """,
+    "blocked sorted-neighborhood record linkage: within (first-token, "
+    "length-bucket) blocks, exact Levenshtein on 48-char prefixes against "
+    "the next 3 sort-order neighbors — n*R candidate pairs, never n^2",
+)
+def d20_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    d = docs.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_tok"),
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+        # byte==codepoint only in printable ASCII: Spark levenshtein counts
+        # codepoints, DuckDB counts bytes — sanitize the key identically
+        F.regexp_replace(
+            F.substring("text", 1, _D20_PREFIX), r"[^\x20-\x7e]", "?"
+        ).alias("prefix"),
+    )
+    w = Window.partitionBy(
+        "first_tok", F.expr("n_toks DIV 16")
+    ).orderBy("n_toks", "doc_id")
+    nb = d.select(
+        "prefix",
+        *[F.lead("prefix", k).over(w).alias(f"p{k}") for k in range(1, _D20_LEADS + 1)],
+    )
+    # one exploded pass over the window output: levenshtein(prefix, NULL)
+    # is NULL, dropped by the ok filter — no per-lead re-scan of nb
+    pairs = (
+        nb.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"),
+                            F.levenshtein("prefix", f"p{k}").alias("dist"),
+                            F.col(f"p{k}").isNotNull().alias("ok"),
+                        )
+                        for k in range(1, _D20_LEADS + 1)
+                    ]
+                )
+            ).alias("s")
+        )
+        .filter(F.col("s.ok"))
+        .select(F.col("s.k").cast("int").alias("k"), F.col("s.dist").alias("dist"))
+    )
+    return pairs.groupBy("k", F.expr("dist DIV 8").cast("int").alias("dist_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("dist").cast("int").alias("min_dist"),
+        F.max("dist").cast("int").alias("max_dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q103 — time-weighted average value per event type (round 8): the TWAP /
+# time-in-state aggregate — each event's value holds until the user's next
+# event, capped at a 3600 s idle horizon, and the average weights value by
+# held duration instead of event count. Everything is integer arithmetic
+# (cents x whole seconds) so the result is bit-exact regardless of
+# aggregation order. Plan: ONE user-keyed window (lead) then a bounded
+# group-by on event_type — the same single-shuffle shape as q23/q24, fully
+# partition-parallel at 100 TB.
+# --------------------------------------------------------------------------
+_Q103_IDLE_CAP_S = 3600
+
+
+@register(
+    "q103_time_weighted_value",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(ts) AS us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), gaps AS (
+      SELECT event_type, cents,
+             (LEAD(us) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) - us) // 1000000 AS gap_s
+      FROM e
+    ), seg AS (
+      -- LEAST() SKIPS NULLs in both engines, so cap only when a successor
+      -- exists — a user's final event must drop, not get the cap value
+      SELECT event_type, cents,
+             CASE WHEN gap_s IS NULL THEN NULL
+                  ELSE LEAST(gap_s, {_Q103_IDLE_CAP_S}) END AS dur_s
+      FROM gaps
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur_s) AS BIGINT) AS total_s,
+           CAST(SUM(cents * dur_s) AS BIGINT) AS weighted_cents_s,
+           CAST(SUM(cents * dur_s) // GREATEST(SUM(dur_s), 1) AS BIGINT)
+             AS twap_cents
+    FROM seg WHERE dur_s IS NOT NULL
+    GROUP BY event_type
+    """,
+    "time-weighted average value (TWAP) per event type: value held until "
+    "the user's next event, idle-capped at 1 h — integer cents x seconds, "
+    "one user-keyed window + one bounded agg",
+)
+def q103_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    # load_table normalizes ts to TimestampType; unix_micros keeps the
+    # epoch integer (never double — μs epochs exceed double's 2^53)
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    # least() SKIPS NULLs in both Spark and DuckDB — cap only when a
+    # successor exists so each user's final event drops instead of
+    # inheriting the cap value
+    seg = (
+        e.withColumn("lead_us", F.lead("us").over(w))
+        .select(
+            "event_type",
+            "cents",
+            F.when(
+                F.col("lead_us").isNotNull(),
+                F.least(
+                    F.expr("(lead_us - us) DIV 1000000"),
+                    F.lit(_Q103_IDLE_CAP_S).cast("bigint"),
+                ),
+            ).alias("dur_s"),
+        )
+    )
+    return (
+        seg.filter(F.col("dur_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("dur_s").cast("bigint").alias("total_s"),
+            F.sum(F.col("cents") * F.col("dur_s")).cast("bigint").alias("weighted_cents_s"),
+            F.expr(
+                "sum(cents * dur_s) DIV greatest(sum(dur_s), 1)"
+            ).cast("bigint").alias("twap_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# m21 — REAL PNG decode + nearest-neighbor resize (round 8): the
+# pre-embedding thumbnail normalization every image training pipeline runs.
+# Genuine PNG blobs (zlib IDAT, CRC'd chunks, filter types cycling 0-4)
+# are decoded by the pure-Python codec and resized 8x8 with the canonical
+# integer floor index map inside ONE Arrow map stage; the oracle replays
+# the same index map over the closed-form pixel generator. The
+# position-weighted checksum (sum px[k]*(k+1)) pins the exact index map —
+# a plain sum could survive a transposed or off-by-one resize.
+# --------------------------------------------------------------------------
+@register(
+    "m21_png_resize_thumbnail",
+    """
+    WITH dims AS (
+      SELECT doc_id AS id,
+             CAST(4 + doc_id % 16 AS INT) AS width,
+             CAST(4 + doc_id % 12 AS INT) AS height
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+    ), px AS (
+      SELECT id, width, height, UNNEST(generate_series(0, 63)) AS k
+      FROM dims
+    ), rp AS (
+      SELECT id, width, height, k,
+             (id + ((k // 8) * height // 8) * width
+                 + ((k % 8) * width // 8)) * 31 % 256 AS val
+      FROM px
+    )
+    SELECT id,
+           CAST(MAX(width) AS INT) AS width,
+           CAST(MAX(height) AS INT) AS height,
+           CAST(8 AS INT) AS out_w,
+           CAST(8 AS INT) AS out_h,
+           CAST(SUM(val) AS BIGINT) AS sum_px,
+           CAST(SUM(val * (k + 1)) AS BIGINT) AS wsum_px
+    FROM rp GROUP BY id
+    """,
+    "REAL PNG decode + nearest-neighbor 8x8 thumbnail resize: floor index "
+    "map over genuine decoded scanlines, position-weighted checksum "
+    "hash-checked against the closed-form generator",
+)
+def m21_png_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-negative ids only, both sides: Python % is non-negative while
+    # DuckDB % keeps the dividend's sign (the m12/m19/m20 generator contract)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
+    )
+    images = MM.synthesize_png_images(docs, "doc_id")
+    return MM.png_resize_channel_sums(images, "id", "data", out_w=8, out_h=8)
+
+
+# --------------------------------------------------------------------------
+# c19 — fixed-width text source round-trip (round 8): the mainframe-export
+# format classic ETL still ingests — no delimiters, fields live at byte
+# offsets. Spark has no fixed-width reader, so the scale-correct form IS
+# this plan: spark.read.text (splittable, whole-stage codegen) + substring
+# slicing + casts, which Catalyst keeps entirely JVM-side. The query
+# formats orders into 60-byte records, writes real text files, reads them
+# back cold, parses by offset, and aggregates — the census hash-matches
+# the source table only if every field survives the byte round trip.
+# --------------------------------------------------------------------------
+@register(
+    "c19_fixed_width_roundtrip",
+    """
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MIN(strftime(o_orderdate, '%Y-%m-%d')) AS min_date,
+           MAX(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    "fixed-width (mainframe-style) text source: format -> write text -> "
+    "cold re-read -> parse by byte offset -> census; hash-proves the "
+    "byte-offset round trip against the source table",
+)
+def c19_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    orders = _t(spark, sf_dir, "orders")
+    # layout: orderkey 1-12, custkey 13-22, status 23, cents 24-35,
+    # date 36-45, priority 46-60 (space right-padded)
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), 10, "0"),
+        F.col("o_orderstatus"),
+        F.lpad(F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 12, "0"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.rpad(F.col("o_orderpriority"), 15, " "),
+    )
+    path = f"{tempfile.gettempdir()}/c19_{uuid.uuid4().hex}"
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.substring("value", 23, 1).alias("status"),
+        F.substring("value", 24, 12).cast("bigint").alias("cents"),
+        F.substring("value", 36, 10).alias("order_date"),
+        F.rtrim(F.substring("value", 46, 15)).alias("priority"),
+    )
+    return back.groupBy("status", "priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.min("order_date").alias("min_date"),
+        F.max("order_date").alias("max_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# d21 — incremental MinHash probe (round 8): the shape a production crawl
+# pipeline actually runs daily — dedup the NEW batch against the existing
+# corpus index without re-comparing the corpus to itself. At 100 TB the
+# index signatures are computed once and persisted; each delta pays only
+# its own signature pass plus a band-keyed join. The index-side bucket cap
+# keeps probe fan-out bounded (an oversized index bucket is a duplicate
+# cluster inside the index — collapse it by key, don't attach every new
+# doc to it). Batch = doc_id % 10 == 0 (a deterministic 10% "new crawl"
+# stand-in); signatures are bit-identical to d04's, so the oracle
+# reproduces everything exactly.
+# --------------------------------------------------------------------------
+@register(
+    "d21_incremental_minhash_probe",
+    DD.minhash_probe_oracle_sql(num_hashes=32, num_bands=8),
+    "incremental fuzzy dedup: MinHash-band probe of a new 10% batch "
+    "against the remaining 90% corpus index — no corpus self-join, "
+    "index-side bucket cap bounds probe fan-out",
+)
+def d21_incremental_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    return DD.minhash_probe_pairs(index, batch, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# m22 — REAL WAV decode + silence segmentation (round 8): the VAD-style
+# dead-air audit an audio training pipeline runs before chunking. Genuine
+# RIFF/WAVE 16-bit PCM blobs decoded by the pure-Python codec; the
+# per-sample run-length analysis stays INSIDE the Arrow map stage (numpy
+# over the decoded buffer) — exploding samples to rows would shuffle 500×
+# the data for a per-clip answer. The oracle replays the closed-form
+# sample generator through a SQL gaps-and-islands.
+# --------------------------------------------------------------------------
+_M22_THRESHOLD = 32
+_M22_MIN_RUN = 2
+
+
+@register(
+    "m22_wav_silence_segments",
+    f"""
+    WITH a AS (
+      SELECT doc_id AS id,
+             CAST(8000 + doc_id % 4 * 4000 AS INT) AS sample_rate,
+             CAST(256 + doc_id % 512 AS INT) AS n_samples
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+    ), s AS (
+      SELECT id, n_samples, UNNEST(generate_series(0, n_samples - 1)) AS k
+      FROM a
+    ), m AS (
+      SELECT id, k
+      FROM s WHERE abs((id + k) * 31 % 256 - 128) < {_M22_THRESHOLD}
+    ), isl AS (
+      SELECT id, k, k - ROW_NUMBER() OVER (PARTITION BY id ORDER BY k) AS grp
+      FROM m
+    ), runs AS (
+      SELECT id, COUNT(*) AS run_len, MIN(k) AS run_start
+      FROM isl GROUP BY id, grp
+    ), agg AS (
+      SELECT id,
+             SUM(run_len) AS n_silent,
+             SUM(CASE WHEN run_len >= {_M22_MIN_RUN} THEN 1 ELSE 0 END)
+               AS n_segments,
+             MAX(run_len) AS longest_run,
+             MIN(CASE WHEN run_len >= {_M22_MIN_RUN} THEN run_start END)
+               AS first_silent
+      FROM runs GROUP BY id
+    )
+    SELECT a.id, a.sample_rate, a.n_samples,
+           CAST(COALESCE(g.n_silent, 0) AS BIGINT) AS n_silent,
+           CAST(COALESCE(g.n_segments, 0) AS INT) AS n_segments,
+           CAST(COALESCE(g.longest_run, 0) AS INT) AS longest_run,
+           CAST(COALESCE(g.first_silent, -1) AS INT) AS first_silent
+    FROM a LEFT JOIN agg g USING (id)
+    """,
+    "REAL WAV decode + VAD-style silence segmentation: |amp| < 32 runs of "
+    ">= 2 samples found by numpy run-length inside the Arrow stage; "
+    "oracle = SQL gaps-and-islands over the closed-form generator",
+)
+def m22_wav_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-negative ids only, both sides: Python % is non-negative while
+    # DuckDB % keeps the dividend's sign (the m12/m19/m20/m21 contract)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
+    )
+    clips = MM.synthesize_wav_audio(docs, "doc_id")
+    return MM.wav_silence_segments(
+        clips, "id", "data", threshold=_M22_THRESHOLD, min_run=_M22_MIN_RUN
+    )
+
+
+# --------------------------------------------------------------------------
+# e22 — kNN label-agreement audit (round 8): the standard embedding-quality
+# probe — what fraction of each point's top-k neighbors share its label
+# (a leave-one-out kNN-classifier consistency score). Complements e09's
+# geometric silhouette with a retrieval-semantics answer. Plan: the s05
+# brute-force kNN kernel (per-batch top-k, only k·Q rows shuffle) + two
+# vec_id-keyed label joins + a label-bounded census; agreement quantized
+# to integer ppm so the hash is order-proof.
+# --------------------------------------------------------------------------
+_E22_K = 5
+
+
+@register(
+    "e22_knn_label_agreement",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS qid, a.label AS q_label,
+             b.vec_id AS nid, b.label AS n_label,
+             list_cosine_similarity(a.e, b.e) AS sim
+      FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT q_label, n_label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, nid) AS rnk
+      FROM scored
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same,
+           CAST(FLOOR(1e6 * SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS agreement_ppm
+    FROM ranked WHERE rnk <= {_E22_K}
+    GROUP BY 1
+    """,
+    "kNN label-agreement audit: fraction of each vector's top-5 cosine "
+    "neighbors sharing its label, censused per label — the leave-one-out "
+    "kNN-classifier probe of embedding quality",
+)
+def e22_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = SIM.brute_force_topk(emb, emb, k=_E22_K)
+    lab = emb.select("vec_id", "label")
+    j = knn.join(
+        lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")),
+        "query_id",
+    ).join(
+        lab.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+        ),
+        "neighbor_id",
+    )
+    same = (F.col("q_label") == F.col("n_label")).cast("int")
+    return (
+        j.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(same).cast("bigint").alias("n_same"),
+            F.floor(F.lit(1e6) * F.sum(same) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("agreement_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dq18 — line-number continuity audit (round 8): the classic sequence-
+# integrity DQ check — within each order, line numbers should be the
+# consecutive run 1..n with no duplicates. Naturally partition-parallel
+# (per-order groupBy, then a one-row global census): no global sort, no
+# window — the scale-correct form of a sequence audit. Fixture lineitem
+# genuinely contains duplicate line numbers, so the census is non-vacuous.
+# --------------------------------------------------------------------------
+@register(
+    "dq18_linenumber_continuity",
+    """
+    WITH per AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT l_linenumber) AS n_distinct,
+             MIN(l_linenumber) AS min_ln,
+             MAX(l_linenumber) AS max_ln
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN n_rows > n_distinct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_dups,
+           CAST(SUM(n_rows - n_distinct) AS BIGINT) AS total_dup_rows,
+           CAST(SUM(CASE WHEN max_ln - min_ln + 1 > n_distinct
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_gaps,
+           CAST(SUM(CASE WHEN min_ln <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_not_starting_at_1,
+           CAST(MAX(n_rows) AS BIGINT) AS max_rows_per_order
+    FROM per
+    """,
+    "sequence-continuity audit: per-order line numbers checked for "
+    "duplicates, interior gaps, and wrong starts — per-key groupBy census, "
+    "no global sort",
+)
+def dq18_linenumber_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_linenumber").isNotNull()
+    )
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_linenumber").alias("n_distinct"),
+        F.min("l_linenumber").alias("min_ln"),
+        F.max("l_linenumber").alias("max_ln"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((F.col("n_rows") > F.col("n_distinct")).cast("int"))
+        .cast("bigint")
+        .alias("n_with_dups"),
+        F.sum(F.col("n_rows") - F.col("n_distinct")).cast("bigint").alias("total_dup_rows"),
+        F.sum(
+            (F.col("max_ln") - F.col("min_ln") + 1 > F.col("n_distinct")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_with_gaps"),
+        F.sum((F.col("min_ln") != 1).cast("int")).cast("bigint").alias("n_not_starting_at_1"),
+        F.max("n_rows").cast("bigint").alias("max_rows_per_order"),
+    )

@@ -156,6 +156,22 @@ HEADLINE = [
     # the vectorizable PNG/JPEG paths). c18 time travel is deliberately
     # NOT benched: a two-commit write demo, the c04 maintenance precedent.
     "m20_gif_frame_decode",
+    # round-8 third batch: blocked sorted-neighborhood record linkage (the
+    # n*R window-lead + Levenshtein shape — the non-LSH half of fuzzy
+    # matching), TWAP (user-keyed lead window + integer agg), and the
+    # decode+resize kernel (numpy fancy-index resize in the Arrow stage).
+    # c19 fixed-width round-trip is deliberately NOT benched: write-bound,
+    # the c04/c18 maintenance precedent.
+    "d20_sorted_neighborhood_pairs",
+    "q103_time_weighted_value",
+    "m21_png_resize_thumbnail",
+    # round-8 fourth batch: the incremental-dedup probe (index-side census
+    # + cross-side band join — the daily-crawl shape) and the WAV
+    # silence-segmentation kernel (decode + numpy run-length in one Arrow
+    # stage). e22 reuses the benched s05 kernel and dq18 is a two-shuffle
+    # census — correctness-gated instead (the g01/c04 precedent).
+    "d21_incremental_minhash_probe",
+    "m22_wav_silence_segments",
 ]
 
 

@@ -472,3 +472,319 @@ def test_gif_lzw_codec_roundtrip_property():
     assert dec(enc(200, 200, [big], palette))[3] == [big]
     mono = bytes([5]) * 997
     assert dec(enc(997, 1, [mono], palette))[3] == [mono]
+
+
+# ---------------------------------------------------------------------------
+# Round-8 third batch: d20 / q103 / m21 / c19 edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_d20_blocking_ties_and_unicode(spark, tmp_path):
+    """Blocked sorted-neighborhood contract: duplicate texts in one block
+    produce a distance-0 pair; docs in DIFFERENT (first-token, len//16)
+    blocks are never compared; NULL text rows drop; non-ASCII chars in the
+    48-char key sanitize to '?' identically on both sides (Spark
+    levenshtein counts codepoints, DuckDB counts bytes — the ASCII
+    sanitization is what keeps them equal)."""
+    from tests.oracle_utils import compare
+
+    rows = [
+        # block ('dup', 0): two identical + one near docs -> k1 dist 0
+        (1, "dup alpha beta gamma delta", "en", "a"),
+        (2, "dup alpha beta gamma delta", "en", "a"),
+        (3, "dup alpha beta gamma zzzzz", "en", "a"),
+        # different first token -> different block, never compared
+        (4, "other alpha beta gamma delta", "en", "a"),
+        # same first token but 20 tokens (//16 = 1) -> different block
+        (5, "dup " + " ".join(["w"] * 19), "en", "a"),
+        # unicode: καλός vs καλό sanitize to the same '????' prefix run
+        (6, "καλός words end here now", "el", "a"),
+        (7, "καλό words end here now", "el", "a"),
+    ]
+    _write_docs(tmp_path, rows)
+    q = QUERIES["d20_sorted_neighborhood_pairs"]
+    df = q.spark(spark, str(tmp_path))
+    rows_out = {(r["k"], r["dist_bucket"]): r for r in df.collect()}
+    # block ('dup',0) has 3 docs -> k1 pairs (1,2),(2,3) and k2 pair (1,3)
+    assert rows_out[(1, 0)]["min_dist"] == 0  # the exact duplicate pair
+    assert (2, 0) in rows_out
+    # no k=3 pair anywhere: largest block has 3 docs
+    assert not any(k == 3 for k, _ in rows_out)
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_d20_null_text_dropped(spark, tmp_path):
+    from tests.oracle_utils import compare
+
+    _write_docs_nullable(
+        tmp_path,
+        [
+            (1, "same text here", "en", "a"),
+            (2, "same text here", "en", "a"),
+            (3, None, "en", "a"),
+        ],
+    )
+    q = QUERIES["d20_sorted_neighborhood_pairs"]
+    df = q.spark(spark, str(tmp_path))
+    out = df.collect()
+    assert len(out) == 1 and out[0]["n_pairs"] == 1  # NULL row contributes nothing
+    compare(df, q.oracle, str(tmp_path))
+
+
+def _write_docs_nullable(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else None for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+
+def test_q103_idle_cap_ties_and_last_event(spark, tmp_path):
+    """TWAP semantics pinned: a gap over 3600 s caps at exactly 3600; two
+    events at the SAME timestamp order by event_id (first gets dur 0); each
+    user's final event has no successor and drops; a NULL-ts event drops on
+    both sides; floor(value*100) cents match bit-exactly."""
+    import datetime
+
+    from tests.oracle_utils import compare
+
+    d = datetime.datetime
+    t0 = d(2024, 3, 5, 10, 0, 0)
+    rows = [
+        # user 1: 2h gap -> capped 3600; then 10s gap; last event drops
+        (1, t0, 1, "view", 10.00, None),
+        (2, t0 + datetime.timedelta(hours=2), 1, "view", 20.00, None),
+        (3, t0 + datetime.timedelta(hours=2, seconds=10), 1, "click", 30.00, None),
+        # user 2: tied timestamps -> event_id order, dur 0 segment
+        (4, t0, 2, "view", 1.01, None),
+        (5, t0, 2, "click", 2.02, None),
+        (6, t0 + datetime.timedelta(seconds=5), 2, "view", 3.03, None),
+        # user 3: NULL ts (drops) + a single real event (no successor, drops)
+        (7, None, 3, "view", 99.0, None),
+        (8, t0, 3, "purchase", 50.0, None),
+    ]
+    _write_events(tmp_path, rows)
+    q = QUERIES["q103_time_weighted_value"]
+    df = q.spark(spark, str(tmp_path))
+    by_type = {r["event_type"]: r for r in df.collect()}
+    # view segments: u1 e1 (3600s cap @1000c), u1 e2 (10s @2000c),
+    #                u2 e4 (0s @101c), u2 e5->e6? e5 is click. u2 e4 tie
+    assert by_type["view"]["total_s"] == 3600 + 10 + 0
+    assert by_type["view"]["weighted_cents_s"] == 3600 * 1000 + 10 * 2000
+    assert by_type["view"]["twap_cents"] == (3600 * 1000 + 10 * 2000) // 3610
+    # click: u2 e5 (5s @202c); u1 e3 is the user's last event -> dropped
+    assert by_type["click"]["n_segments"] == 1
+    assert by_type["click"]["weighted_cents_s"] == 5 * 202
+    assert "purchase" not in by_type  # sole event, no successor
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_m21_resize_known_pixels_and_negative_ids(spark, tmp_path):
+    """id=0 is a 4x4 gradient upscaled 2x2 per source pixel: sum_px is
+    exactly 4x the source sum (1928); negative doc_ids are excluded on
+    both sides (Python vs DuckDB % sign semantics)."""
+    from tests.oracle_utils import compare
+
+    _write_docs(
+        tmp_path,
+        [
+            (0, "tiny", "en", "a"),
+            (17, "mixed dims", "en", "a"),  # w=21? no: 4+17%16=5, h=4+17%12=9
+            (-3, "negative id drops", "en", "a"),
+        ],
+    )
+    q = QUERIES["m21_png_resize_thumbnail"]
+    df = q.spark(spark, str(tmp_path))
+    got = {r["id"]: r for r in df.collect()}
+    assert set(got) == {0, 17}
+    # id 0: w=h=4, src pixel k -> (k*31)%256, each repeats 2x2 in the 8x8
+    src_sum = sum((k * 31) % 256 for k in range(16))
+    assert got[0]["sum_px"] == 4 * src_sum
+    assert got[0]["width"] == 4 and got[0]["height"] == 4
+    # id 17: 5x9 -> downscale rows, upscale cols; replay the index map
+    w, h = 4 + 17 % 16, 4 + 17 % 12
+    vals = [
+        ((17 + ((y * h) // 8) * w + ((x * w) // 8)) * 31) % 256
+        for y in range(8)
+        for x in range(8)
+    ]
+    assert got[17]["sum_px"] == sum(vals)
+    assert got[17]["wsum_px"] == sum(v * (i + 1) for i, v in enumerate(vals))
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_c19_fixed_width_byte_offsets(spark, tmp_path):
+    """The byte-offset parse recovers every field exactly: cents floor
+    (1013.70 -> 101370), priority right-padding strips, date formats
+    identically, and multi-row groups census correctly."""
+    import datetime
+
+    from tests.oracle_utils import compare
+
+    d = datetime.datetime
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1, 999999999999 - 1, 3], pa.int64()),
+            "o_custkey": pa.array([7, 8, 7], pa.int64()),
+            "o_orderstatus": pa.array(["O", "F", "O"], pa.string()),
+            "o_totalprice": pa.array([1013.70, 0.01, 499999.99], pa.float64()),
+            "o_orderdate": pa.array(
+                [d(1998, 10, 3), d(1997, 5, 28), d(1999, 1, 16)],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                ["5-LOW", "4-NOT SPECIFIED", "5-LOW"], pa.string()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    q = QUERIES["c19_fixed_width_roundtrip"]
+    df = q.spark(spark, str(tmp_path))
+    got = {(r["status"], r["priority"]): r for r in df.collect()}
+    assert got[("O", "5-LOW")]["n_orders"] == 2
+    assert got[("O", "5-LOW")]["sum_cents"] == 101370 + 49999999
+    assert got[("F", "4-NOT SPECIFIED")]["min_date"] == "1997-05-28"
+    compare(df, q.oracle, str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 fourth batch: d21 / m22 / e22 / dq18 edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_d21_probe_never_joins_within_a_side(spark, tmp_path):
+    """The probe emits ONLY batch-vs-index pairs: identical twins both in
+    the batch (doc_ids 10, 20) and both in the index (1, 2) produce no
+    pair; a batch doc (30) with an index twin (3) matches at est 1.0."""
+    from tests.oracle_utils import compare
+
+    texts = {
+        "twin_a": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "twin_b": "one two three four five six seven eight nine ten more here",
+        "twin_c": "red green blue cyan magenta yellow black white gray pink",
+        "lone": "nothing matches this text at all anywhere in this corpus",
+    }
+    rows = [
+        (1, texts["twin_a"], "en", "idx"),
+        (2, texts["twin_a"], "en", "idx"),
+        (10, texts["twin_b"], "en", "new"),
+        (20, texts["twin_b"], "en", "new"),
+        (3, texts["twin_c"], "en", "idx"),
+        (30, texts["twin_c"], "en", "new"),
+        (4, texts["lone"], "en", "idx"),
+    ]
+    _write_docs(tmp_path, rows)
+    q = QUERIES["d21_incremental_minhash_probe"]
+    df = q.spark(spark, str(tmp_path))
+    got = {(r["id_new"], r["id_idx"]): r["est_jaccard"] for r in df.collect()}
+    assert got[(30, 3)] == 1.0
+    assert not any(a % 10 != 0 or b % 10 == 0 for a, b in got)
+    assert (10, 20) not in got and (20, 10) not in got  # batch-batch never
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_m22_silence_replay_and_negative_ids(spark, tmp_path):
+    """Per-clip silence census replayed in pure Python matches the engine;
+    a negative doc_id is excluded on both sides."""
+    from tests.oracle_utils import compare
+
+    _write_docs(
+        tmp_path,
+        [(0, "a", "en", "x"), (5, "b", "en", "x"), (-7, "neg", "en", "x")],
+    )
+    q = QUERIES["m22_wav_silence_segments"]
+    df = q.spark(spark, str(tmp_path))
+    got = {r["id"]: r for r in df.collect()}
+    assert set(got) == {0, 5}
+    for i in (0, 5):
+        n = 256 + i % 512
+        silent = [abs((i + k) * 31 % 256 - 128) < 32 for k in range(n)]
+        runs, cur = [], 0
+        for s in silent:
+            if s:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        assert got[i]["n_silent"] == sum(silent)
+        assert got[i]["n_segments"] == sum(1 for r in runs if r >= 2)
+        assert got[i]["longest_run"] == (max(runs) if runs else 0)
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_e22_separable_labels_reach_full_agreement(spark, tmp_path):
+    """Two well-separated label clusters -> every vector's top neighbors
+    share its label (agreement_ppm = 1_000_000 for both labels)."""
+    from tests.oracle_utils import compare
+
+    vecs, labels = [], []
+    for i in range(12):
+        lab = i % 2
+        # cluster 0 near e1, cluster 1 near e2; small per-point jitter
+        base = [1.0, 0.0] if lab == 0 else [0.0, 1.0]
+        vecs.append([base[0] + 0.01 * i, base[1] + 0.02 * (i % 3), 0.1, 0.1])
+        labels.append(lab)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(12)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    q = QUERIES["e22_knn_label_agreement"]
+    df = q.spark(spark, str(tmp_path))
+    got = {r["label"]: r for r in df.collect()}
+    assert got[0]["agreement_ppm"] == 1_000_000
+    assert got[1]["agreement_ppm"] == 1_000_000
+    assert got[0]["n_edges"] == 6 * 5  # 6 members x k=5
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_dq18_gap_dup_and_start_detection(spark, tmp_path):
+    """Planted per-order line-number pathologies each count exactly once:
+    a clean order, an interior gap (1,2,4), a duplicate (1,1,2), and a
+    wrong start (2,3) — which is NOT an interior gap (max-min+1 ==
+    distinct)."""
+    from tests.oracle_utils import compare
+
+    rows = [
+        (100, 1), (100, 2), (100, 3),      # clean
+        (200, 1), (200, 2), (200, 4),      # interior gap
+        (300, 1), (300, 1), (300, 2),      # duplicate
+        (400, 2), (400, 3),                # wrong start, no interior gap
+    ]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([1] * len(rows), pa.int64()),
+            "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+            "l_linenumber": pa.array([r[1] for r in rows], pa.int32()),
+            "l_quantity": pa.array([1.0] * len(rows), pa.float64()),
+            "l_extendedprice": pa.array([1.0] * len(rows), pa.float64()),
+            "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+            "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+            "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+            "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+            "l_shipdate": pa.array([None] * len(rows), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    q = QUERIES["dq18_linenumber_continuity"]
+    df = q.spark(spark, str(tmp_path))
+    r = df.collect()[0]
+    assert r["n_orders"] == 4
+    assert r["n_with_dups"] == 1 and r["total_dup_rows"] == 1
+    assert r["n_with_gaps"] == 1
+    assert r["n_not_starting_at_1"] == 1
+    assert r["max_rows_per_order"] == 3
+    compare(df, q.oracle, str(tmp_path))
