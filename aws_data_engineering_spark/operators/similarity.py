@@ -185,6 +185,83 @@ def brute_force_topk(
     )
 
 
+def mips_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_vectors: int = EXACT_PATH_MAX_VECTORS,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k (MIPS) — the recommender-system
+    retrieval semantics, where two-tower models rank by raw dot product and
+    a long vector IS a strong match (cosine's normalization would erase the
+    popularity/magnitude signal the model trained into the norms).
+
+    Same plan shape and guard as :func:`brute_force_topk`: broadcast the
+    small query set into a numpy ``mapInPandas`` kernel over the candidate
+    table, emit per-batch top-k, one final window shuffle of ~k·Q rows.
+    The dot products accumulate dimension-by-dimension (the
+    ``_seq_cosine_fns`` IEEE contract minus the norms), matching DuckDB's
+    ``list_inner_product`` fold exactly — so even this approximate-free
+    kernel is bit-oracle-checkable."""
+    q_proj = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    _guard_exact_path(
+        queries.select(query_id), max_vectors, "mips_topk", "lsh_topk"
+    )
+    q_rows = q_proj.collect()
+    q_ids = [r["query_id"] for r in q_rows]
+    q_vecs = [list(r["q_vec"]) for r in q_rows]
+    kk = int(k)
+
+    def kernel(batches):
+        import numpy as np_w
+        import pandas as pd_w
+
+        qm = np_w.asarray(q_vecs, dtype=np_w.float64)  # (Q, D)
+        qid = np_w.asarray(q_ids)
+        for pdf in batches:
+            if not len(pdf) or not len(qid):
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            cm = np_w.array(list(pdf["c_vec"]), dtype=np_w.float64)  # (B, D)
+            # dim-by-dim accumulation: the left-to-right IEEE sequence of
+            # DuckDB's list_inner_product (same contract as seq_cosine)
+            acc = np_w.zeros((cm.shape[0], qm.shape[0]), dtype=np_w.float64)
+            for j in range(cm.shape[1]):
+                acc += cm[:, j : j + 1] * qm[None, :, j]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qid)):
+                col = acc[:, qi]
+                mask = ids != qid[qi]
+                cand_ids, cand_dots = ids[mask], col[mask]
+                take = min(kk, cand_ids.size)
+                if not take:
+                    continue
+                order = np_w.lexsort((cand_ids, -cand_dots))[:take]
+                out_q.extend([qid[qi]] * take)
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_dots[order])
+            yield pd_w.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "dot": out_s}
+            )
+
+    spark = candidates.sparkSession
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    scored = c.mapInPandas(kernel, "query_id bigint, neighbor_id bigint, dot double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("dot", 4).alias("dot"), "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH (scale path)
 # ---------------------------------------------------------------------------

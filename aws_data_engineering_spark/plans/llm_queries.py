@@ -1263,3 +1263,150 @@ def d19_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(theory, 4).alias("theory_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pp02 — the INCREMENTAL curation pipeline (round 8): pp01 is the batch
+# bootstrap; this is what actually runs every day after it — the new 10%
+# crawl delta flows through a waterfall of drop stages against the existing
+# 90% corpus, and the output is the stage-attribution census every
+# curation team reports (how many docs/tokens each stage removed). Stages,
+# first match wins: exact dup inside the batch (fingerprint window) →
+# exact dup vs the index (fp semi-join against the persisted corpus
+# fingerprints) → near dup vs the index (the d21 MinHash band probe,
+# est >= 0.7) → low quality (t02 scorer) → kept. At 100 TB the index
+# fingerprints and signatures are precomputed tables; the delta pays one
+# scan of itself plus key-joins — no corpus self-join, no all-pairs.
+# ---------------------------------------------------------------------------
+_PP02_FUZZY_MIN = 0.7
+
+
+def _pp02_oracle() -> str:
+    probe = D.minhash_probe_oracle_sql(num_hashes=32, num_bands=8)
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n_tok,
+             CAST(LEN(list_filter(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+'),
+                                  x -> x IN {_SW_LIST_SQL})) AS DOUBLE) AS n_sw,
+             CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_dig,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+             md5(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 10 = 0
+    ), scored AS (
+      SELECT doc_id, fp,
+             ROUND(LEAST(n_tok / 20.0, 1.0) * 0.4
+                   + LEAST(n_sw / GREATEST(n_tok, 1) * 4, 1.0) * 0.4
+                   + (1 - LEAST(n_dig / GREATEST(n_chars, 1) * 10, 1.0)) * 0.2, 4)
+               AS quality,
+             CAST(n_tok AS BIGINT) AS n_tokens
+      FROM feats
+    ), idx_fp AS (
+      SELECT DISTINCT md5(regexp_replace(translate(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 10 <> 0
+    ), fuzzy AS (
+      SELECT DISTINCT id_new FROM ({probe}) p
+      WHERE est_jaccard >= {_PP02_FUZZY_MIN}
+    ), verdicts AS (
+      SELECT s.doc_id, s.n_tokens,
+             CASE WHEN s.doc_id <> MIN(s.doc_id) OVER (PARTITION BY s.fp)
+                    THEN 'exact_dup_in_batch'
+                  WHEN s.fp IN (SELECT fp FROM idx_fp)
+                    THEN 'exact_dup_vs_index'
+                  WHEN s.doc_id IN (SELECT id_new FROM fuzzy)
+                    THEN 'near_dup_vs_index'
+                  WHEN s.quality < 0.5 THEN 'low_quality'
+                  ELSE 'kept' END AS verdict
+      FROM scored s
+    )
+    SELECT verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM verdicts GROUP BY 1
+    """
+
+
+@register(
+    "pp02_incremental_curation",
+    _pp02_oracle(),
+    "the daily incremental curation pipeline: the new 10% batch flows "
+    "through exact-dup-in-batch -> exact-dup-vs-index -> MinHash-probe "
+    "near-dup-vs-index -> quality gate, and the output is the per-stage "
+    "drop census (docs + tokens) — no corpus self-join anywhere",
+)
+def pp02_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    scored = batch.select(
+        "doc_id",
+        T.fingerprint("text").alias("fp"),
+        T.quality_score("text").alias("quality"),
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp")
+    idx_fp = index.select(T.fingerprint("text").alias("fp")).distinct()
+    fuzzy = (
+        D.minhash_probe_pairs(index, batch, "doc_id", "text")
+        .filter(F.col("est_jaccard") >= _PP02_FUZZY_MIN)
+        .select(F.col("id_new").alias("doc_id"))
+        .distinct()
+        .withColumn("__fuzzy", F.lit(1))
+    )
+    verdicts = (
+        scored.withColumn("min_id", F.min("doc_id").over(w))
+        .join(idx_fp.withColumn("__idx", F.lit(1)), "fp", "left")
+        .join(fuzzy, "doc_id", "left")
+        .select(
+            "n_tokens",
+            F.when(F.col("doc_id") != F.col("min_id"), "exact_dup_in_batch")
+            .when(F.col("__idx").isNotNull(), "exact_dup_vs_index")
+            .when(F.col("__fuzzy").isNotNull(), "near_dup_vs_index")
+            .when(F.col("quality") < 0.5, "low_quality")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )
+    return verdicts.groupBy("verdict").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s14 — exact MIPS top-k (round 8): the recommender-system retrieval
+# semantics — two-tower models rank by RAW dot product, where vector
+# magnitude carries the trained popularity signal cosine would normalize
+# away. Same kernel shape as s01 (broadcast queries, per-batch top-k, one
+# k·Q window shuffle); dot accumulation is dimension-by-dimension, the
+# left-to-right IEEE sequence of DuckDB's list_inner_product.
+# ---------------------------------------------------------------------------
+@register(
+    "s14_mips_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, list_inner_product(q.v, c.v) AS dot
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, dot,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY dot DESC, neighbor_id)
+                       AS INT) AS rnk
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(dot, 4) AS dot, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    "exact maximum-inner-product top-5 (MIPS, the two-tower recommender "
+    "semantics): raw dot product keeps the magnitude signal cosine "
+    "normalizes away",
+)
+def s14_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.mips_topk(queries, emb, k=5)

@@ -172,6 +172,11 @@ HEADLINE = [
     # census — correctness-gated instead (the g01/c04 precedent).
     "d21_incremental_minhash_probe",
     "m22_wav_silence_segments",
+    # round-8 fifth batch: the incremental curation pipeline (the daily
+    # production composition: fingerprint window + fp semi-join + band
+    # probe + quality gate in ONE plan). s14 MIPS reuses the benched s01
+    # kernel shape — correctness-gated instead.
+    "pp02_incremental_curation",
 ]
 
 

@@ -788,3 +788,68 @@ def test_dq18_gap_dup_and_start_detection(spark, tmp_path):
     assert r["n_not_starting_at_1"] == 1
     assert r["max_rows_per_order"] == 3
     compare(df, q.oracle, str(tmp_path))
+
+
+def test_pp02_waterfall_all_five_verdicts(spark, tmp_path):
+    """A planted delta exercises every stage exactly once, and the CASE
+    precedence holds: a doc that is both a batch-dup AND an index-dup
+    counts as exact_dup_in_batch (first match wins)."""
+    from tests.oracle_utils import compare
+
+    kept = ("the quick brown fox jumps over a lazy dog and then the fox "
+            "runs far away to find some more of the good food it wants")
+    near = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    dup = "this exact text appears in the batch twice and in the index too"
+    rows = [
+        # index side (doc_id % 10 != 0)
+        (1, dup, "en", "idx"),
+        (3, near + " original", "en", "idx"),
+        (7, "completely unrelated index content with many words here", "en", "idx"),
+        # batch side (doc_id % 10 == 0)
+        (10, dup, "en", "new"),              # exact dup vs index (canonical in batch)
+        (20, dup, "en", "new"),              # exact dup IN BATCH (precedence)
+        (30, near + " changed", "en", "new"),  # near dup vs index
+        (40, "99 88 77", "en", "new"),       # low quality
+        (50, kept, "en", "new"),             # kept
+    ]
+    _write_docs(tmp_path, rows)
+    q = QUERIES["pp02_incremental_curation"]
+    df = q.spark(spark, str(tmp_path))
+    got = {r["verdict"]: r for r in df.collect()}
+    assert got["exact_dup_in_batch"]["n_docs"] == 1   # doc 20
+    assert got["exact_dup_vs_index"]["n_docs"] == 1   # doc 10
+    assert got["near_dup_vs_index"]["n_docs"] == 1    # doc 30
+    assert got["low_quality"]["n_docs"] == 1          # doc 40
+    assert got["kept"]["n_docs"] == 1                 # doc 50
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_s14_mips_magnitude_beats_angle(spark, tmp_path):
+    """MIPS semantics pinned: a long vector at a worse angle outranks a
+    short near-parallel one (dot 10+5*eps vs ~1), which is exactly the
+    ordering cosine would reverse."""
+    from tests.oracle_utils import compare
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],    # query (vec_id 0 < 10)
+        [10.0, 5.0, 0.0, 0.0],   # big magnitude, 63° worse angle: dot 10
+        [0.99, 0.01, 0.0, 0.0],  # near-parallel, tiny: dot 0.99
+        [0.5, 0.5, 0.5, 0.5],    # filler
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 11, 12, 13], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 0, 0], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    q = QUERIES["s14_mips_topk"]
+    df = q.spark(spark, str(tmp_path))
+    ranked = sorted(
+        [r for r in df.collect() if r["query_id"] == 0], key=lambda r: r["rnk"]
+    )
+    assert ranked[0]["neighbor_id"] == 11 and ranked[0]["dot"] == 10.0
+    assert ranked[1]["neighbor_id"] == 12
+    compare(df, q.oracle, str(tmp_path))
