@@ -3215,3 +3215,98 @@ def gif_channel_sums(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
         "id bigint, width int, height int, n_frames int, "
         "sum_r bigint, sum_g bigint, sum_b bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law companding (round 8)
+# ---------------------------------------------------------------------------
+
+def synthesize_pcm14_wav(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL 16-bit PCM WAVs with WIDE-amplitude samples for
+    companding tests: sample_k = ((id*7 + k*13) % 16384) - 8192 sweeps the
+    full signed 14-bit G.711 input domain (including values beyond the
+    8159 clip point, so the encoder's CLIP path is exercised). Requires
+    id >= 0 so Python's non-negative ``%`` agrees with the oracle's
+    DuckDB ``%`` on a non-negative dividend (the m12/m19 contract)."""
+    encode_wav, _ = _wav_worker_fns()
+
+    def gen(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids = list(pdf["id"])
+            blobs = []
+            for i in ids:
+                sr = 8000 + (int(i) % 2) * 8000
+                n = 256 + int(i) % 384
+                samples = [((int(i) * 7 + k * 13) % 16384) - 8192 for k in range(n)]
+                blobs.append(encode_wav(sr, samples))
+            yield pd_w.DataFrame({"id": ids, "data": blobs, "mime": "audio/wav"})
+
+    src = df.select(F.col(id_col).alias("id"))
+    return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+MULAW_AUDIT_DDL = (
+    "id bigint, sample_rate int, n_samples int, n_clipped int, "
+    "max_abs_err int, sum_abs_err bigint, code_weighted_sum bigint"
+)
+
+
+def mulaw_roundtrip_audit(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """REAL G.711 mu-law companding round trip (ITU-T G.711, the telephony
+    codec every speech-training pipeline ingests): decode the 16-bit PCM
+    WAV, mu-law ENCODE each sample to its 8-bit code (sign | exponent<<4 |
+    mantissa, bias 132, clip 8159, ones-complemented), DECODE back to the
+    quantization-cell midpoint, and report the per-clip round-trip error
+    profile plus a position-weighted code checksum (order-sensitive, so a
+    transposed codec would be caught). All integer arithmetic end-to-end —
+    numpy-vectorized inside one Arrow map stage (per-sample rows would
+    shuffle ~500x the data for a per-clip answer) and bit-exact against
+    the oracle's closed-form SQL replay of the same formulas."""
+    _, decode_wav = _wav_worker_fns()
+
+    def features(batches):
+        import numpy as np_w
+        import pandas as pd_w
+
+        cols = (
+            "id", "sample_rate", "n_samples", "n_clipped",
+            "max_abs_err", "sum_abs_err", "code_weighted_sum",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for i, data in zip(pdf["id"], pdf["data"]):
+                sr, _nch, samples = decode_wav(bytes(data))
+                x = np_w.asarray(samples, dtype=np_w.int64)
+                sign = x < 0
+                mag = np_w.abs(x)
+                n_clipped = int((mag > 8159).sum())
+                v = np_w.minimum(mag, 8159) + 132
+                e = (
+                    (v >= 256).astype(np_w.int64)
+                    + (v >= 512)
+                    + (v >= 1024)
+                    + (v >= 2048)
+                    + (v >= 4096)
+                    + (v >= 8192)
+                )
+                m = (v >> (e + 3)) & 15
+                code = 255 - (sign * 128 + e * 16 + m)
+                # decode back: cell midpoint of the (e, m) segment
+                mid = (2 * m + 33) << (e + 2)
+                mag2 = mid - 132
+                rec = np_w.where(sign, -mag2, mag2)
+                err = np_w.abs(x - rec)
+                k = np_w.arange(1, len(x) + 1, dtype=np_w.int64)
+                out["id"].append(int(i))
+                out["sample_rate"].append(int(sr))
+                out["n_samples"].append(len(x))
+                out["n_clipped"].append(n_clipped)
+                out["max_abs_err"].append(int(err.max()) if len(x) else 0)
+                out["sum_abs_err"].append(int(err.sum()))
+                out["code_weighted_sum"].append(int((code * k).sum()))
+            yield pd_w.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(features, MULAW_AUDIT_DDL)

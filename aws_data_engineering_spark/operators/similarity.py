@@ -1515,3 +1515,243 @@ def lsh_occupancy_oracle_sql(n_planes: int, dim: int = 64) -> str:
            CAST(occupancy * occupancy * 8 AS BIGINT) AS est_task_bytes
     FROM occ
     """
+
+
+# ---------------------------------------------------------------------------
+# Projection-tree ANN (annoy-family): balanced median-split space partition
+# ---------------------------------------------------------------------------
+
+def projection_plane(level: int, dim: int = 64) -> list[int]:
+    """Deterministic integer projection direction for one tree level:
+    components in [-1000, 1000] derived from md5 bytes (the same
+    public-hash trick as ``sampling.hash_bucket`` / t35's weight table),
+    inlined as literals on both engines so the plane needs no runtime
+    hashing."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        b = int(hashlib.md5(f"rp{level}|{i}|s15".encode()).hexdigest()[:2], 16)
+        out.append((b * 157) % 2001 - 1000)
+    return out
+
+
+_PT_QUANT = 1000  # per-component quantization: iv_i = floor(x_i * 1000)
+_PT_COARSE = 4096  # split thresholds live on floor(proj / 4096)
+
+
+def _pt_int_vec(vec: Column) -> Column:
+    """Integer-quantized copy of a float vector: floor(x * 1000) per
+    component. Every downstream dot product is then an exact bigint sum —
+    order-free, so no IEEE accumulation-order pact with the oracle is
+    needed anywhere in this operator."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * _PT_QUANT).cast("bigint")
+    )
+
+
+def _pt_int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def projection_tree_topk(
+    df: DataFrame,
+    levels: int = 3,
+    k: int = 5,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Projection-tree ANN (the annoy / RP-tree family, Dasgupta & Freund
+    2008): recursively split the corpus at the MEDIAN of a projection, so
+    leaves stay balanced no matter how the data is distributed — the
+    property hyperplane LSH (s02/e02) cannot promise. ``levels`` median
+    splits produce ``2^levels`` near-equal leaves; each query searches only
+    its own leaf (annoy's search for indexed points).
+
+    Spark-first plan, per level:
+    - projection: exact bigint dot of the quantized vector against a fixed
+      literal direction (map-side, no shuffle);
+    - median: q101's scalable census walk — group by (node,
+      floor(proj/4096)) first (partial-agg collapse to a bounded census:
+      |proj| <= dim·2e6 keeps the coarse domain under ~64k values), then
+      one prefix-sum window over the tiny census, NEVER a per-node sort of
+      the corpus;
+    - split: broadcast-join the <= 2^level one-row thresholds back and
+      append '0'/'1' to the node path.
+    Each level's assignment is eagerly localCheckpoint'd (tracked), the
+    repo's standard iterative-refinement posture (e07 k-means, g08 star
+    contraction): without it the lazy lineage re-plans every prior level
+    twice per round.
+
+    Search: queries (already assigned to leaves) equi-join their leaf's
+    vectors — candidate work is Q · N/2^levels, bounded by leaf size, never
+    Q · N — then exact integer-dot top-k with (score DESC, id ASC)
+    tie-break. Output carries the leaf path and leaf occupancy so the
+    balance property is itself oracle-checked.
+    """
+    from aws_data_engineering_spark.operators.checkpoints import (
+        release_checkpoints,
+        tracked_local_checkpoint,
+    )
+
+    if query_pred is None:
+        query_pred = F.col(id_col) < 10
+    spark = df.sparkSession
+    assigned = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        _pt_int_vec(F.col(vec_col)).alias("iv"),
+        F.lit("").alias("leaf"),
+        query_pred.alias("is_q"),
+    )
+    own: set[int] = set()
+    try:
+        for level in range(levels):
+            plane = F.array(*[F.lit(h) for h in projection_plane(level, dim)])
+            a = assigned.withColumn(
+                "cp",
+                F.floor(_pt_int_dot(F.col("iv"), plane) / F.lit(_PT_COARSE)).cast(
+                    "bigint"
+                ),
+            )
+            a = tracked_local_checkpoint(a, own)
+            census = a.groupBy("leaf", "cp").agg(F.count(F.lit(1)).alias("cnt"))
+            wcum = Window.partitionBy("leaf").orderBy("cp")
+            wall = Window.partitionBy("leaf")
+            walk = census.select(
+                "leaf",
+                "cp",
+                F.sum("cnt").over(wcum).alias("cum"),
+                F.sum("cnt").over(wall).alias("n"),
+                (F.sum("cnt").over(wcum) - F.col("cnt")).alias("prev"),
+            )
+            pos = F.floor((F.col("n") + 1) / 2).cast("bigint")
+            med = walk.groupBy("leaf").agg(
+                F.max(
+                    F.when((F.col("prev") < pos) & (F.col("cum") >= pos), F.col("cp"))
+                ).alias("med_cp")
+            )
+            assigned = (
+                a.join(F.broadcast(med), "leaf")
+                .withColumn(
+                    "leaf",
+                    F.concat(
+                        F.col("leaf"),
+                        F.when(F.col("cp") <= F.col("med_cp"), F.lit("0")).otherwise(
+                            F.lit("1")
+                        ),
+                    ),
+                )
+                .select("id", "iv", "leaf", "is_q")
+            )
+        assigned = tracked_local_checkpoint(assigned, own)
+        leaf_n = assigned.groupBy("leaf").agg(
+            F.count(F.lit(1)).cast("bigint").alias("leaf_n")
+        )
+        qs = assigned.filter(F.col("is_q")).select(
+            F.col("id").alias("query_id"), F.col("iv").alias("qv"), "leaf"
+        )
+        pairs = qs.join(assigned, "leaf").filter(F.col("query_id") != F.col("id"))
+        scored = pairs.select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "leaf",
+            _pt_int_dot(F.col("qv"), F.col("iv")).alias("score_units"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score_units"), F.asc("neighbor_id")
+        )
+        out = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .join(F.broadcast(leaf_n), "leaf")
+            .select("query_id", "neighbor_id", "score_units", "rnk", "leaf", "leaf_n")
+        )
+        # materialize the result BEFORE the finally releases the per-level
+        # blocks its plan still references (the qdigest pattern: the final
+        # block stays until GC, exactly the tracked intermediates die)
+        return out.localCheckpoint(eager=True)
+    finally:
+        release_checkpoints(spark, own)
+
+
+def projection_tree_oracle_sql(
+    levels: int = 3,
+    k: int = 5,
+    query_pred: str = "vec_id < 10",
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL twin of :func:`projection_tree_topk`: the same literal
+    integer planes, the same floor-quantized vectors, medians via explicit
+    row-rank (value at ascending rank (n+1)//2 — identical to the census
+    walk's pick), the same '0'/'1' path building, and the same exact
+    bigint-dot ranking. Every per-level CTE is MATERIALIZED so DuckDB does
+    not re-inline the whole prefix per level (the q100 lesson)."""
+    iv = (
+        "list_transform(e, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    parts = [
+        "WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, "
+        f"{iv} AS iv, '' AS leaf FROM embeddings WHERE embedding IS NOT NULL)"
+    ]
+    prev = "v"
+    for level in range(levels):
+        plane = projection_plane(level, dim)
+        lits = ", ".join(str(h) for h in plane)
+        parts.append(
+            f"p{level} AS MATERIALIZED (\n"
+            f"  SELECT vec_id, e, iv, leaf,\n"
+            f"         CAST(FLOOR(CAST(list_dot_product(iv, [{lits}]) AS DOUBLE)"
+            f" / 4096.0) AS BIGINT) AS cp\n"
+            f"  FROM {prev})"
+        )
+        parts.append(
+            f"m{level} AS (\n"
+            f"  SELECT leaf, cp AS med_cp FROM (\n"
+            f"    SELECT leaf, cp,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY leaf ORDER BY cp) AS rk,\n"
+            f"           COUNT(*) OVER (PARTITION BY leaf) AS n\n"
+            f"    FROM p{level})\n"
+            f"  WHERE rk = (n + 1) // 2)"
+        )
+        parts.append(
+            f"a{level} AS MATERIALIZED (\n"
+            f"  SELECT vec_id, e, iv,\n"
+            f"         p.leaf || CASE WHEN p.cp <= m.med_cp THEN '0' ELSE '1' END"
+            f" AS leaf\n"
+            f"  FROM p{level} p JOIN m{level} m USING (leaf))"
+        )
+        prev = f"a{level}"
+    parts.append(
+        f"leaf_n AS (SELECT leaf, CAST(COUNT(*) AS BIGINT) AS leaf_n"
+        f" FROM {prev} GROUP BY leaf)"
+    )
+    parts.append(
+        f"pairs AS (\n"
+        f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.leaf,\n"
+        f"         CAST(list_dot_product(q.iv, c.iv) AS BIGINT) AS score_units\n"
+        f"  FROM {prev} q JOIN {prev} c USING (leaf)\n"
+        f"  WHERE ({query_pred.replace('vec_id', 'q.vec_id')})"
+        f" AND q.vec_id <> c.vec_id)"
+    )
+    parts.append(
+        "ranked AS (\n"
+        "  SELECT query_id, neighbor_id, leaf, score_units,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY query_id\n"
+        "                            ORDER BY score_units DESC, neighbor_id)"
+        " AS rnk\n"
+        "  FROM pairs)"
+    )
+    sql = ",\n".join(parts)
+    return f"""
+    {sql}
+    SELECT query_id, neighbor_id, score_units, CAST(rnk AS INT) AS rnk,
+           r.leaf, leaf_n
+    FROM ranked r JOIN leaf_n USING (leaf)
+    WHERE rnk <= {k}
+    """

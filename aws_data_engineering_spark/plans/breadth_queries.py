@@ -7432,3 +7432,522 @@ def dq18_linenumber_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("min_ln") != 1).cast("int")).cast("bigint").alias("n_not_starting_at_1"),
         F.max("n_rows").cast("bigint").alias("max_rows_per_order"),
     )
+
+
+# --------------------------------------------------------------------------
+# s15 — projection-tree ANN (round 8): the annoy / RP-tree index family
+# (Dasgupta & Freund 2008), completing the repo's index taxonomy — flat
+# (s01), hash (s02/e02), inverted-list (s04/s06), product-quantized
+# (s07/s08/s12), tree (this). Balanced MEDIAN splits — not hash signs —
+# bound every leaf at ~N/2^levels regardless of the data distribution;
+# medians come from q101's census walk (bounded coarse-bucket census +
+# prefix sum), never a per-node sort of the corpus. All scoring is exact
+# integer dot over floor-quantized vectors, so both engines agree
+# bit-for-bit with no IEEE accumulation pact.
+# --------------------------------------------------------------------------
+@register(
+    "s15_projection_tree_topk",
+    SIM.projection_tree_oracle_sql(levels=3, k=5),
+    "projection-tree ANN (annoy family): 3 balanced median splits on "
+    "hashed integer directions -> 8 leaves, each query searches only its "
+    "own leaf; exact bigint-dot ranking, leaf path + occupancy audited",
+)
+def s15_projection_tree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.projection_tree_topk(emb, levels=3, k=5)
+
+
+# --------------------------------------------------------------------------
+# t37 — CCNet-style perplexity bucketing (round 8): the head/middle/tail
+# tercile split CCNet (Wenzek et al. 2019) uses to stratify a web corpus
+# by LM quality before sampling. The LM score is a Zipf-rank surrogate:
+# each token costs bit_length(vocab_rank) — an exact-integer stand-in for
+# log2(rank), which under Zipf's law tracks the unigram surprisal
+# -log p(token) — so the whole pipeline (rank, per-doc milli-rate,
+# per-lang tercile boundaries, bucket census) is integer arithmetic and
+# hash-exact across engines, with none of log()'s cross-libm ulp risk.
+# Boundaries come from the q101 census walk over the BOUNDED milli-rate
+# domain (rate <= 31000), never a per-lang sort of the corpus.
+# --------------------------------------------------------------------------
+_T37_BITLEN_MAX = 31
+
+
+def _t37_bitlen_spark(col: Column) -> Column:
+    out = F.lit(_T37_BITLEN_MAX + 1)
+    for b in range(_T37_BITLEN_MAX, 0, -1):
+        out = F.when(col < F.lit(1 << b), F.lit(b)).otherwise(out)
+    return out
+
+
+def _t37_bitlen_sql(expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {expr} < {1 << b} THEN {b}" for b in range(1, _T37_BITLEN_MAX + 1)
+    )
+    return f"(CASE {branches} ELSE {_T37_BITLEN_MAX + 1} END)"
+
+
+def _t37_oracle() -> str:
+    tok_expr = (
+        "translate(unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10)"
+        " || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+')),"
+        " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+    )
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, lang, {tok_expr} AS token
+      FROM documents WHERE text IS NOT NULL
+    ), t2 AS (SELECT * FROM tok WHERE token <> ''),
+    vocab AS MATERIALIZED (
+      SELECT token,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rank
+      FROM t2 GROUP BY token
+    ), doc_scores AS MATERIALIZED (
+      SELECT t2.doc_id, t2.lang,
+             COUNT(*) AS n_tokens,
+             SUM({_t37_bitlen_sql('vocab.rank')}) AS score_units
+      FROM t2 JOIN vocab USING (token)
+      GROUP BY 1, 2
+    ), rates AS MATERIALIZED (
+      SELECT doc_id, lang, n_tokens, score_units,
+             score_units * 1000 // n_tokens AS milli_rate
+      FROM doc_scores
+    ), pos AS (
+      SELECT lang, milli_rate,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY milli_rate) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM rates
+    ), bounds AS (
+      SELECT lang,
+             MAX(CASE WHEN rk = (n + 2) // 3 THEN milli_rate END) AS b1,
+             MAX(CASE WHEN rk = (2 * n + 2) // 3 THEN milli_rate END) AS b2
+      FROM pos GROUP BY lang
+    )
+    SELECT r.lang,
+           CAST(1 + CASE WHEN r.milli_rate > b.b1 THEN 1 ELSE 0 END
+                  + CASE WHEN r.milli_rate > b.b2 THEN 1 ELSE 0 END AS INT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r.score_units) AS BIGINT) AS sum_score_units,
+           CAST(MIN(r.milli_rate) AS BIGINT) AS min_milli,
+           CAST(MAX(r.milli_rate) AS BIGINT) AS max_milli
+    FROM rates r JOIN bounds b USING (lang)
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "t37_ccnet_surprisal_buckets",
+    _t37_oracle(),
+    "CCNet-style head/middle/tail quality terciles per language: integer "
+    "Zipf-rank surprisal (bit_length of vocab rank) scores each doc, "
+    "census-walk tercile boundaries per lang, bucket census — the "
+    "perplexity-stratified sampling stage of web-corpus curation",
+)
+def t37_ccnet_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(T.ascii_trim(F.col("text")), r"\s+")).alias("raw"),
+        )
+        .select("doc_id", "lang", T.ascii_lower(F.col("raw")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    # global frequency rank rides a 1-task window over the AGGREGATED vocab
+    # (bounded by language, never corpus-sized — the t15 posture)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
+        )
+        .select("token", "rank")
+    )
+    doc_scores = (
+        toks.join(vocab, "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(_t37_bitlen_spark(F.col("rank"))).alias("score_units"),
+        )
+        .withColumn("milli_rate", F.expr("score_units * 1000 div n_tokens"))
+    )
+    # per-lang tercile boundaries via the q101 census walk: the census is
+    # (lang, milli_rate) — milli_rate <= 31000, a bounded domain — so no
+    # per-lang sort of the doc table ever happens
+    census = doc_scores.groupBy("lang", "milli_rate").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.partitionBy("lang").orderBy("milli_rate")
+    wall = Window.partitionBy("lang")
+    walk = census.select(
+        "lang",
+        "milli_rate",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("prev"),
+    )
+    r1 = F.floor((F.col("n") + 2) / 3).cast("bigint")
+    r2 = F.floor((2 * F.col("n") + 2) / 3).cast("bigint")
+    bounds = walk.groupBy("lang").agg(
+        F.max(
+            F.when((F.col("prev") < r1) & (F.col("cum") >= r1), F.col("milli_rate"))
+        ).alias("b1"),
+        F.max(
+            F.when((F.col("prev") < r2) & (F.col("cum") >= r2), F.col("milli_rate"))
+        ).alias("b2"),
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("milli_rate") > F.col("b1")).cast("int")
+        + (F.col("milli_rate") > F.col("b2")).cast("int")
+    )
+    return (
+        doc_scores.join(F.broadcast(bounds), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("score_units").cast("bigint").alias("sum_score_units"),
+            F.min("milli_rate").cast("bigint").alias("min_milli"),
+            F.max("milli_rate").cast("bigint").alias("max_milli"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dq19 — referential-integrity orphan audit (round 8): every FK edge of
+# the TPC-H-ish schema checked in one pass each — child rows whose key is
+# NULL, rows whose non-null key has no parent, and the distinct orphan
+# keys behind them. One LEFT join per edge against the DISTINCT parent
+# keys (dims broadcast; the two fact-sized edges shuffle on their natural
+# join key) + a one-row conditional-agg census; the 7 one-row results
+# union into the audit table. The fixture is referentially clean, so the
+# oracle pins zeros (the t14 PII posture); the planted-orphan pytest
+# proves nonzero counts.
+# --------------------------------------------------------------------------
+_DQ19_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _dq19_oracle() -> str:
+    selects = []
+    for rel, child, fk, parent, pk in _DQ19_EDGES:
+        selects.append(f"""
+    SELECT '{rel}' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_keys,
+           CAST(SUM(CASE WHEN c.{fk} IS NOT NULL AND p.pk IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+           CAST(COUNT(DISTINCT CASE WHEN c.{fk} IS NOT NULL AND p.pk IS NULL
+                                    THEN c.{fk} END) AS BIGINT) AS n_orphan_keys
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON c.{fk} = p.pk""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dq19_referential_orphans",
+    _dq19_oracle(),
+    "referential-integrity audit over all 7 FK edges of the schema: "
+    "null-key rows, orphan rows, distinct orphan keys — one left join vs "
+    "distinct parent keys per edge, conditional-agg census",
+)
+def dq19_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for rel, child, fk, parent, pk in _DQ19_EDGES:
+        c = _t(spark, sf_dir, child)
+        # DISTINCT parent keys: defensive against a duplicated parent pk,
+        # which would fan out the left join and inflate the row census
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        j = c.join(p, c[fk] == F.col("pk"), "left")
+        orphan = F.col(fk).isNotNull() & F.col("pk").isNull()
+        row = j.agg(
+            F.lit(rel).alias("relationship"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+            F.sum(F.col(fk).isNull().cast("int")).cast("bigint").alias("n_null_keys"),
+            F.sum(orphan.cast("int")).cast("bigint").alias("n_orphan_rows"),
+            F.countDistinct(F.when(orphan, F.col(fk)))
+            .cast("bigint")
+            .alias("n_orphan_keys"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --------------------------------------------------------------------------
+# p17 — per-user contribution-bounded aggregation (round 8): the
+# DP-style pre-aggregation every privacy-reviewed analytics pipeline runs
+# (Wilson et al. 2020, "Differentially private SQL with bounded user
+# contribution"): before any daily metric, each user contributes at most
+# C events per day — rank events per (user, day) by (ts, event_id), keep
+# rank <= C — so a single bot account cannot dominate a count or sum.
+# Emits the capped metrics NEXT TO the raw ones plus the clipped-user
+# census, making the bounding itself auditable. One (user, day)-keyed
+# window over naturally partition-parallel groups; values quantized to
+# integer cents BEFORE summing (the dq03 rule) so both engines'
+# aggregation is order-free.
+# --------------------------------------------------------------------------
+_P17_CAP = 5
+
+
+@register(
+    "p17_user_contribution_cap",
+    f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rk
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), per_user AS (
+      SELECT user_id, day,
+             COUNT(*) AS n_raw,
+             SUM(CASE WHEN rk <= {_P17_CAP} THEN 1 ELSE 0 END) AS n_capped,
+             SUM(cents) AS raw_cents,
+             SUM(CASE WHEN rk <= {_P17_CAP} THEN cents ELSE 0 END) AS capped_cents
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN n_raw > {_P17_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_users,
+           CAST(SUM(n_raw) AS BIGINT) AS n_events_raw,
+           CAST(SUM(n_capped) AS BIGINT) AS n_events_capped,
+           CAST(SUM(raw_cents) AS BIGINT) AS raw_cents,
+           CAST(SUM(capped_cents) AS BIGINT) AS capped_cents
+    FROM per_user GROUP BY 1
+    """,
+    "DP-style bounded-contribution daily aggregation: each user capped at "
+    "5 events/day by a (user, day) window, capped vs raw counts and cent "
+    "sums plus the clipped-user census per day",
+)
+def p17_user_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    day = F.to_date("ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id",
+        day.alias("day"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("rk"),
+    )
+    per_user = ranked.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum((F.col("rk") <= _P17_CAP).cast("int")).alias("n_capped"),
+        F.sum("cents").alias("raw_cents"),
+        F.sum(F.when(F.col("rk") <= _P17_CAP, F.col("cents")).otherwise(F.lit(0))).alias(
+            "capped_cents"
+        ),
+    )
+    return per_user.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum((F.col("n_raw") > _P17_CAP).cast("int"))
+        .cast("bigint")
+        .alias("n_clipped_users"),
+        F.sum("n_raw").cast("bigint").alias("n_events_raw"),
+        F.sum("n_capped").cast("bigint").alias("n_events_capped"),
+        F.sum("raw_cents").cast("bigint").alias("raw_cents"),
+        F.sum("capped_cents").cast("bigint").alias("capped_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m23 — REAL G.711 mu-law companding round trip (round 8): the telephony
+# codec (ITU-T G.711) every speech corpus recorded off a phone line went
+# through. Wide-amplitude 14-bit PCM WAVs are synthesized, decoded by the
+# real RIFF parser, mu-law encoded (sign/exponent/mantissa, bias 132,
+# clip 8159, ones-complement) and decoded back to cell midpoints — all
+# inside one Arrow map stage, integer end-to-end. The oracle replays the
+# identical integer formulas over the closed-form sample generator. The
+# position-weighted code checksum pins byte-level codec agreement, not
+# just error statistics.
+# --------------------------------------------------------------------------
+def _m23_oracle() -> str:
+    x = "(((id * 7 + k * 13) % 16384) - 8192)"
+    mag = f"ABS({x})"
+    v = f"(LEAST({mag}, 8159) + 132)"
+    e = (
+        f"(CASE WHEN {v} >= 256 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {v} >= 512 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {v} >= 1024 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {v} >= 2048 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {v} >= 4096 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {v} >= 8192 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    WITH a AS (
+      SELECT doc_id AS id,
+             CAST(8000 + doc_id % 2 * 8000 AS INT) AS sample_rate,
+             CAST(256 + doc_id % 384 AS INT) AS n_samples
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+    ), s AS (
+      SELECT id, UNNEST(generate_series(0, n_samples - 1)) AS k
+      FROM a
+    ), comp AS (
+      SELECT id, k, {x} AS x, {mag} AS mag, {v} AS v, {e} AS e
+      FROM s
+    ), codec AS (
+      SELECT id, k, x, mag, e,
+             ((v // (8 << e)) % 16) AS m
+      FROM comp
+    ), rt AS (
+      SELECT id, k, x, mag, e, m,
+             255 - (CASE WHEN x < 0 THEN 128 ELSE 0 END + e * 16 + m) AS code,
+             CASE WHEN x < 0 THEN -((2 * m + 33) * (4 << e) - 132)
+                  ELSE (2 * m + 33) * (4 << e) - 132 END AS rec
+      FROM codec
+    )
+    SELECT a.id, a.sample_rate, a.n_samples,
+           CAST(SUM(CASE WHEN mag > 8159 THEN 1 ELSE 0 END) AS INT) AS n_clipped,
+           CAST(MAX(ABS(x - rec)) AS INT) AS max_abs_err,
+           CAST(SUM(ABS(x - rec)) AS BIGINT) AS sum_abs_err,
+           CAST(SUM(code * (k + 1)) AS BIGINT) AS code_weighted_sum
+    FROM rt JOIN a USING (id)
+    GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "m23_g711_mulaw_roundtrip",
+    _m23_oracle(),
+    "REAL G.711 mu-law companding round trip over synthesized wide-range "
+    "PCM WAVs: encode/decode in one Arrow map stage, integer error "
+    "profile + position-weighted code checksum, oracle = closed-form SQL "
+    "replay of the ITU formulas",
+)
+def m23_g711_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
+    )
+    clips = MM.synthesize_pcm14_wav(docs, "doc_id")
+    return MM.mulaw_roundtrip_audit(clips, "id", "data")
+
+
+# --------------------------------------------------------------------------
+# c20 — Iceberg-style hidden partitioning + manifest transform pruning
+# (round 8): the table declares a PARTITION TRANSFORM (month(o_orderdate))
+# the way Iceberg does — the reader never touches directory names or even
+# knows the layout; it derives the transform range from its row-level
+# date predicate, consults the MANIFEST (file -> transform value), and
+# reads only the matching files by explicit path, applying the original
+# predicate as the residual filter. Complements c12 (directory-layout
+# pruning), c17 (runtime DPP) and c18 (snapshot manifests): this is
+# metadata-only pruning on a DERIVED value, the thing that makes Iceberg
+# queries cheap without the user ever writing the partition column. One
+# corpus-sized write (repartition by transform -> exactly one file per
+# month), KB-sized manifest at any scale; the pruning audit (files +
+# rows scanned vs total) is part of the oracle-checked output.
+# --------------------------------------------------------------------------
+_C20_FROM = "1996-02-10"
+_C20_TO = "1996-08-20"
+
+
+@register(
+    "c20_hidden_partition_pruning",
+    f"""
+    WITH all_m AS (
+      SELECT (EXTRACT(year FROM o_orderdate) * 100
+              + EXTRACT(month FROM o_orderdate)) AS m, COUNT(*) AS n
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), pruned AS (
+      SELECT m, n FROM all_m
+      WHERE m BETWEEN 199602 AND 199608
+    ), audit AS (
+      SELECT (SELECT COUNT(*) FROM all_m) AS n_files_total,
+             (SELECT COUNT(*) FROM pruned) AS n_files_scanned,
+             (SELECT SUM(n) FROM pruned) AS rows_scanned
+    )
+    SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                + EXTRACT(month FROM o_orderdate) AS INT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(audit.n_files_total AS INT) AS n_files_total,
+           CAST(audit.n_files_scanned AS INT) AS n_files_scanned,
+           CAST(audit.rows_scanned AS BIGINT) AS rows_scanned
+    FROM orders CROSS JOIN audit
+    WHERE o_orderdate BETWEEN DATE '{_C20_FROM}' AND DATE '{_C20_TO}'
+    GROUP BY 1, 4, 5, 6
+    """,
+    "Iceberg-style hidden partitioning: month(o_orderdate) transform "
+    "recorded in a manifest, reader prunes files from the manifest by the "
+    "derived transform range and applies the date predicate as residual — "
+    "per-month revenue plus the files/rows-scanned pruning audit",
+)
+def c20_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    m_col = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("m")
+    root = f"{tempfile.gettempdir()}/c20_{uuid.uuid4().hex}"
+    data_dir = f"{root}/data"
+
+    # ONE corpus write: repartition on the transform puts each month in
+    # exactly one shuffle partition -> exactly one data file per transform
+    # value; partitionBy only routes rows, the reader below never relies
+    # on the directory names
+    (
+        orders.withColumn("m", m_col)
+        .repartition(F.col("m"))
+        .write.partitionBy("m")
+        .parquet(data_dir)
+    )
+
+    # manifest: file path -> transform value (+ row count), the KB-sized
+    # per-commit metadata Iceberg keeps; built from the write's layout
+    # here, then treated as the ONLY source of truth by the reader
+    manifest = []
+    for d in os.listdir(data_dir):
+        if not d.startswith("m="):
+            continue
+        m_val = int(d.split("=", 1)[1])
+        for f in os.listdir(f"{data_dir}/{d}"):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                manifest.append({"path": f"{data_dir}/{d}/{f}", "m": m_val})
+    with open(f"{root}/manifest.json", "w") as fh:
+        json.dump(manifest, fh)
+
+    # reader: derive the transform range from the ROW predicate (the
+    # hidden-partitioning contract: the user only ever states the date
+    # range), prune via the manifest, read surviving files by path
+    lo = int(_C20_FROM[:4]) * 100 + int(_C20_FROM[5:7])
+    hi = int(_C20_TO[:4]) * 100 + int(_C20_TO[5:7])
+    with open(f"{root}/manifest.json") as fh:
+        entries = json.load(fh)
+    scanned = [e["path"] for e in entries if lo <= e["m"] <= hi]
+    pruned_read = spark.read.parquet(*scanned)
+    rows_scanned = pruned_read.count()
+    return (
+        pruned_read.filter(
+            F.col("o_orderdate").between(F.lit(_C20_FROM), F.lit(_C20_TO))
+        )
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("int")
+            .alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .withColumn("n_files_total", F.lit(len(entries)).cast("int"))
+        .withColumn("n_files_scanned", F.lit(len(scanned)).cast("int"))
+        .withColumn("rows_scanned", F.lit(rows_scanned).cast("bigint"))
+    )

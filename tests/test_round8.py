@@ -14,6 +14,8 @@ this sweep is what keeps the class closed.
 
 from __future__ import annotations
 
+import datetime
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -852,4 +854,238 @@ def test_s14_mips_magnitude_beats_angle(spark, tmp_path):
     )
     assert ranked[0]["neighbor_id"] == 11 and ranked[0]["dot"] == 10.0
     assert ranked[1]["neighbor_id"] == 12
+    compare(df, q.oracle, str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 fourth batch: s15 / t37 / dq19 / p17 / m23 / c20 edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_s15_duplicate_vectors_tie_left_and_leaves_balance(spark, tmp_path):
+    """Exact duplicate vectors share a projection, so they all land on the
+    same side of every median (ties go LEFT, <=) and end in the SAME leaf —
+    a projection tree can never split identical points apart. Leaves stay
+    near-balanced on skewed data, and both engines agree on the full
+    output including leaf paths."""
+    from tests.oracle_utils import compare
+
+    vecs = []
+    # 8 copies of one vector (a duplicate cluster) + 24 spread vectors
+    for i in range(32):
+        if i < 8:
+            vecs.append([0.5] * 64)
+        else:
+            vecs.append([((i * 7 + j * 3) % 13) / 13.0 - 0.4 for j in range(64)])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(32)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(32)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    q = QUERIES["s15_projection_tree_topk"]
+    df = q.spark(spark, str(tmp_path))
+    rows = df.collect()
+    # queries 0..7 are the duplicate cluster: their top neighbors must be
+    # the other duplicates (max integer dot), all in one shared leaf
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    dup_leaves = {r["leaf"] for qid in range(8) for r in by_q[qid]}
+    assert len(dup_leaves) == 1, "duplicate cluster split across leaves"
+    top = sorted(by_q[0], key=lambda r: r["rnk"])[0]
+    assert top["neighbor_id"] in range(1, 8)
+    # balance: no leaf holds more than half the corpus (median splits)
+    leaf_sizes = {r["leaf"]: r["leaf_n"] for r in rows}
+    assert all(n <= 16 for n in leaf_sizes.values())
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_t37_tiny_languages_and_tie_rates(spark, tmp_path):
+    """Languages with 1 and 2 docs still get well-defined tercile
+    boundaries ((n+2)//3 ranks), identical-rate docs land in the same
+    bucket (boundaries compare by value, never by row identity), and the
+    bucket census is cross-engine exact."""
+    from tests.oracle_utils import compare
+
+    rows = [
+        (1, "alpha beta gamma", "xx", "a"),          # lone doc -> bucket 1
+        (2, "alpha alpha alpha alpha", "yy", "a"),   # 2-doc lang
+        (3, "rare1 rare2 rare3 rare4", "yy", "a"),
+        # 4 docs, two with IDENTICAL token streams -> identical rates
+        (4, "alpha beta alpha beta", "zz", "a"),
+        (5, "alpha beta alpha beta", "zz", "a"),
+        (6, "alpha alpha alpha alpha alpha", "zz", "a"),
+        (7, "unique9 unique8 unique7", "zz", "a"),
+    ]
+    _write_docs(tmp_path, rows)
+    q = QUERIES["t37_ccnet_surprisal_buckets"]
+    df = q.spark(spark, str(tmp_path))
+    got = df.collect()
+    xx = [r for r in got if r["lang"] == "xx"]
+    assert len(xx) == 1 and xx[0]["bucket"] == 1 and xx[0]["n_docs"] == 1
+    # identical docs 4 and 5 must share a bucket: census sums to 4 docs
+    zz_total = sum(r["n_docs"] for r in got if r["lang"] == "zz")
+    assert zz_total == 4
+    compare(df, q.oracle, str(tmp_path))
+
+
+def _write_tpch_mini(tmp_path, *, orphan=False):
+    """Minimal 7-table TPC-H-ish fixture; with ``orphan=True`` plants a
+    dangling FK + a NULL FK on every audited edge."""
+    def t(name, cols):
+        pq.write_table(pa.table(cols), str(tmp_path / f"{name}.parquet"))
+
+    t("region", {"r_regionkey": pa.array([0, 1], pa.int64()),
+                 "r_name": pa.array(["AMERICA", "ASIA"], pa.string())})
+    t("nation", {"n_nationkey": pa.array([0, 1], pa.int64()),
+                 "n_name": pa.array(["BRAZIL", "JAPAN"], pa.string()),
+                 "n_regionkey": pa.array([0, 99 if orphan else 1], pa.int64())})
+    t("customer", {"c_custkey": pa.array([10, 11], pa.int64()),
+                   "c_name": pa.array(["a", "b"], pa.string()),
+                   "c_nationkey": pa.array([0, 98 if orphan else 1], pa.int64())})
+    t("supplier", {"s_suppkey": pa.array([20, 21], pa.int64()),
+                   "s_name": pa.array(["s1", "s2"], pa.string()),
+                   "s_nationkey": pa.array([None if orphan else 0, 1], pa.int64())})
+    t("part", {"p_partkey": pa.array([30, 31], pa.int64()),
+               "p_name": pa.array(["p1", "p2"], pa.string())})
+    t("orders", {"o_orderkey": pa.array([40, 41, 42], pa.int64()),
+                 "o_custkey": pa.array([10, 97 if orphan else 11, 11], pa.int64()),
+                 "o_totalprice": pa.array([10.0, 20.0, 30.0], pa.float64()),
+                 "o_orderdate": pa.array([datetime.date(1996, 3, 1)] * 3)})
+    t("lineitem", {
+        "l_orderkey": pa.array([40, 40, 96 if orphan else 41], pa.int64()),
+        "l_partkey": pa.array([30, 95 if orphan else 31, 30], pa.int64()),
+        "l_suppkey": pa.array([20, 21, None if orphan else 20], pa.int64()),
+        "l_quantity": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+
+
+def test_dq19_planted_orphans_and_null_keys(spark, tmp_path):
+    """Every audited FK edge reports its planted orphans and NULL keys
+    (orphan rows vs distinct orphan keys differ when one dangling key
+    repeats), and a clean fixture reports all zeros — both cross-engine
+    exact."""
+    from tests.oracle_utils import compare
+
+    _write_tpch_mini(tmp_path, orphan=True)
+    q = QUERIES["dq19_referential_orphans"]
+    df = q.spark(spark, str(tmp_path))
+    got = {r["relationship"]: r for r in df.collect()}
+    assert got["lineitem.l_orderkey->orders"]["n_orphan_rows"] == 1
+    assert got["lineitem.l_partkey->part"]["n_orphan_rows"] == 1
+    assert got["lineitem.l_suppkey->supplier"]["n_null_keys"] == 1
+    assert got["lineitem.l_suppkey->supplier"]["n_orphan_rows"] == 0
+    assert got["orders.o_custkey->customer"]["n_orphan_rows"] == 1
+    assert got["customer.c_nationkey->nation"]["n_orphan_keys"] == 1
+    assert got["supplier.s_nationkey->nation"]["n_null_keys"] == 1
+    assert got["nation.n_regionkey->region"]["n_orphan_rows"] == 1
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_p17_cap_boundary_ts_ties_and_null_ts(spark, tmp_path):
+    """A user at exactly the cap is NOT clipped; one past the cap is; ties
+    on ts resolve by event_id (the lowest-id event wins the capped slot);
+    NULL-ts events are dropped on both sides; negative values floor
+    toward -inf in both engines."""
+    import datetime as dtm
+
+    from tests.oracle_utils import compare
+
+    d = dtm.datetime
+    base = d(2024, 5, 1, 12, 0)
+    rows = []
+    # user 1: exactly 5 events -> not clipped
+    for i in range(5):
+        rows.append((100 + i, base, 1, "view", 1.0, None))
+    # user 2: 7 events, two share ts with the 5th-slot boundary -> the
+    # LOWER event_id of the tie is kept inside the cap
+    for i in range(7):
+        rows.append((200 + i, d(2024, 5, 1, 12, i // 2), 2, "view", 10.0, None))
+    # user 3: NULL ts only -> dropped entirely
+    rows.append((300, None, 3, "view", 99.0, None))
+    # user 4: negative value exercises FLOOR toward -inf
+    rows.append((400, base, 4, "refund", -1.015, None))
+    _write_events(tmp_path, rows)
+    q = QUERIES["p17_user_contribution_cap"]
+    df = q.spark(spark, str(tmp_path))
+    rows_out = df.collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert r["n_users"] == 3  # user 3 (NULL ts) gone
+    assert r["n_clipped_users"] == 1  # only user 2
+    assert r["n_events_raw"] == 13
+    assert r["n_events_capped"] == 11  # 5 + 5 + 1
+    assert r["raw_cents"] == 500 + 7000 - 102  # floor(-1.015*100) = -102
+    assert r["capped_cents"] == 500 + 5000 - 102
+    compare(df, q.oracle, str(tmp_path))
+
+
+def test_m23_mulaw_known_codes_and_cell_error_bound(spark):
+    """The mu-law codec agrees with hand-computed G.711 values (0 encodes
+    to 0xFF and round-trips exactly; -1 encodes to 0x7F) and every
+    unclipped sample's round-trip error is bounded by half its
+    quantization cell (4 << exponent)."""
+    import numpy as np
+
+    from aws_data_engineering_spark.operators import multimodal as MM
+
+    # replicate the worker's vectorized codec on a known ramp
+    x = np.arange(-8192, 8192, dtype=np.int64)
+    sign = x < 0
+    mag = np.abs(x)
+    v = np.minimum(mag, 8159) + 132
+    e = ((v >= 256).astype(np.int64) + (v >= 512) + (v >= 1024)
+         + (v >= 2048) + (v >= 4096) + (v >= 8192))
+    m = (v >> (e + 3)) & 15
+    code = 255 - (sign * 128 + e * 16 + m)
+    mid = (2 * m + 33) << (e + 2)
+    rec = np.where(sign, -(mid - 132), mid - 132)
+    # known anchors from the G.711 tables
+    assert code[x.tolist().index(0)] == 0xFF and rec[x.tolist().index(0)] == 0
+    assert code[x.tolist().index(-1)] == 0x7F
+    # monotone: mu-law codes order-reverse within each sign half
+    assert (np.diff(rec) >= 0).all()
+    unclipped = mag <= 8159
+    assert (np.abs(x - rec)[unclipped] <= (4 << e[unclipped])).all()
+
+
+def test_c20_manifest_is_sole_pruning_authority(spark, tmp_path):
+    """Months outside the derived transform range are never read (files
+    scanned < files total), boundary months survive the residual filter
+    with partial rows, and the audit columns hash-match the oracle."""
+    import datetime as dtm
+
+    from tests.oracle_utils import compare
+
+    days = [
+        dtm.date(1996, 1, 5),    # before range -> pruned at manifest level
+        dtm.date(1996, 2, 5),    # Feb file read, row CUT by residual (<10th)
+        dtm.date(1996, 2, 15),   # Feb row kept
+        dtm.date(1996, 8, 25),   # Aug file read, row cut by residual (>20th)
+        dtm.date(1996, 12, 31),  # after range -> pruned
+        dtm.date(1996, 5, 10),   # mid-range
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(list(range(len(days))), pa.int64()),
+                "o_custkey": pa.array([1] * len(days), pa.int64()),
+                "o_totalprice": pa.array([100.5] * len(days), pa.float64()),
+                "o_orderdate": pa.array(days),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    q = QUERIES["c20_hidden_partition_pruning"]
+    df = q.spark(spark, str(tmp_path))
+    rows = df.collect()
+    r = rows[0]
+    assert r["n_files_total"] == 5  # Jan Feb May Aug Dec
+    assert r["n_files_scanned"] == 3  # Feb May Aug
+    assert r["rows_scanned"] == 4  # both Feb rows + May + Aug
+    months = {x["m"] for x in rows}
+    assert months == {199602, 199605}  # Aug row dies in the residual
     compare(df, q.oracle, str(tmp_path))
