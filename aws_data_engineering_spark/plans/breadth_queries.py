@@ -7951,3 +7951,163 @@ def c20_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_files_scanned", F.lit(len(scanned)).cast("int"))
         .withColumn("rows_scanned", F.lit(rows_scanned).cast("bigint"))
     )
+
+
+# --------------------------------------------------------------------------
+# c21 — bloom semi-join reduction (round 8): the runtime-filter / semi-join
+# reduction every distributed optimizer applies to a selective shuffle
+# join (Spark's own runtime bloomFilter rewrite, Trino's dynamic filters):
+# build a Bloom filter over the SELECTIVE build side's join keys, prune
+# the probe side MAP-SIDE before the exchange, then run the exact join —
+# false positives are removed by the join itself (bloom has no false
+# negatives), so the result is byte-identical to the unfiltered plan while
+# the shuffle moves ~14% of the probe rows. The explicit form matters at
+# 100 TB precisely when the build side is too big to broadcast: the bits
+# table stays bounded by m = 2^16 POSITIONS regardless of build-side row
+# count (a partial-agg distinct), so it broadcasts where the build side
+# cannot; the exact join is forced to sort-merge (hint) to model that
+# regime. The pruning audit (probe rows before/after, build keys) is part
+# of the oracle-checked output — d11's md5 position hashes make the
+# filter itself engine-portable, false positives included.
+# --------------------------------------------------------------------------
+_C21_PRED_SQL = "o_orderpriority = '1-URGENT' AND o_totalprice >= 150000"
+
+
+def _c21_oracle() -> str:
+    def pos_expr(j: int) -> str:
+        h = f"md5(k || '#b{j}')"
+
+        def hexval(i: int) -> str:
+            a = f"ascii(substr({h}, {i}, 1))"
+            return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
+
+        pos = "0"
+        for i in range(1, 5):
+            pos = f"({pos} * 16 + {hexval(i)})"
+        return pos
+
+    build_pos = "md5(k || '#b' || CAST(j AS VARCHAR))"
+
+    def bhexval(i: int) -> str:
+        a = f"ascii(substr({build_pos}, {i}, 1))"
+        return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
+
+    bpos = "0"
+    for i in range(1, 5):
+        bpos = f"({bpos} * 16 + {bhexval(i)})"
+
+    # membership as 4 row-preserving IN subqueries (NOT an explode +
+    # GROUP BY ALL: lineitem rows can be exact duplicates across every
+    # projected column, and a grouped HAVING would collapse them while
+    # Spark's filter keeps each row)
+    member = " AND ".join(
+        f"({pos_expr(j)}) IN (SELECT pos FROM bits)" for j in range(4)
+    )
+
+    return f"""
+    WITH build AS (
+      SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+      WHERE {_C21_PRED_SQL}
+    ), bits AS (
+      SELECT DISTINCT {bpos} AS pos
+      FROM build, generate_series(0, 3) g(j)
+    ), probe AS (
+      SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount,
+             CAST(l_orderkey AS VARCHAR) AS k
+      FROM lineitem
+    ), passed AS (
+      SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount
+      FROM probe WHERE {member}
+    ), audit AS (
+      SELECT (SELECT COUNT(*) FROM probe) AS probe_rows_total,
+             (SELECT COUNT(*) FROM passed) AS probe_rows_after_bloom,
+             (SELECT COUNT(*) FROM build) AS n_build_keys
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(audit.probe_rows_total AS BIGINT) AS probe_rows_total,
+           CAST(audit.probe_rows_after_bloom AS BIGINT) AS probe_rows_after_bloom,
+           CAST(audit.n_build_keys AS BIGINT) AS n_build_keys
+    FROM passed
+    JOIN orders o ON passed.l_orderkey = o.o_orderkey AND {_C21_PRED_SQL}
+    CROSS JOIN audit
+    GROUP BY 1, 4, 5, 6
+    """
+
+
+@register(
+    "c21_bloom_semijoin_reduction",
+    _c21_oracle(),
+    "runtime-filter semi-join reduction: Bloom bits over the selective "
+    "build side's keys prune the probe map-side before the shuffle join "
+    "(bits bounded by m=2^16 even when the build side cannot broadcast); "
+    "exact sort-merge join removes the false positives; before/after "
+    "pruning audit in the output",
+)
+def c21_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.operators.dedup import _BLOOM_K, _bloom_pos
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    build = orders.filter(F.expr(_C21_PRED_SQL))
+    bkeys = build.select(F.col("o_orderkey").cast("string").alias("k")).distinct()
+    # bounded bits table: <= 4 distinct positions per key, <= 2^16 overall —
+    # a partial-agg distinct that broadcasts at ANY build-side size
+    bits = None
+    for j in range(_BLOOM_K):
+        b = bkeys.select(_bloom_pos(F.col("k"), j).alias("pos"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()
+    probe = li.withColumn("k", F.col("l_orderkey").cast("string"))
+    marked = probe.select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+        *[_bloom_pos(F.col("k"), j).alias(f"p{j}") for j in range(_BLOOM_K)],
+    )
+    for j in range(_BLOOM_K):
+        marked = marked.join(
+            F.broadcast(bits.select(F.col("pos").alias(f"h{j}"))),
+            marked[f"p{j}"] == F.col(f"h{j}"),
+            "left",
+        )
+    passed_pred = F.expr(
+        " AND ".join(f"h{j} IS NOT NULL" for j in range(_BLOOM_K))
+    )
+    passed = marked.filter(passed_pred).select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    audit = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("probe_rows_total"),
+        F.sum(passed_pred.cast("int")).cast("bigint").alias("probe_rows_after_bloom"),
+    ).crossJoin(
+        bkeys.agg(F.count(F.lit(1)).cast("bigint").alias("n_build_keys"))
+    )
+    # exact join forced to sort-merge: this is the regime the reduction
+    # exists for (build side too big to broadcast); bloom false positives
+    # die here, so the grouped result is bloom-independent
+    joined = passed.join(
+        build.select("o_orderkey").hint("merge"),
+        passed["l_orderkey"] == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(audit))
+        .select(
+            "l_returnflag", "n_lineitems", "revenue_cents",
+            "probe_rows_total", "probe_rows_after_bloom", "n_build_keys",
+        )
+    )

@@ -177,6 +177,14 @@ HEADLINE = [
     # probe + quality gate in ONE plan). s14 MIPS reuses the benched s01
     # kernel shape — correctness-gated instead.
     "pp02_incremental_curation",
+    # round-8 fourth batch: the projection-tree ANN (a NEW index family —
+    # census-walk median splits + leaf-local search) and the CCNet
+    # surprisal terciles (vocab-rank re-join + bounded census walk).
+    # dq19/p17 are plain join/window censuses and m23 rides the benched
+    # WAV machinery — correctness-gated instead; c20 is a write demo
+    # (the c04/c18/c19 precedent).
+    "s15_projection_tree_topk",
+    "t37_ccnet_surprisal_buckets",
 ]
 
 

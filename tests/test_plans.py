@@ -371,6 +371,11 @@ _BNLJ_ALLOW = {
     # t30's allowlisted 1-row stats broadcast. Fusion itself is a
     # pool-bounded full-outer SMJ, never nested-loop.
     "s11_rrf_hybrid_retrieval",
+    # c21's two pruning-audit columns ride broadcast 1-ROW aggregates
+    # (probe census + build-key count) crossed into the grouped result —
+    # the dq04/t30 scalar-broadcast shape; the data joins are 4 broadcast
+    # hash equi-joins (bits) + one sort-merge equi-join (exact).
+    "c21_bloom_semijoin_reduction",
 }
 
 

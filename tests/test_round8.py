@@ -1089,3 +1089,49 @@ def test_c20_manifest_is_sole_pruning_authority(spark, tmp_path):
     months = {x["m"] for x in rows}
     assert months == {199602, 199605}  # Aug row dies in the residual
     compare(df, q.oracle, str(tmp_path))
+
+
+def test_c21_no_false_negatives_and_empty_build(spark, tmp_path):
+    """The bloom pre-filter may only ever OVER-admit: every row that
+    survives the exact join also survived the bloom (no false negatives,
+    the property that makes the reduction semantics-preserving). An empty
+    build side yields an empty result on both engines."""
+    from tests.oracle_utils import compare
+
+    days = [datetime.date(1996, 3, 1)] * 4
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "o_custkey": pa.array([1] * 4, pa.int64()),
+                "o_totalprice": pa.array([200000.0, 100.0, 300000.0, 100.0]),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "1-URGENT", "2-HIGH", "1-URGENT"], pa.string()
+                ),
+                "o_orderdate": pa.array(days),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # two EXACT-DUPLICATE rows for orderkey 1: the row-preserving
+                # oracle must count both (a grouped HAVING would collapse them)
+                "l_orderkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+                "l_returnflag": pa.array(["N"] * 5, pa.string()),
+                "l_extendedprice": pa.array([10.0] * 5, pa.float64()),
+                "l_discount": pa.array([0.0] * 5, pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    q = QUERIES["c21_bloom_semijoin_reduction"]
+    df = q.spark(spark, str(tmp_path))
+    rows = df.collect()
+    # build = order 1 only (urgent + >=150k); lineitems for order 1 = the
+    # two duplicate rows, both must survive bloom AND the exact join
+    assert rows[0]["n_lineitems"] == 2
+    assert rows[0]["n_build_keys"] == 1
+    assert rows[0]["probe_rows_after_bloom"] >= rows[0]["n_lineitems"]
+    compare(df, q.oracle, str(tmp_path))
