@@ -7954,70 +7954,103 @@ def c20_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# c21 — bloom semi-join reduction (round 8): the runtime-filter / semi-join
-# reduction every distributed optimizer applies to a selective shuffle
-# join (Spark's own runtime bloomFilter rewrite, Trino's dynamic filters):
-# build a Bloom filter over the SELECTIVE build side's join keys, prune
-# the probe side MAP-SIDE before the exchange, then run the exact join —
-# false positives are removed by the join itself (bloom has no false
-# negatives), so the result is byte-identical to the unfiltered plan while
-# the shuffle moves ~14% of the probe rows. The explicit form matters at
-# 100 TB precisely when the build side is too big to broadcast: the bits
-# table stays bounded by m = 2^16 POSITIONS regardless of build-side row
-# count (a partial-agg distinct), so it broadcasts where the build side
-# cannot; the exact join is forced to sort-merge (hint) to model that
-# regime. The pruning audit (probe rows before/after, build keys) is part
-# of the oracle-checked output — d11's md5 position hashes make the
-# filter itself engine-portable, false positives included.
+# c21 — hash-filter semi-join reduction (round 8): the runtime-filter /
+# semi-join reduction every distributed optimizer applies to a selective
+# shuffle join (Spark's own runtime bloomFilter rewrite, Trino's dynamic
+# filters): hash the SELECTIVE build side's join keys into a bounded
+# position table, prune the probe side MAP-SIDE with one broadcast semi
+# join before the exchange, then run the exact join — the filter has no
+# false negatives, so the result is byte-identical to the unfiltered plan
+# while the shuffle moves a fraction of the probe rows. The explicit form
+# matters at 100 TB precisely when the build side is too big to
+# broadcast AS KEYS: the position table is capped at min(n, m) INTEGER
+# positions (m data-sized by the same rule production filters use), where
+# the raw keys are unbounded-width strings.
+#
+# Why k=1 (a hashed-bitmap filter) and not a k>1 Bloom, and why conv():
+# every alternative physical form was tried and measured before this one.
+# Shipping packed bits as a LITERAL (Spark's own BloomFilterMightContain
+# design) fails at DataFrame level: a 16k-long array literal
+# re-materializes its ArrayData per evaluation (GCLocker churn, then OOM
+# in the audit agg), a binary literal blows janino outright
+# (InternalCompilerException on the 131 KB constant), and a hex-string
+# literal pays O(index) per lookup because UTF8String.substring counts
+# codepoints from the start. Probing k positions through k chained
+# broadcast joins planned as clean BHJs but, combined with the d11-style
+# ascii-arithmetic hash chains, re-evaluated the hash trees across every
+# stage boundary (projection collapse) — three such forms measured
+# 296-511 s per pass at 100× against ~25 s of actual hash work. The form
+# that survives: ONE position per key (hash % m) via Spark's conv() on
+# an md5 hex prefix (a single expression node, trivially codegen'd;
+# DuckDB twins it as a '0x' || hex cast), ONE broadcast left-semi join,
+# and m sized to the build side. The FP cost of k=1 is priced by the
+# m-sizing rule (~n/m, ~10% at the 100× build side), is VISIBLE in the
+# oracle-checked audit columns, and the exact join removes it. Measured
+# at 100×: 60M probe rows -> 14.6M after the filter (24%: 14% true + 10%
+# FP), whole plan 19.3 s best-of-2 on an idle local[32] (6.4x per 100x
+# data).
 # --------------------------------------------------------------------------
 _C21_PRED_SQL = "o_orderpriority = '1-URGENT' AND o_totalprice >= 150000"
+_C21_HEX_CHARS = 6  # raw hash range 16^6 = 2^24; positions are hash % m
+_C21_M_SMALL = 1 << 20
+_C21_M_LARGE = 1 << 24
+_C21_SIZE_THRESHOLD = 100_000  # build keys above this -> the large filter
+
+
+def _c21_m(n_build_keys: int) -> int:
+    """Size the filter to its build side (what every production runtime
+    filter does — Spark sizes by ndv estimate): at k=1 the false-positive
+    rate is ~n/m, so m must grow with the build side or the filter
+    silently degrades to a no-op. The position table stays <= min(n, m)
+    int rows either way."""
+    return _C21_M_SMALL if n_build_keys <= _C21_SIZE_THRESHOLD else _C21_M_LARGE
+
+
+def _c21_hash(col: Column) -> Column:
+    """24-bit hash of a key: first 6 hex chars of md5(key || '#b0'),
+    parsed as hex via ONE conv() call. NOT the d11 _hexval ascii chain:
+    that form generates ~6 nested substring/ascii/CASE trees whose
+    whole-stage compilation measured 15-35 s PER UNIQUE STAGE here (the
+    fact-table probe embeds the hash in several distinct stages, so a
+    single invocation paid minutes of janino time; d11/t35 never noticed
+    because their hash lives in one stable stage per session). DuckDB has
+    no conv(), but parses '0x' || hex casts — the oracle twin."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit("#b0"))), 1, _C21_HEX_CHARS), 16, 10
+    ).cast("bigint")
 
 
 def _c21_oracle() -> str:
-    def pos_expr(j: int) -> str:
-        h = f"md5(k || '#b{j}')"
+    def hash_expr() -> str:
+        return (
+            f"CAST(('0x' || substr(md5(k || '#b0'), 1, {_C21_HEX_CHARS}))"
+            " AS BIGINT)"
+        )
 
-        def hexval(i: int) -> str:
-            a = f"ascii(substr({h}, {i}, 1))"
-            return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
-
-        pos = "0"
-        for i in range(1, 5):
-            pos = f"({pos} * 16 + {hexval(i)})"
-        return pos
-
-    build_pos = "md5(k || '#b' || CAST(j AS VARCHAR))"
-
-    def bhexval(i: int) -> str:
-        a = f"ascii(substr({build_pos}, {i}, 1))"
-        return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
-
-    bpos = "0"
-    for i in range(1, 5):
-        bpos = f"({bpos} * 16 + {bhexval(i)})"
-
-    # membership as 4 row-preserving IN subqueries (NOT an explode +
-    # GROUP BY ALL: lineitem rows can be exact duplicates across every
-    # projected column, and a grouped HAVING would collapse them while
-    # Spark's filter keeps each row)
-    member = " AND ".join(
-        f"({pos_expr(j)}) IN (SELECT pos FROM bits)" for j in range(4)
-    )
+    # dynamic m via the msel scalar subquery — the oracle applies the same
+    # build-count sizing rule as the Spark side; membership is a
+    # row-preserving IN subquery (NOT an explode + grouped HAVING:
+    # lineitem rows can be exact duplicates that a GROUP BY would collapse
+    # while Spark's filter keeps each row)
+    pos = f"(({hash_expr()}) % (SELECT m FROM msel))"
 
     return f"""
     WITH build AS (
       SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k FROM orders
       WHERE {_C21_PRED_SQL}
+    ), msel AS (
+      SELECT CASE WHEN COUNT(*) <= {_C21_SIZE_THRESHOLD} THEN {_C21_M_SMALL}
+                  ELSE {_C21_M_LARGE} END AS m
+      FROM build
     ), bits AS (
-      SELECT DISTINCT {bpos} AS pos
-      FROM build, generate_series(0, 3) g(j)
+      SELECT DISTINCT {pos} AS pos FROM build
     ), probe AS (
       SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount,
              CAST(l_orderkey AS VARCHAR) AS k
       FROM lineitem
     ), passed AS (
       SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount
-      FROM probe WHERE {member}
+      FROM probe WHERE {pos} IN (SELECT pos FROM bits)
     ), audit AS (
       SELECT (SELECT COUNT(*) FROM probe) AS probe_rows_total,
              (SELECT COUNT(*) FROM passed) AS probe_rows_after_bloom,
@@ -8040,55 +8073,57 @@ def _c21_oracle() -> str:
 @register(
     "c21_bloom_semijoin_reduction",
     _c21_oracle(),
-    "runtime-filter semi-join reduction: Bloom bits over the selective "
-    "build side's keys prune the probe map-side before the shuffle join "
-    "(bits bounded by m=2^16 even when the build side cannot broadcast); "
+    "runtime-filter semi-join reduction: a data-sized hash filter over "
+    "the selective build side's keys prunes the probe map-side with one "
+    "broadcast semi join before the shuffle join (position table bounded "
+    "by min(n, m) ints even when the build keys cannot broadcast); the "
     "exact sort-merge join removes the false positives; before/after "
     "pruning audit in the output",
 )
 def c21_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_data_engineering_spark.operators.dedup import _BLOOM_K, _bloom_pos
-
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     build = orders.filter(F.expr(_C21_PRED_SQL))
     bkeys = build.select(F.col("o_orderkey").cast("string").alias("k")).distinct()
-    # bounded bits table: <= 4 distinct positions per key, <= 2^16 overall —
-    # a partial-agg distinct that broadcasts at ANY build-side size
-    bits = None
-    for j in range(_BLOOM_K):
-        b = bkeys.select(_bloom_pos(F.col("k"), j).alias("pos"))
-        bits = b if bits is None else bits.unionByName(b)
-    bits = bits.distinct()
+    # ONE eager job up front: the build-key count sizes m (what Spark's
+    # runtime filter does from its ndv estimate). Everything else stays a
+    # single LAZY plan — an earlier draft eagerly localCheckpoint'd the
+    # hashed build keys, and the fresh per-call RDD ids in the checkpoint
+    # scan defeated the codegen cache on EVERY call (~50 s of repeated
+    # janino compiles of the md5 stages per invocation; the md5+hexval
+    # chain is expensive to compile, ~15 s per unique stage)
+    n_build = bkeys.count()
+    m = _c21_m(n_build)
+    bits = bkeys.select((_c21_hash(F.col("k")) % m).alias("pos")).distinct()
+
     probe = li.withColumn("k", F.col("l_orderkey").cast("string"))
     marked = probe.select(
         "l_orderkey",
         "l_returnflag",
         "l_extendedprice",
         "l_discount",
-        *[_bloom_pos(F.col("k"), j).alias(f"p{j}") for j in range(_BLOOM_K)],
+        (_c21_hash(F.col("k")) % m).alias("pos"),
     )
-    for j in range(_BLOOM_K):
-        marked = marked.join(
-            F.broadcast(bits.select(F.col("pos").alias(f"h{j}"))),
-            marked[f"p{j}"] == F.col(f"h{j}"),
-            "left",
-        )
-    passed_pred = F.expr(
-        " AND ".join(f"h{j} IS NOT NULL" for j in range(_BLOOM_K))
-    )
-    passed = marked.filter(passed_pred).select(
+    # ONE broadcast left-semi join = the map-side prune; rows only drop
+    # (bits is distinct), the stage stays whole-stage codegen'd
+    passed = marked.join(F.broadcast(bits), "pos", "left_semi").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
-    audit = marked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("probe_rows_total"),
-        F.sum(passed_pred.cast("int")).cast("bigint").alias("probe_rows_after_bloom"),
-    ).crossJoin(
-        bkeys.agg(F.count(F.lit(1)).cast("bigint").alias("n_build_keys"))
+    # probe_rows_total comes from a bare count-star over the probe table
+    # (Parquet metadata count, no hashing) so the audit adds only ONE
+    # extra evaluation of the hashed probe (the after-filter count)
+    audit = (
+        li.agg(F.count(F.lit(1)).cast("bigint").alias("probe_rows_total"))
+        .crossJoin(
+            passed.agg(
+                F.count(F.lit(1)).cast("bigint").alias("probe_rows_after_bloom")
+            )
+        )
+        .withColumn("n_build_keys", F.lit(n_build).cast("bigint"))
     )
     # exact join forced to sort-merge: this is the regime the reduction
-    # exists for (build side too big to broadcast); bloom false positives
-    # die here, so the grouped result is bloom-independent
+    # exists for (build side too big to broadcast); filter false
+    # positives die here, so the grouped result is filter-independent
     joined = passed.join(
         build.select("o_orderkey").hint("merge"),
         passed["l_orderkey"] == F.col("o_orderkey"),
