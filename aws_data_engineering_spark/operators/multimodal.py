@@ -3310,3 +3310,146 @@ def mulaw_roundtrip_audit(df: DataFrame, id_col: str, data_col: str) -> DataFram
 
     src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
     return src.mapInPandas(features, MULAW_AUDIT_DDL)
+
+
+# ---------------------------------------------------------------------------
+# WebVTT subtitle parsing + cue-alignment audit (round 8)
+# ---------------------------------------------------------------------------
+
+def _vtt_worker_fns():
+    """WebVTT encode/parse closures (pickled by value — see
+    _fimg_worker_fns). The generator and parser share the millisecond
+    integer domain so the round trip is exact."""
+
+    def fmt_ts(ms: int) -> str:
+        h, rem = divmod(ms, 3_600_000)
+        m, rem = divmod(rem, 60_000)
+        s, milli = divmod(rem, 1000)
+        return f"{h:02d}:{m:02d}:{s:02d}.{milli:03d}"
+
+    def encode_vtt(cues) -> str:
+        """cues: list of (start_ms, end_ms, payload) → a REAL WebVTT doc."""
+        parts = ["WEBVTT", ""]
+        for i, (a, b, text) in enumerate(cues):
+            parts.append(str(i + 1))
+            parts.append(f"{fmt_ts(a)} --> {fmt_ts(b)}")
+            parts.append(text)
+            parts.append("")
+        return "\n".join(parts)
+
+    def parse_ts(t: str) -> int:
+        hh, mm, rest = t.split(":")
+        ss, milli = rest.split(".")
+        return ((int(hh) * 60 + int(mm)) * 60 + int(ss)) * 1000 + int(milli)
+
+    def parse_vtt(doc: str):
+        """→ list of (start_ms, end_ms, payload). ValueError on a stream
+        that is not WebVTT (the PNG codec's error contract)."""
+        lines = doc.split("\n")
+        if not lines or not lines[0].startswith("WEBVTT"):
+            raise ValueError("not a WebVTT stream")
+        cues, i = [], 1
+        while i < len(lines):
+            if " --> " not in lines[i]:
+                i += 1
+                continue
+            a, b = lines[i].split(" --> ")
+            payload = []
+            i += 1
+            while i < len(lines) and lines[i] != "":
+                payload.append(lines[i])
+                i += 1
+            cues.append((parse_ts(a.strip()), parse_ts(b.strip()),
+                         "\n".join(payload)))
+        return cues
+
+    return encode_vtt, parse_vtt
+
+
+def synthesize_webvtt(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL WebVTT subtitle files keyed by id: 4 + id%8 cues
+    whose starts jitter by ((id+c)%5)*600 + (c%2)*800 ms against a 2 s cadence and
+    whose durations run 1500..2499 ms — producing all three
+    consecutive-pair regimes (clean, overlapping-but-in-order, and
+    out-of-order), exactly the defects the alignment audit exists to
+    count. Requires id >= 0 (the m12/m19 non-negative-%
+    contract)."""
+    encode_vtt, _ = _vtt_worker_fns()
+
+    def gen(batches):
+        import pandas as pd_w
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                cues = []
+                for c in range(4 + i % 8):
+                    start = c * 2000 + ((i + c) % 5) * 600 + (c % 2) * 800
+                    end = start + 1500 + ((i * 3 + c * 7) % 1000)
+                    text = f"cue{c} doc{i}" + " la" * ((i + c) % 4)
+                    cues.append((start, end, text))
+                ids.append(i)
+                blobs.append(encode_vtt(cues).encode("utf-8"))
+            yield pd_w.DataFrame({"id": ids, "data": blobs, "mime": "text/vtt"})
+
+    src = df.select(F.col(id_col).alias("id"))
+    return src.mapInPandas(gen, "id bigint, data binary, mime string")
+
+
+VTT_AUDIT_DDL = (
+    "id bigint, n_cues int, n_overlap_pairs int, n_out_of_order int, "
+    "speech_ms bigint, union_ms bigint, payload_chars bigint"
+)
+
+
+def vtt_cue_alignment_audit(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """REAL WebVTT parse + cue-alignment audit — the pre-flight every
+    subtitle-aligned speech corpus runs before cutting audio at cue
+    boundaries: per file, the cue census, consecutive-cue overlaps and
+    out-of-order starts (both break naive cutters), the raw speech
+    milliseconds (sum of cue lengths) and the MERGED-interval union
+    (what a cutter can actually extract — overlap inflates the former,
+    never the latter). All integer millisecond arithmetic inside one
+    Arrow map stage; the oracle replays the closed-form generator through
+    a SQL gaps-and-islands."""
+    _, parse_vtt = _vtt_worker_fns()
+
+    def audit(batches):
+        import pandas as pd_w
+
+        cols = ("id", "n_cues", "n_overlap_pairs", "n_out_of_order",
+                "speech_ms", "union_ms", "payload_chars")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for i, data in zip(pdf["id"], pdf["data"]):
+                cues = parse_vtt(bytes(data).decode("utf-8"))
+                n = len(cues)
+                overlaps = sum(
+                    1 for a, b in zip(cues, cues[1:]) if b[0] < a[1]
+                )
+                ooo = sum(1 for a, b in zip(cues, cues[1:]) if b[0] < a[0])
+                speech = sum(b - a for a, b, _ in cues)
+                chars = sum(len(t) for _, _, t in cues)
+                union = 0
+                cur_s = cur_e = None
+                for a, b in sorted((c[0], c[1]) for c in cues):
+                    if cur_e is None or a > cur_e:
+                        if cur_e is not None:
+                            union += cur_e - cur_s
+                        cur_s, cur_e = a, b
+                    else:
+                        cur_e = max(cur_e, b)
+                if cur_e is not None:
+                    union += cur_e - cur_s
+                out["id"].append(int(i))
+                out["n_cues"].append(n)
+                out["n_overlap_pairs"].append(overlaps)
+                out["n_out_of_order"].append(ooo)
+                out["speech_ms"].append(speech)
+                out["union_ms"].append(union)
+                out["payload_chars"].append(chars)
+            yield pd_w.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
+    return src.mapInPandas(audit, VTT_AUDIT_DDL)

@@ -8146,3 +8146,80 @@ def c21_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_rows_total", "probe_rows_after_bloom", "n_build_keys",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# m24 — REAL WebVTT parse + cue-alignment audit (round 8): the subtitle
+# pre-flight every subtitle-aligned speech corpus (the dominant source of
+# paired audio/text at scale) runs before cutting audio at cue
+# boundaries. Genuine WebVTT documents are synthesized (jittered starts,
+# overlapping and out-of-order cues — the defects in real-world subs),
+# re-parsed by a real parser, and audited per file: overlaps and
+# out-of-order starts break naive cutters; raw speech-ms vs the
+# merged-interval union quantifies how much audio a cutter can actually
+# extract. Integer-ms arithmetic inside one Arrow map stage; the oracle
+# replays the closed-form generator through a SQL gaps-and-islands
+# interval merge.
+# --------------------------------------------------------------------------
+@register(
+    "m24_vtt_cue_alignment",
+    """
+    WITH a AS (
+      SELECT doc_id AS id, CAST(4 + doc_id % 8 AS INT) AS n
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+    ), cues AS (
+      SELECT id, c,
+             c * 2000 + ((id + c) % 5) * 600 + (c % 2) * 800 AS s,
+             c * 2000 + ((id + c) % 5) * 600 + (c % 2) * 800
+               + 1500 + ((id * 3 + c * 7) % 1000) AS e,
+             LENGTH('cue' || c || ' doc' || id
+                    || repeat(' la', CAST((id + c) % 4 AS INT))) AS chars
+      FROM (SELECT id, UNNEST(generate_series(0, n - 1)) AS c FROM a)
+    ), seq AS (
+      SELECT id, s, e,
+             LEAD(s) OVER (PARTITION BY id ORDER BY c) AS next_s
+      FROM cues
+    ), isl AS (
+      SELECT id, s, e,
+             CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                  THEN 1 ELSE 0 END AS brk
+      FROM cues
+      WINDOW w AS (PARTITION BY id ORDER BY s, e, c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), grp AS (
+      SELECT id, s, e,
+             SUM(brk) OVER (PARTITION BY id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS g
+      FROM isl
+    ), un AS (
+      SELECT id, SUM(mx - mn) AS union_ms
+      FROM (SELECT id, g, MAX(e) AS mx, MIN(s) AS mn FROM grp GROUP BY id, g)
+      GROUP BY id
+    )
+    SELECT a.id,
+           a.n AS n_cues,
+           CAST((SELECT COUNT(*) FROM seq
+                 WHERE seq.id = a.id AND seq.next_s < seq.e) AS INT)
+             AS n_overlap_pairs,
+           CAST((SELECT COUNT(*) FROM seq
+                 WHERE seq.id = a.id AND seq.next_s < seq.s) AS INT)
+             AS n_out_of_order,
+           (SELECT CAST(SUM(e - s) AS BIGINT) FROM cues WHERE cues.id = a.id)
+             AS speech_ms,
+           CAST(un.union_ms AS BIGINT) AS union_ms,
+           (SELECT CAST(SUM(chars) AS BIGINT) FROM cues WHERE cues.id = a.id)
+             AS payload_chars
+    FROM a JOIN un ON un.id = a.id
+    """,
+    "REAL WebVTT parse + cue-alignment audit: overlap/out-of-order cue "
+    "census, raw speech-ms vs merged-interval union per subtitle file — "
+    "the pre-flight before cutting audio at cue boundaries; oracle = "
+    "closed-form generator replay + SQL gaps-and-islands",
+)
+def m24_vtt_cue_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
+    )
+    subs = MM.synthesize_webvtt(docs, "doc_id")
+    return MM.vtt_cue_alignment_audit(subs, "id", "data")

@@ -1135,3 +1135,44 @@ def test_c21_no_false_negatives_and_empty_build(spark, tmp_path):
     assert rows[0]["n_build_keys"] == 1
     assert rows[0]["probe_rows_after_bloom"] >= rows[0]["n_lineitems"]
     compare(df, q.oracle, str(tmp_path))
+
+
+def test_m24_vtt_parser_roundtrip_and_defect_counts():
+    """The WebVTT encoder/parser round-trips arbitrary integer-ms cues
+    (including hour-scale timestamps), rejects non-VTT streams, and the
+    audit arithmetic separates overlapping-but-in-order from
+    out-of-order pairs while the interval union merges touching cues."""
+    import pytest as _pytest
+
+    from aws_data_engineering_spark.operators.multimodal import _vtt_worker_fns
+
+    encode_vtt, parse_vtt = _vtt_worker_fns()
+    cues = [
+        (0, 1500, "hello"),
+        (1000, 2000, "overlap in order"),      # starts inside cue 1
+        (500, 900, "out of order"),            # starts before cue 2
+        (2000, 3000, "touching"),              # == prev end -> merged
+        (3_725_999, 7_326_123, "hour scale"),
+    ]
+    doc = encode_vtt(cues)
+    assert doc.startswith("WEBVTT")
+    assert "01:02:05.999 --> 02:02:06.123" in doc
+    assert parse_vtt(doc) == cues
+    with _pytest.raises(ValueError):
+        parse_vtt("1\n00:00:00.000 --> 00:00:01.000\nno header\n")
+    # replicate the audit arithmetic on the known cues
+    overlaps = sum(1 for a, b in zip(cues, cues[1:]) if b[0] < a[1])
+    ooo = sum(1 for a, b in zip(cues, cues[1:]) if b[0] < a[0])
+    assert overlaps == 2 and ooo == 1
+    union = 0
+    cur_s = cur_e = None
+    for a, b in sorted((c[0], c[1]) for c in cues):
+        if cur_e is None or a > cur_e:
+            if cur_e is not None:
+                union += cur_e - cur_s
+            cur_s, cur_e = a, b
+        else:
+            cur_e = max(cur_e, b)
+    union += cur_e - cur_s
+    # [0,3000) merged (touching 2000 joins) = 3000, + hour-scale cue
+    assert union == 3000 + (7_326_123 - 3_725_999)
