@@ -1176,3 +1176,17 @@ def test_m24_vtt_parser_roundtrip_and_defect_counts():
     union += cur_e - cur_s
     # [0,3000) merged (touching 2000 joins) = 3000, + hour-scale cue
     assert union == 3000 + (7_326_123 - 3_725_999)
+
+
+def test_c21_plan_shape(spark, sf_dir):
+    """c21's physical plan must keep the shape the operator exists to
+    demonstrate: the filter applied as a broadcast LEFT SEMI hash join
+    (never a nested loop) and the exact join as a SORT-MERGE join (the
+    build-cannot-broadcast regime the merge hint models)."""
+    q = QUERIES["c21_bloom_semijoin_reduction"]
+    plan = q.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" in plan
+    # the only nested-loop joins allowed are the two 1-row audit
+    # crossJoins; a third would mean a data join decayed
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
