@@ -7924,33 +7924,53 @@ def c20_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # reader: derive the transform range from the ROW predicate (the
     # hidden-partitioning contract: the user only ever states the date
-    # range), prune via the manifest, read surviving files by path
-    lo = int(_C20_FROM[:4]) * 100 + int(_C20_FROM[5:7])
-    hi = int(_C20_TO[:4]) * 100 + int(_C20_TO[5:7])
-    with open(f"{root}/manifest.json") as fh:
-        entries = json.load(fh)
-    scanned = [e["path"] for e in entries if lo <= e["m"] <= hi]
-    pruned_read = spark.read.parquet(*scanned)
-    rows_scanned = pruned_read.count()
-    return (
-        pruned_read.filter(
-            F.col("o_orderdate").between(F.lit(_C20_FROM), F.lit(_C20_TO))
+    # range), prune via the manifest, read surviving files by path.
+    # The scratch layout is removed in `finally` — the tiny result is
+    # eagerly localCheckpoint'ed first so the returned plan no longer
+    # references the deleted files (ADVICE r08: repeated runs leaked
+    # an orders-sized copy under /tmp per invocation).
+    try:
+        lo = int(_C20_FROM[:4]) * 100 + int(_C20_FROM[5:7])
+        hi = int(_C20_TO[:4]) * 100 + int(_C20_TO[5:7])
+        with open(f"{root}/manifest.json") as fh:
+            entries = json.load(fh)
+        scanned = [e["path"] for e in entries if lo <= e["m"] <= hi]
+        out_schema = (
+            "m int, n_orders bigint, revenue_cents bigint, "
+            "n_files_total int, n_files_scanned int, rows_scanned bigint"
         )
-        .groupBy(
-            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
-            .cast("int")
-            .alias("m")
+        if not scanned:
+            # manifest pruned every file: the oracle returns zero groups,
+            # so return an empty frame with the output schema instead of
+            # letting spark.read.parquet() raise on an empty path list
+            return spark.createDataFrame([], out_schema)
+        pruned_read = spark.read.parquet(*scanned)
+        rows_scanned = pruned_read.count()
+        result = (
+            pruned_read.filter(
+                F.col("o_orderdate").between(F.lit(_C20_FROM), F.lit(_C20_TO))
+            )
+            .groupBy(
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+                .cast("int")
+                .alias("m")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+            .withColumn("n_files_total", F.lit(len(entries)).cast("int"))
+            .withColumn("n_files_scanned", F.lit(len(scanned)).cast("int"))
+            .withColumn("rows_scanned", F.lit(rows_scanned).cast("bigint"))
         )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("revenue_cents"),
-        )
-        .withColumn("n_files_total", F.lit(len(entries)).cast("int"))
-        .withColumn("n_files_scanned", F.lit(len(scanned)).cast("int"))
-        .withColumn("rows_scanned", F.lit(rows_scanned).cast("bigint"))
-    )
+        # eager: materializes the (<=#months)-row result into block storage
+        return result.localCheckpoint(eager=True)
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -8180,15 +8200,17 @@ def c21_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAD(s) OVER (PARTITION BY id ORDER BY c) AS next_s
       FROM cues
     ), isl AS (
-      SELECT id, s, e,
+      SELECT id, s, e, c,
              CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
                   THEN 1 ELSE 0 END AS brk
       FROM cues
       WINDOW w AS (PARTITION BY id ORDER BY s, e, c
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ), grp AS (
+      -- ORDER BY must include c so both windows agree on tie order even if
+      -- two cues ever shared identical (s, e) (ADVICE r08)
       SELECT id, s, e,
-             SUM(brk) OVER (PARTITION BY id ORDER BY s, e
+             SUM(brk) OVER (PARTITION BY id ORDER BY s, e, c
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS g
       FROM isl

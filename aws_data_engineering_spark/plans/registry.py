@@ -106,6 +106,11 @@ _FORM_CHANGED: dict[str, int] = {
     # Round-8 changes: st17 retuned state-exchange (Arrow batch size /
     # shuffle partitions) per VERDICT r07 #3 — plan changed, re-earn.
     "st17_stream_stateful_sessions": 8,
+    # Round-9 changes (ADVICE r08): c20 plan now localCheckpoints the tiny
+    # result and removes its /tmp scratch layout (plus an empty-prune
+    # guard); m24's oracle grp window gained the tie-breaking c column.
+    "c20_hidden_partition_pruning": 9,
+    "m24_vtt_cue_alignment": 9,
 }
 
 

@@ -300,7 +300,27 @@ def main() -> None:
                 "calibration_sec": calibration["spark_range_agg_sec"],
                 "calibration": calibration,
             }
-        )
+        ),
+        flush=True,
+    )
+    # Truncation-proof headline (VERDICT r08 #3): the driver captures only
+    # the TAIL of bench output, and the long per-query line above can lose
+    # its head (BENCH_r08 lost headline_queries_total_sec + 18 timings). A
+    # second SHORT totals line printed LAST guarantees the tail always
+    # carries the headline even when the long line is truncated.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
+                "calibration_sec": calibration["spark_range_agg_sec"],
+                "calibration": calibration,
+            }
+        ),
+        flush=True,
     )
     spark.stop()
 

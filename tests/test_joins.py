@@ -89,25 +89,33 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
     Exchange operators — the write-once/join-free-forever contract."""
     from aws_data_engineering_spark.sources.writers import write_bucketed_table
 
-    # warehouse.dir is a static conf — tables land in ./spark-warehouse and
-    # are dropped (managed) at the end
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
+    # warehouse.dir is a static conf — tables land in ./spark-warehouse.
+    # Hermeticity (VERDICT r08 #2): a FIXED table name is not safe against a
+    # dirty warehouse — an interrupted prior run can leave an orphaned
+    # LOCATION that `DROP TABLE IF EXISTS` (fresh metastore, no such table)
+    # cannot remove, failing saveAsTable with LOCATION_ALREADY_EXISTS. Use a
+    # per-run unique suffix (the c03/c09 pattern) and drop in finally.
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    li_tbl, ord_tbl = f"li_b_{suffix}", f"ord_b_{suffix}"
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    write_bucketed_table(li, "li_b", ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"])
-    write_bucketed_table(orders, "ord_b", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+    try:
+        write_bucketed_table(li, li_tbl, ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"])
+        write_bucketed_table(orders, ord_tbl, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
 
-    joined = (
-        spark.table("li_b")
-        .hint("merge")  # force SMJ so the broadcast path can't hide exchanges
-        .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
-    )
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan
-    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
-    # and it returns the same rows as the plain join
-    plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
-    assert joined.count() == plain
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
+        joined = (
+            spark.table(li_tbl)
+            .hint("merge")  # force SMJ so the broadcast path can't hide exchanges
+            .join(spark.table(ord_tbl), F.col("l_orderkey") == F.col("o_orderkey"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it returns the same rows as the plain join
+        plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert joined.count() == plain
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {ord_tbl}")

@@ -1136,6 +1136,38 @@ def test_c21_no_false_negatives_and_empty_build(spark, tmp_path):
     assert rows[0]["probe_rows_after_bloom"] >= rows[0]["n_lineitems"]
     compare(df, q.oracle, str(tmp_path))
 
+    # empty-build variant (ADVICE r08): no order satisfies the build
+    # predicate -> the position table is empty, the semi join drops every
+    # probe row, and both engines return zero rows
+    empty_dir = tmp_path / "empty_build"
+    empty_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([1, 1], pa.int64()),
+                "o_totalprice": pa.array([100.0, 200.0]),  # all below 150k
+                "o_orderpriority": pa.array(["2-HIGH", "3-MEDIUM"], pa.string()),
+                "o_orderdate": pa.array([datetime.date(1996, 3, 1)] * 2),
+            }
+        ),
+        str(empty_dir / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2], pa.int64()),
+                "l_returnflag": pa.array(["N"] * 2, pa.string()),
+                "l_extendedprice": pa.array([10.0] * 2, pa.float64()),
+                "l_discount": pa.array([0.0] * 2, pa.float64()),
+            }
+        ),
+        str(empty_dir / "lineitem.parquet"),
+    )
+    df_empty = q.spark(spark, str(empty_dir))
+    assert df_empty.count() == 0
+    compare(df_empty, q.oracle, str(empty_dir))
+
 
 def test_m24_vtt_parser_roundtrip_and_defect_counts():
     """The WebVTT encoder/parser round-trips arbitrary integer-ms cues
