@@ -1036,38 +1036,19 @@ def _pq_dist_fns(codebook):
     return subdists
 
 
-def ivfpq_topk(
-    queries: DataFrame,
-    candidates: DataFrame,
+def _ivfpq_kernels(
     centroids: list[list[float]],
     codebook: list[list[list[float]]],
-    k: int = 5,
-    n_probe: int = 4,
-    query_id: str = "vec_id",
-    cand_id: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVFPQ top-k (faiss ``IVFx,PQy`` with ``by_residual=False``): coarse
-    quantizer prunes WHICH candidates are scored (probed inverted lists
-    only), PQ-ADC decides HOW each survivor is scored (integer LUT
-    gathers over 8-byte codes). The two indexes this composes —
-    :func:`ivf_fixed_topk`'s max-cosine assignment and :func:`pq_topk`'s
-    nano-unit ADC — are each bit-exact against their oracles, so the
-    composition is too.
-
-    Plan shape: one Arrow pass over candidates emits (id, list_id, codes)
-    — the full-precision vector dies at the scan, M bytes of code per
-    vector afterwards; queries expand to ``n_probe`` (id, vec, list) rows;
-    scoring is ``groupBy(list_id).applyInPandas`` — an equi-join on list
-    id, never a cross product, with each group building its queries' LUTs
-    locally (8x16 doubles per query — nothing broadcast, nothing
-    driver-side). At 100 TB this is the faiss billion-scale recipe
-    verbatim: prune lists, scan codes.
-    """
+    n_probe: int,
+):
+    """Shared worker kernels for the IVFPQ family (pickled BY VALUE —
+    everything they touch is built inside this factory): assign+encode
+    (candidates -> (id, list_id, codes)), probe (queries -> n_probe
+    (id, vec, list) rows), score (per-list LUT gather over codes)."""
     cents_list = [[float(x) for x in c] for c in centroids]
     cb = [[[float(x) for x in row] for row in sub] for sub in codebook]
     m_sub = len(cb)
-    np_probe, kk = int(n_probe), int(k)
+    np_probe = int(n_probe)
     seq_cos = _seq_cosine_fns()
     pq_dists = _pq_dist_fns(cb)
 
@@ -1149,8 +1130,24 @@ def ivfpq_topk(
             }
         )
 
+    return assign_encode_kernel, probe_kernel, score_group
+
+
+def ivfpq_encode(
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ENCODE stage of the IVFPQ index: one Arrow pass over candidates
+    emits ``(id, list_id, codes)`` — coarse max-cosine list assignment +
+    PQ code per subspace. The full-precision vector dies here; what the
+    index persists is M bytes of code per vector. This is the table a
+    vector store writes once and appends daily batches to (s16)."""
+    assign_encode_kernel, _, _ = _ivfpq_kernels(centroids, codebook, n_probe=1)
     spark = candidates.sparkSession
-    c = (
+    return (
         candidates.select(
             F.col(cand_id).alias("id"), _as_double(F.col(vec_col)).alias("v")
         )
@@ -1159,15 +1156,36 @@ def ivfpq_topk(
             assign_encode_kernel, "id bigint, list_id int, codes array<int>"
         )
     )
+
+
+def ivfpq_search_encoded(
+    queries: DataFrame,
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SEARCH stage of the IVFPQ index over an already-encoded
+    ``(id, list_id, codes)`` table (e.g. read back from the persisted
+    inverted lists): queries expand to ``n_probe`` (id, vec, list) rows;
+    scoring is ``groupBy(list_id).applyInPandas`` — an equi-join on list
+    id, never a cross product, with each group building its queries' LUTs
+    locally (8x16 doubles per query — nothing broadcast, nothing
+    driver-side)."""
+    _, probe_kernel, score_group = _ivfpq_kernels(centroids, codebook, n_probe)
+    kk = int(k)
     q = queries.select(
         F.col(query_id).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).mapInPandas(probe_kernel, "id bigint, v array<double>, list_id int")
     tagged = q.withColumn("side", F.lit("q")).withColumn(
         "codes", F.lit(None).cast("array<int>")
     ).unionByName(
-        c.withColumn("side", F.lit("c")).withColumn(
-            "v", F.lit(None).cast("array<double>")
-        )
+        encoded.select("id", "list_id", "codes")
+        .withColumn("side", F.lit("c"))
+        .withColumn("v", F.lit(None).cast("array<double>"))
     )
     scored = tagged.groupBy("list_id").applyInPandas(
         score_group, "query_id bigint, neighbor_id bigint, adc_dist bigint"
@@ -1179,6 +1197,47 @@ def ivfpq_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= kk)
         .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ top-k (faiss ``IVFx,PQy`` with ``by_residual=False``): coarse
+    quantizer prunes WHICH candidates are scored (probed inverted lists
+    only), PQ-ADC decides HOW each survivor is scored (integer LUT
+    gathers over 8-byte codes). The two indexes this composes —
+    :func:`ivf_fixed_topk`'s max-cosine assignment and :func:`pq_topk`'s
+    nano-unit ADC — are each bit-exact against their oracles, so the
+    composition is too.
+
+    Round 9 factored the stages into :func:`ivfpq_encode` and
+    :func:`ivfpq_search_encoded` (identical kernels — the composition
+    here is the same plan as before); s16 persists the encode output as
+    a partitioned inverted-list table and appends daily batches to it.
+    At 100 TB this is the faiss billion-scale recipe verbatim: prune
+    lists, scan codes.
+    """
+    encoded = ivfpq_encode(
+        candidates, centroids, codebook, cand_id=cand_id, vec_col=vec_col
+    )
+    return ivfpq_search_encoded(
+        queries,
+        encoded,
+        centroids,
+        codebook,
+        k=k,
+        n_probe=n_probe,
+        query_id=query_id,
+        vec_col=vec_col,
     )
 
 

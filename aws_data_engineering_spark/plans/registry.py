@@ -57,8 +57,19 @@ def _load_all() -> None:
     from aws_data_engineering_spark.plans import extra_queries  # noqa: F401
 
     # breadth_queries registers after extra_queries for the same reason:
-    # its (round-3 second-batch) additions sort at the very tail.
-    from aws_data_engineering_spark.plans import breadth_queries  # noqa: F401
+    # its (round-3 second-batch) additions sort at the very tail. Round 9
+    # split it into family modules (VERDICT r08 #7) — mechanical move, no
+    # semantic change; registration order only breaks ties between queries
+    # whose latest driver evidence is the same round.
+    from aws_data_engineering_spark.plans import (  # noqa: F401
+        breadth_queries,
+        codec_queries,
+        graphdedup_queries,
+        lakehouse_queries,
+        quality_audit_queries,
+        retrieval_queries,
+        textstats_queries,
+    )
 
 
 # --- Driver-sample ordering: stalest evidence first -------------------------

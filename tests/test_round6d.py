@@ -570,7 +570,7 @@ def test_d18_oracle_planes_match_fixture(spark, sf_dir):
     ever regenerated at a size where the rule yields a different p, this
     fails loudly instead of the queries hash-diverging."""
     from aws_data_engineering_spark.operators import similarity as SIM
-    from aws_data_engineering_spark.plans import breadth_queries as B
+    from aws_data_engineering_spark.plans import graphdedup_queries as B
 
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert n == B._D18_ORACLE_N_EMB
