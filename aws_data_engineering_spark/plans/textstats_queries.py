@@ -1532,9 +1532,13 @@ _T38_TOP_MULTI = 40
 
 def _t38_oracle() -> str:
     maxw, maxp, topm = _T38_MAX_WORD, _T38_MAX_PIECE, _T38_TOP_MULTI
-    lower = "translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')".replace(
-        "x",
-        "unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+'))",
+    tok = (
+        "unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || "
+        "chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0b\\f\\r]+'))"
+    )
+    lower = (
+        f"translate({tok}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        " 'abcdefghijklmnopqrstuvwxyz')"
     )
     parts = [
         f"""words AS MATERIALIZED (

@@ -111,3 +111,74 @@ def test_s16_scratch_cleanup(spark, sf_dir):
     QUERIES["s16_incremental_index_append"].spark(spark, sf_dir).collect()
     leaked = set(glob.glob(pat)) - before
     assert not leaked, f"s16 leaked scratch dirs: {leaked}"
+
+
+def test_t38_viterbi_matches_bruteforce():
+    """The integer DP returns the same segmentation as brute-force
+    enumeration over ALL segmentations under the registered tie rule
+    (min total cost; on ties, lexicographically smallest split-point
+    sequence read right-to-left — the smallest-j backtrack)."""
+    from itertools import combinations
+
+    from aws_data_engineering_spark.plans.textstats_queries import (
+        _t38_seg_kernel,
+    )
+    import pandas as pd
+
+    costs = {"a": 5, "b": 7, "c": 9, "ab": 11, "bc": 10, "abc": 30, "abca": 14}
+
+    def brute(w):
+        best = None
+        n = len(w)
+        for r in range(n):
+            for cuts in combinations(range(1, n), r):
+                bounds = [0, *cuts, n]
+                pieces = [w[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)]
+                if any(len(p) > 4 or p not in costs for p in pieces):
+                    continue
+                tot = sum(costs[p] for p in pieces)
+                # DP tie rule: prefer the smaller j at every backtrack
+                # step == prefer the lexicographically SMALLEST reversed
+                # bounds sequence
+                key = (tot, tuple(reversed(bounds)))
+                if best is None or key < best[0]:
+                    best = (key, pieces)
+        return best[1]
+
+    kernel = _t38_seg_kernel(costs, 4)
+    for w in ["abc", "abca", "abcabca", "aabbcc", "cab"]:
+        [out] = list(kernel(iter([pd.DataFrame({"w": [w], "wfreq": [1]})])))
+        got = list(reversed(list(out["piece"])))  # backtrack emits reversed
+        assert got == brute(w), f"{w}: DP={got} brute={brute(w)}"
+        assert "".join(got) == w
+
+
+def test_t38_char_mass_conservation(spark, sf_dir):
+    """Every censused word is fully segmented in both EM iterations: the
+    piece-length-weighted usage totals equal the census's total chars."""
+    from aws_data_engineering_spark.plans.registry import QUERIES as Q
+    from aws_data_engineering_spark.operators import text as T
+    from aws_data_engineering_spark.plans.textstats_queries import _T38_MAX_WORD
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    rows = Q["t38_unigram_lm_em"].spark(spark, sf_dir).collect()
+    assert rows, "empty vocab"
+    total1 = sum(r["uses1"] * len(r["piece"]) for r in rows)
+    total2 = sum(r["uses2"] * len(r["piece"]) for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(T.ascii_trim(F.col("text")), r"\s+")).alias("raw")
+        )
+        .select(T.ascii_lower(F.col("raw")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= _T38_MAX_WORD))
+    )
+    n_chars = words.agg(F.sum(F.length("w"))).collect()[0][0]
+    assert total1 == n_chars and total2 == n_chars
+    # coverage seed: every single char is in the vocab, so uses can never
+    # leak outside it
+    singles = {r["piece"] for r in rows if len(r["piece"]) == 1}
+    corpus_chars = {
+        c for (w,) in words.distinct().collect() for c in w
+    }
+    assert corpus_chars <= singles
