@@ -49,3 +49,29 @@ def ensure_protobuf() -> bool:
         return True
     except Exception:
         return False
+
+
+def export_protobuf_to_workers(spark) -> bool:
+    """Make the vendored protobuf reachable from Python workers of an
+    ALREADY-RUNNING SparkSession (round 9, VERDICT r08 #8).
+
+    The boundary this crosses: the driver harness builds its JVM before
+    importing this package, so ``ensure_protobuf``'s ``os.environ``
+    PYTHONPATH export never reaches the JVM (workers inherit the JVM's
+    env snapshot). But PySpark ships ``sc.environment`` as per-function
+    ``envVars`` with every Python UDF/worker launch, and the JVM's
+    ``PythonWorkerFactory`` keys its worker pools on ``(pythonExec,
+    envVars)`` — so mutating ``sc.environment["PYTHONPATH"]`` on the live
+    session spawns FRESH worker daemons that see the shim. Probed round
+    9: ``transformWithStateInPandas``'s state-server worker honors it
+    (round 8's ``addPyFile`` probe failed because the state server boots
+    before pyfile roots are installed). The value is written once and
+    kept stable so repeated calls reuse the same worker pool."""
+    if not ensure_protobuf():
+        return False
+    shim = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pb_vendor")
+    env = spark.sparkContext.environment
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if shim not in parts:
+        env["PYTHONPATH"] = os.pathsep.join([shim] + parts)
+    return True

