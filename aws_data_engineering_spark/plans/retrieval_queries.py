@@ -1610,10 +1610,16 @@ def s16_incremental_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"{tempfile.gettempdir()}/s16_{uuid.uuid4().hex}"
     try:
         # day 0: build + persist the inverted lists (partitioned by
-        # list_id — each coarse list is a directory, the invlists layout)
+        # list_id — each coarse list is a directory, the invlists layout).
+        # repartition(list_id) routes each list wholly into one shuffle
+        # partition -> exactly ONE file per list per commit (the c20
+        # layout trick) instead of n_input_partitions x n_lists tiny
+        # files — at 100 TB the file count stays O(lists x commits), and
+        # the sf0.1 read-back floor drops with it
         (
             SIM.ivfpq_encode(index_side, _S16_CENTROIDS, cb)
             .withColumn("commit", F.lit(0))
+            .repartition(F.col("list_id"))
             .write.partitionBy("list_id")
             .parquet(root)
         )
@@ -1622,6 +1628,7 @@ def s16_incremental_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             SIM.ivfpq_encode(batch, _S16_CENTROIDS, cb)
             .withColumn("commit", F.lit(1))
+            .repartition(F.col("list_id"))
             .write.mode("append")
             .partitionBy("list_id")
             .parquet(root)

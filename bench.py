@@ -185,6 +185,16 @@ HEADLINE = [
     # (the c04/c18/c19 precedent).
     "s15_projection_tree_topk",
     "t37_ccnet_surprisal_buckets",
+    # round-9: the incremental index-append (persisted inverted-list write
+    # + batch encode + probe over the cold read-back — the vector-store
+    # ingestion twin of d21) and the unigram-LM Viterbi-EM trainer (word
+    # census + two integer-DP segmentation passes — the tokenizer-training
+    # family's second member beside t29). st18 is deliberately NOT
+    # benched: its cost is the transformWithState state-server floor
+    # already characterized by st17's SCALING_r08 analysis (st17/c04/g01
+    # precedent); it is correctness-gated instead.
+    "s16_incremental_index_append",
+    "t38_unigram_lm_em",
 ]
 
 
