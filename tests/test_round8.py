@@ -64,6 +64,10 @@ _SWEEP_QUERIES = [
     "d01_exact_dedup_groups", "d03_fingerprint_dedup",
     "d05_ngram_jaccard_pairs", "d06_simhash",
     "d12_duplicate_shingle_fraction",
+    # round 9: the unigram-LM EM trainer is a token-identity query (fold +
+    # tokenize + substring DP on all three engines) — exactly this sweep's
+    # class; words over the 8-char cap drop identically on both engines
+    "t38_unigram_lm_em",
 ]
 
 
