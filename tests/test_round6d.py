@@ -557,6 +557,9 @@ def test_event_time_queries_null_ts_parity(spark, tmp_path):
         "q97_ordered_funnel", "d02_latest_event_per_user",
         "dq04_partition_volume_anomaly", "dq13_mad_outliers",
         "dq15_chi2_independence", "dq17_profile_drift_audit",
+        # round-9 sweep extension: the round-8/9 event-time consumers
+        "q102_retention_cohorts", "q103_time_weighted_value",
+        "st18_stream_transform_with_state",
     ]
     for name in names:
         q = QUERIES[name]

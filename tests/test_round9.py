@@ -222,3 +222,37 @@ def test_export_protobuf_reaches_live_session_workers(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_c20_empty_prune_returns_empty(spark, tmp_path):
+    """ADVICE r08: when the manifest prunes EVERY file (no orders in the
+    transform range), the reader must return an empty frame with the
+    output schema instead of raising on an empty path list — matching
+    the oracle's zero groups."""
+    import datetime as dtm
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_utils import compare
+
+    days = [dtm.date(1994, 1, 5), dtm.date(1999, 12, 31)]  # all outside range
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([1, 1], pa.int64()),
+                "o_totalprice": pa.array([100.5, 10.25], pa.float64()),
+                "o_orderdate": pa.array(days),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    q = QUERIES["c20_hidden_partition_pruning"]
+    df = q.spark(spark, str(tmp_path))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "m", "n_orders", "revenue_cents",
+        "n_files_total", "n_files_scanned", "rows_scanned",
+    ]
+    compare(df, q.oracle, str(tmp_path))
