@@ -799,3 +799,65 @@ def test_star_components_close_chains_minlabel_refuses(spark):
     assert got == {i: 0 for i in range(61)}
     with _pytest.raises(RuntimeError, match="connected_components_star"):
         D.connected_components(df, max_iter=10)
+
+
+# ---------------------------------------------------------------------------
+# t38 Viterbi DP vs exhaustive enumeration (round 9): for arbitrary words
+# and arbitrary integer cost tables, the kernel's segmentation must be the
+# global optimum under the registered tie rule (min cost, then smallest
+# split point j at every backtrack step).
+# ---------------------------------------------------------------------------
+@settings(deadline=None, max_examples=200)
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_t38_dp_is_globally_optimal(word, seed):
+    from itertools import combinations
+
+    import pandas as pd
+
+    from aws_data_engineering_spark.plans.textstats_queries import (
+        _t38_seg_kernel,
+    )
+
+    # deterministic pseudo-random integer costs for every substring of
+    # length <= 4 over the alphabet; singles always present (coverage)
+    rng = seed
+    costs = {}
+    for L in range(1, 5):
+        for i in range(len(word) - L + 1):
+            p = word[i : i + L]
+            if p not in costs:
+                rng = (rng * 6364136223846793005 + 1442695040888963407) % 2**63
+                costs[p] = rng % 1_000_000
+    # drop ~half the multi-char pieces to exercise not-in-vocab paths
+    for p in sorted(costs):
+        if len(p) > 1 and (hash_stable(p, seed) % 2 == 0):
+            del costs[p]
+
+    kernel = _t38_seg_kernel(costs, 4)
+    [out] = list(kernel(iter([pd.DataFrame({"w": [word], "wfreq": [1]})])))
+    got = list(reversed(list(out["piece"])))
+
+    best = None
+    n = len(word)
+    for r in range(n):
+        for cuts in combinations(range(1, n), r):
+            bounds = [0, *cuts, n]
+            pieces = [word[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)]
+            if any(len(p) > 4 or p not in costs for p in pieces):
+                continue
+            key = (sum(costs[p] for p in pieces), tuple(reversed(bounds)))
+            if best is None or key < best[0]:
+                best = (key, pieces)
+    assert got == best[1], f"{word}: DP={got} brute={best[1]}"
+    assert "".join(got) == word
+
+
+def hash_stable(s: str, seed: int) -> int:
+    """Deterministic (non-PYTHONHASHSEED) string hash for test fixtures."""
+    h = seed & 0xFFFFFFFF
+    for ch in s:
+        h = (h * 1000003 ^ ord(ch)) & 0xFFFFFFFFFFFF
+    return h
