@@ -1547,7 +1547,12 @@ def s15_projection_tree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into the persisted inverted-list table — here a real parquet layout
 # partitioned by list_id, so appending a batch only adds files inside
 # existing list directories (the faiss add()/IndexIVF invlists contract,
-# reference: this engine's own s08 index, plans/extra_queries.py).
+# reference: this engine's own s08 index, plans/extra_queries.py). The
+# codebook is an INPUT here, exactly as in faiss add(): training happens
+# once, elsewhere (e21 is that stage — its 2-Lloyd-iteration training is
+# oracle-checked on its own); s16 proves the ingest leg never retrains —
+# the same fixed codebook the existing index was built with encodes the
+# batch, which is what makes appended codes comparable to indexed ones.
 #
 # The ORACLE IS THE IDENTITY append == rebuild: a probe over the
 # read-back (index ∪ appended) lists must hash-match a from-scratch
