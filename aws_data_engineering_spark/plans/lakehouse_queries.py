@@ -1217,3 +1217,113 @@ def c21_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_rows_total", "probe_rows_after_bloom", "n_build_keys",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# c22 — merge-on-read POSITIONAL DELETES (round 9): the deletion-vector
+# mechanism Delta (DVs) and Iceberg (positional delete files) use to
+# delete rows WITHOUT rewriting base files — the missing lakehouse leg
+# beside c18's snapshot commits (time travel) and c10's compaction.
+# DELETE WHERE <pred> runs as: one scan records the (file, row_index)
+# positions of matching rows into a delete file; base data files are
+# never touched (pytest pins their bytes); readers merge-on-read by
+# anti-joining the scan against the delete file on position.
+#
+# Spark-first form: the engine's own `_metadata.row_index` file-source
+# column IS the position — no custom reader. The oracle aggregates
+# `orders WHERE NOT pred` directly, so the hash proves the full chain:
+# positions recorded by scan 1 address exactly the same rows when scan 2
+# re-reads the files (row-index stability is THE property deletion
+# vectors depend on), and the anti-join drops precisely the predicate's
+# rows. A month whose rows are all deleted disappears identically on
+# both engines.
+#
+# Scale: the delete build is one scan + one write of positions only; the
+# MoR read is scan + ONE anti-join keyed on (file, row_index) — shuffle
+# or broadcast as AQE sizes it (a real DV reader applies a per-file
+# bitmap at scan time; the relational anti-join is the engine-portable
+# equivalent with the same O(|deletes|) state). Base files rewritten: 0.
+# --------------------------------------------------------------------------
+_C22_PRED_SQL = "o_orderpriority = '1-URGENT'"
+
+
+@register(
+    "c22_positional_delete_read",
+    f"""
+    WITH base AS (
+      SELECT *, (EXTRACT(year FROM o_orderdate) * 100
+                 + EXTRACT(month FROM o_orderdate)) AS m
+      FROM orders WHERE o_orderdate IS NOT NULL
+    ), aud AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_base_rows,
+             CAST(COUNT(*) FILTER ({_C22_PRED_SQL}) AS BIGINT) AS n_deleted
+      FROM base
+    )
+    SELECT CAST(m AS INT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           aud.n_base_rows, aud.n_deleted
+    FROM base CROSS JOIN aud
+    WHERE NOT ({_C22_PRED_SQL})
+    GROUP BY 1, 4, 5
+    """,
+    "merge-on-read positional deletes (Delta DV / Iceberg delete-file "
+    "mechanism): DELETE WHERE pred records (file, row_index) positions "
+    "into a delete file, base parquet untouched; the reader anti-joins "
+    "positions via Spark's _metadata.row_index — per-month aggregate "
+    "after deletes hash-matches the predicate-filtered oracle",
+)
+def c22_positional_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    pred = F.expr(_C22_PRED_SQL)
+    root = f"{tempfile.gettempdir()}/c22_{uuid.uuid4().hex}"
+    try:
+        orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+        m_col = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("m")
+        # one file per month (the c20/c16 layout), rows in a deterministic
+        # order — not required for correctness (positions are whatever the
+        # first scan sees and the second scan re-sees), just tidy
+        (
+            orders.withColumn("m", m_col)
+            .repartition(F.col("m"))
+            .sortWithinPartitions("m", "o_orderkey")
+            .write.partitionBy("m")
+            .parquet(f"{root}/data")
+        )
+
+        def scan():
+            return spark.read.parquet(f"{root}/data").select(
+                "o_orderkey",
+                "o_totalprice",
+                "o_orderpriority",
+                F.col("m").cast("int").alias("m"),
+                F.col("_metadata.file_path").alias("fp"),
+                F.col("_metadata.row_index").alias("ri"),
+            )
+
+        # DELETE WHERE pred: record positions only; data files untouched
+        scan().filter(pred).select("fp", "ri").write.parquet(f"{root}/deletes")
+
+        dv = spark.read.parquet(f"{root}/deletes")
+        live = scan().join(dv, ["fp", "ri"], "left_anti")
+        audit = scan().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_base_rows"),
+            F.sum(pred.cast("long")).cast("bigint").alias("n_deleted"),
+        )
+        result = (
+            live.groupBy("m")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+            .crossJoin(F.broadcast(audit))
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

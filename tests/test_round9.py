@@ -256,3 +256,91 @@ def test_c20_empty_prune_returns_empty(spark, tmp_path):
         "n_files_total", "n_files_scanned", "rows_scanned",
     ]
     compare(df, q.oracle, str(tmp_path))
+
+
+def test_c22_delete_build_leaves_base_files_untouched(spark, sf_dir, tmp_path):
+    """The deletion-vector contract: recording positions rewrites ZERO
+    base bytes — only the delete file is new; and the recorded positions
+    re-address exactly the predicate's rows on a second scan."""
+    from aws_data_engineering_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    data = str(tmp_path / "data")
+    (
+        orders.withColumn(
+            "m", F.year("o_orderdate") * 100 + F.month("o_orderdate")
+        )
+        .repartition(F.col("m"))
+        .write.partitionBy("m")
+        .parquet(data)
+    )
+
+    def snapshot():
+        out = {}
+        for dirpath, _, files in os.walk(data):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    scan = spark.read.parquet(data).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    pred = F.col("o_orderpriority") == "1-URGENT"
+    scan.filter(pred).select("fp", "ri").write.parquet(str(tmp_path / "dv"))
+    assert snapshot() == before, "delete build touched base files"
+
+    dv = spark.read.parquet(str(tmp_path / "dv"))
+    live_keys = {
+        r["o_orderkey"]
+        for r in scan.join(dv, ["fp", "ri"], "left_anti").collect()
+    }
+    want = {r["o_orderkey"] for r in orders.filter(~pred).collect()}
+    assert live_keys == want and dv.count() == orders.filter(pred).count()
+
+
+def test_c22_fully_deleted_month_disappears(spark, tmp_path):
+    """A month whose rows are ALL deleted must vanish from the aggregate
+    on both engines (no empty group, no NULL row)."""
+    import datetime as dtm
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_utils import compare
+
+    rows = [
+        # March 1996: every order urgent -> whole month deleted
+        (1, dtm.date(1996, 3, 1), "1-URGENT", 100.5),
+        (2, dtm.date(1996, 3, 9), "1-URGENT", 50.25),
+        # April survives partially
+        (3, dtm.date(1996, 4, 2), "1-URGENT", 10.0),
+        (4, dtm.date(1996, 4, 3), "3-MEDIUM", 20.0),
+        # May survives fully
+        (5, dtm.date(1996, 5, 4), "2-HIGH", 30.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([1] * len(rows), pa.int64()),
+                "o_orderdate": pa.array([r[1] for r in rows]),
+                "o_orderpriority": pa.array([r[2] for r in rows], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    q = QUERIES["c22_positional_delete_read"]
+    got = q.spark(spark, str(tmp_path))
+    months = {r["m"] for r in got.collect()}
+    assert months == {199604, 199605}
+    compare(got, q.oracle, str(tmp_path))
