@@ -70,6 +70,13 @@ def export_protobuf_to_workers(spark) -> bool:
     if not ensure_protobuf():
         return False
     shim = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pb_vendor")
+    if shim not in sys.path:
+        # a REAL protobuf satisfied ensure_protobuf(): workers inherit it
+        # from site-packages already, and prepending the shim would let
+        # its regular `google` package SHADOW the site-packages namespace
+        # package on every worker — only export when the shim is the
+        # active source (code-review round 9)
+        return True
     env = spark.sparkContext.environment
     parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
     if shim not in parts:

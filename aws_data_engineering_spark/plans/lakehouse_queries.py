@@ -948,39 +948,44 @@ def c20_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"{tempfile.gettempdir()}/c20_{uuid.uuid4().hex}"
     data_dir = f"{root}/data"
 
-    # ONE corpus write: repartition on the transform puts each month in
-    # exactly one shuffle partition -> exactly one data file per transform
-    # value; partitionBy only routes rows, the reader below never relies
-    # on the directory names
-    (
-        orders.withColumn("m", m_col)
-        .repartition(F.col("m"))
-        .write.partitionBy("m")
-        .parquet(data_dir)
-    )
-
-    # manifest: file path -> transform value (+ row count), the KB-sized
-    # per-commit metadata Iceberg keeps; built from the write's layout
-    # here, then treated as the ONLY source of truth by the reader
-    manifest = []
-    for d in os.listdir(data_dir):
-        if not d.startswith("m="):
-            continue
-        m_val = int(d.split("=", 1)[1])
-        for f in os.listdir(f"{data_dir}/{d}"):
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                manifest.append({"path": f"{data_dir}/{d}/{f}", "m": m_val})
-    with open(f"{root}/manifest.json", "w") as fh:
-        json.dump(manifest, fh)
-
-    # reader: derive the transform range from the ROW predicate (the
-    # hidden-partitioning contract: the user only ever states the date
-    # range), prune via the manifest, read surviving files by path.
-    # The scratch layout is removed in `finally` — the tiny result is
-    # eagerly localCheckpoint'ed first so the returned plan no longer
-    # references the deleted files (ADVICE r08: repeated runs leaked
-    # an orders-sized copy under /tmp per invocation).
+    # The whole scratch lifecycle sits inside try/finally — a failure
+    # DURING the corpus write or manifest build must also remove the
+    # layout (code-review round 9: the first fix left the write outside
+    # the try, leaking exactly the copy ADVICE r08 complained about).
     try:
+        # ONE corpus write: repartition on the transform puts each month in
+        # exactly one shuffle partition -> exactly one data file per
+        # transform value; partitionBy only routes rows, the reader below
+        # never relies on the directory names
+        (
+            orders.withColumn("m", m_col)
+            .repartition(F.col("m"))
+            .write.partitionBy("m")
+            .parquet(data_dir)
+        )
+
+        # manifest: file path -> transform value (+ row count), the
+        # KB-sized per-commit metadata Iceberg keeps; built from the
+        # write's layout here, then treated as the ONLY source of truth
+        # by the reader
+        manifest = []
+        for d in os.listdir(data_dir):
+            if not d.startswith("m="):
+                continue
+            m_val = int(d.split("=", 1)[1])
+            for f in os.listdir(f"{data_dir}/{d}"):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    manifest.append({"path": f"{data_dir}/{d}/{f}", "m": m_val})
+        with open(f"{root}/manifest.json", "w") as fh:
+            json.dump(manifest, fh)
+
+        # reader: derive the transform range from the ROW predicate (the
+        # hidden-partitioning contract: the user only ever states the date
+        # range), prune via the manifest, read surviving files by path.
+        # The scratch layout is removed in `finally` — the tiny result is
+        # eagerly localCheckpoint'ed first so the returned plan no longer
+        # references the deleted files (ADVICE r08: repeated runs leaked
+        # an orders-sized copy under /tmp per invocation).
         lo = int(_C20_FROM[:4]) * 100 + int(_C20_FROM[5:7])
         hi = int(_C20_TO[:4]) * 100 + int(_C20_TO[5:7])
         with open(f"{root}/manifest.json") as fh:
@@ -1308,7 +1313,10 @@ def c22_positional_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DELETE WHERE pred: record positions only; data files untouched
         scan().filter(pred).select("fp", "ri").write.parquet(f"{root}/deletes")
 
-        dv = spark.read.parquet(f"{root}/deletes")
+        # explicit schema: a predicate matching ZERO rows writes only
+        # _SUCCESS, and schema inference on the empty directory would
+        # raise where the oracle returns every month (code-review round 9)
+        dv = spark.read.schema("fp string, ri bigint").parquet(f"{root}/deletes")
         live = scan().join(dv, ["fp", "ri"], "left_anti")
         audit = scan().agg(
             F.count(F.lit(1)).cast("bigint").alias("n_base_rows"),

@@ -111,3 +111,42 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     d_sorted = _sorted_rows(d_cols, d_rows)
     for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
         assert a == b, f"row {i} differs:\n  spark : {a}\n  duckdb: {b}"
+
+
+def t38_brute_segment(word, costs, max_piece=4):
+    """Reference Viterbi for t38 tests: exhaustive enumeration over ALL
+    segmentations under the registered tie rule — min total cost, then the
+    lexicographically smallest reversed-bounds sequence (== smallest split
+    point j at every backtrack step). One shared copy so the tie rule can
+    never drift between test files."""
+    from itertools import combinations
+
+    best = None
+    n = len(word)
+    for r in range(n):
+        for cuts in combinations(range(1, n), r):
+            bounds = [0, *cuts, n]
+            pieces = [
+                word[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)
+            ]
+            if any(len(p) > max_piece or p not in costs for p in pieces):
+                continue
+            key = (sum(costs[p] for p in pieces), tuple(reversed(bounds)))
+            if best is None or key < best[0]:
+                best = (key, pieces)
+    return best[1] if best else None
+
+
+def snapshot_parquet_files(root):
+    """(path -> (size, mtime_ns)) for every parquet file under root —
+    the 'base files untouched' pin s16/c22 share."""
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+    return out

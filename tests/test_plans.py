@@ -572,17 +572,12 @@ def test_printed_test_counts_match_collection():
     import sys
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
-        cwd=root,
-        capture_output=True,
-        text=True,
-        timeout=300,
-        env={**os.environ, "PYTEST_DISABLE_PLUGIN_AUTOLOAD": ""},
-    ).stdout
-    m = re.search(r"(\d+) tests collected", out)
-    assert m, f"could not parse pytest collection output:\n{out[-2000:]}"
-    n_tests = int(m.group(1))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    import gen_query_map as G
+
+    # the SAME function that stamps the docs does the counting here, so
+    # both sides collect under identical env/flags by construction
+    n_tests = G.collected_test_count()
 
     readme = open(os.path.join(root, "README.md")).read()
     rm = re.search(r"(\d+) tests:", readme)

@@ -813,8 +813,6 @@ def test_star_components_close_chains_minlabel_refuses(spark):
     st.integers(min_value=0, max_value=2**31),
 )
 def test_t38_dp_is_globally_optimal(word, seed):
-    from itertools import combinations
-
     import pandas as pd
 
     from aws_data_engineering_spark.plans.textstats_queries import (
@@ -840,18 +838,10 @@ def test_t38_dp_is_globally_optimal(word, seed):
     [out] = list(kernel(iter([pd.DataFrame({"w": [word], "wfreq": [1]})])))
     got = list(reversed(list(out["piece"])))
 
-    best = None
-    n = len(word)
-    for r in range(n):
-        for cuts in combinations(range(1, n), r):
-            bounds = [0, *cuts, n]
-            pieces = [word[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)]
-            if any(len(p) > 4 or p not in costs for p in pieces):
-                continue
-            key = (sum(costs[p] for p in pieces), tuple(reversed(bounds)))
-            if best is None or key < best[0]:
-                best = (key, pieces)
-    assert got == best[1], f"{word}: DP={got} brute={best[1]}"
+    from tests.oracle_utils import t38_brute_segment
+
+    want = t38_brute_segment(word, costs, 4)
+    assert got == want, f"{word}: DP={got} brute={want}"
     assert "".join(got) == word
 
 

@@ -66,15 +66,10 @@ def test_s16_append_leaves_existing_files_untouched(spark, sf_dir, tmp_path):
         .parquet(root)
     )
 
+    from tests.oracle_utils import snapshot_parquet_files
+
     def snapshot():
-        out = {}
-        for dirpath, _, files in os.walk(root):
-            for f in files:
-                if f.endswith(".parquet"):
-                    p = os.path.join(dirpath, f)
-                    st = os.stat(p)
-                    out[p] = (st.st_size, st.st_mtime_ns)
-        return out
+        return snapshot_parquet_files(root)
 
     before = snapshot()
     assert before, "day-0 write produced no parquet files"
@@ -118,32 +113,17 @@ def test_t38_viterbi_matches_bruteforce():
     enumeration over ALL segmentations under the registered tie rule
     (min total cost; on ties, lexicographically smallest split-point
     sequence read right-to-left — the smallest-j backtrack)."""
-    from itertools import combinations
-
     from aws_data_engineering_spark.plans.textstats_queries import (
         _t38_seg_kernel,
     )
     import pandas as pd
 
+    from tests.oracle_utils import t38_brute_segment
+
     costs = {"a": 5, "b": 7, "c": 9, "ab": 11, "bc": 10, "abc": 30, "abca": 14}
 
     def brute(w):
-        best = None
-        n = len(w)
-        for r in range(n):
-            for cuts in combinations(range(1, n), r):
-                bounds = [0, *cuts, n]
-                pieces = [w[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)]
-                if any(len(p) > 4 or p not in costs for p in pieces):
-                    continue
-                tot = sum(costs[p] for p in pieces)
-                # DP tie rule: prefer the smaller j at every backtrack
-                # step == prefer the lexicographically SMALLEST reversed
-                # bounds sequence
-                key = (tot, tuple(reversed(bounds)))
-                if best is None or key < best[0]:
-                    best = (key, pieces)
-        return best[1]
+        return t38_brute_segment(w, costs, 4)
 
     kernel = _t38_seg_kernel(costs, 4)
     for w in ["abc", "abca", "abcabca", "aabbcc", "cab"]:
@@ -277,15 +257,10 @@ def test_c22_delete_build_leaves_base_files_untouched(spark, sf_dir, tmp_path):
         .parquet(data)
     )
 
+    from tests.oracle_utils import snapshot_parquet_files
+
     def snapshot():
-        out = {}
-        for dirpath, _, files in os.walk(data):
-            for f in files:
-                if f.endswith(".parquet"):
-                    p = os.path.join(dirpath, f)
-                    st = os.stat(p)
-                    out[p] = (st.st_size, st.st_mtime_ns)
-        return out
+        return snapshot_parquet_files(data)
 
     before = snapshot()
     scan = spark.read.parquet(data).select(
@@ -344,3 +319,36 @@ def test_c22_fully_deleted_month_disappears(spark, tmp_path):
     months = {r["m"] for r in got.collect()}
     assert months == {199604, 199605}
     compare(got, q.oracle, str(tmp_path))
+
+
+def test_c22_zero_matching_deletes(spark, tmp_path):
+    """A DELETE predicate matching no rows writes an empty delete file;
+    the reader must return the full table (not raise on schema inference
+    over the empty directory) and match the oracle."""
+    import datetime as dtm
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_utils import compare
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([1, 1], pa.int64()),
+                "o_orderdate": pa.array(
+                    [dtm.date(1996, 3, 1), dtm.date(1996, 4, 2)]
+                ),
+                "o_orderpriority": pa.array(["2-HIGH", "3-MEDIUM"], pa.string()),
+                "o_totalprice": pa.array([100.5, 50.25], pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    q = QUERIES["c22_positional_delete_read"]
+    df = q.spark(spark, str(tmp_path))
+    rows = df.collect()
+    assert {r["m"] for r in rows} == {199603, 199604}
+    assert all(r["n_deleted"] == 0 for r in rows)
+    compare(df, q.oracle, str(tmp_path))
