@@ -892,3 +892,67 @@ def d21_incremental_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     index = docs.filter(F.col("doc_id") % 10 != 0)
     return DD.minhash_probe_pairs(index, batch, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# d22 — URL-level exact dedup + registrable-host grouping (round 10,
+# VERDICT r09 #4): the shard-by-domain / URL-dedup stage every crawl
+# pipeline runs FIRST, before any content fingerprinting — the missing
+# sibling of d01/d03. Raw URLs (t40's deterministic composer) collapse
+# under canonicalization: the vocabulary residue moduli guarantee every
+# RAW url is distinct, so every canonical collision is produced by the
+# rules themselves (scheme-case fold, default-port/fragment strip, utm
+# removal, param sort) — exactly what the census must detect. Two-level
+# aggregation: (host, canon_url) cluster sizes, then a per-host census —
+# both partial-agg friendly; the host key is bounded (hosts ≪ pages at
+# any scale), and no string leaves the map stage except the grouped keys.
+# --------------------------------------------------------------------------
+def _d22_oracle() -> str:
+    from aws_data_engineering_spark.operators import web as W
+
+    return f"""
+    WITH u AS (
+      SELECT doc_id, {W.synth_url_sql()} AS url FROM documents
+    ), c AS (
+      SELECT doc_id, {W.canonicalize_url_sql('url')} AS canon_url FROM u
+    ), r AS (
+      SELECT doc_id, canon_url,
+             {W.registrable_host_sql('canon_url')} AS reg_host
+      FROM c
+    ), cl AS (
+      SELECT reg_host, canon_url, COUNT(*) AS sz FROM r GROUP BY 1, 2
+    )
+    SELECT reg_host,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(MAX(sz) AS BIGINT) AS max_cluster
+    FROM cl GROUP BY 1
+    """
+
+
+@register(
+    "d22_url_host_dedup_census",
+    _d22_oracle(),
+    "URL exact-dup census grouped by registrable host (the CCNet "
+    "shard-by-domain stage): canonical-URL cluster sizes -> per-host doc/"
+    "distinct-url/dup counts; every dup cluster is produced by the "
+    "canonicalization rules, which the hash therefore pins",
+)
+def d22_url_host_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.operators import web as W
+
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.select(
+        W.canonicalize_url(W.synth_url(F.col("doc_id"))).alias("canon_url")
+    ).withColumn("reg_host", W.registrable_host(F.col("canon_url")))
+    cl = r.groupBy("reg_host", "canon_url").agg(F.count(F.lit(1)).alias("sz"))
+    return cl.groupBy("reg_host").agg(
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.max("sz").cast("bigint").alias("max_cluster"),
+    )
