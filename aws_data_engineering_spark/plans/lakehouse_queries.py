@@ -1335,3 +1335,211 @@ def c22_positional_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# c23 — delete-vector COMPACTION (round 10, VERDICT r09 #5): the
+# maintenance half of c22's merge-on-read positional deletes — Iceberg's
+# rewrite_data_files / Delta's DV-compaction shape. When a base file's
+# deleted fraction exceeds a threshold, rewrite JUST that file applying
+# its positions (and retire its delete entries); under-threshold files
+# stay byte-untouched and keep their DV entries. Completes the
+# write→read→compact lifecycle.
+#
+# The per-month aggregate after compaction must equal c22's pure
+# merge-on-read answer (deletes fully applied either way); the AUDIT
+# columns pin the classification itself — how many files were rewritten
+# vs kept and how many delete entries remain live — which the oracle
+# recomputes closed-form from the predicate (per-month deleted fraction
+# vs the same ppm threshold, exact integer cross-multiplication on both
+# engines: no division, no rounding seam). tests/test_round10.py pins
+# the file-level mechanics: kept files' (mtime, size) snapshot unchanged,
+# rewritten month directories replaced, retired delete entries gone.
+#
+# Scale: the census is one metadata-light aggregate (per-file counts);
+# the only driver state is the over-threshold FILE LIST (bounded by file
+# count — the same planning-state scale Iceberg's rewrite action holds);
+# rewrite I/O is proportional to the over-threshold files only, never
+# the table. The predicate deletes ~50% in Jan/Feb (custkey%2) and ~25%
+# elsewhere (custkey%4), so the 40% threshold splits the layout.
+# --------------------------------------------------------------------------
+_C23_PRED_SQL = (
+    "(o_custkey % 4 = 0 OR (EXTRACT(month FROM o_orderdate) IN (1, 2) "
+    "AND o_custkey % 2 = 0))"
+)
+_C23_PRED_SPARK = (
+    "(o_custkey % 4 = 0 OR (month(o_orderdate) IN (1, 2) "
+    "AND o_custkey % 2 = 0))"
+)
+_C23_THRESH_PPM = 400_000  # rewrite when deleted_rows/file_rows > 40%
+
+
+def _c23_scan(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(f"{root}/data").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.col("m").cast("int").alias("m"),
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+
+
+def _c23_write_layout(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Day 0: month-partitioned base files (one per month) + the DELETE
+    WHERE pred recorded as (file, row_index) positions — c22's mechanism."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    m_col = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("m")
+    (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .withColumn("m", m_col)
+        .repartition(F.col("m"))
+        .sortWithinPartitions("m", "o_orderkey")
+        .write.partitionBy("m")
+        .parquet(f"{root}/data")
+    )
+    (
+        _c23_scan(spark, root)
+        .filter(F.expr(_C23_PRED_SPARK))
+        .select("fp", "ri")
+        .write.parquet(f"{root}/deletes")
+    )
+
+
+def _c23_compact(spark: SparkSession, root: str) -> dict:
+    """Rewrite over-threshold files applying their delete positions;
+    retire their delete entries into root/deletes2. Returns the audit
+    counts (bounded, file-count-sized driver state — Iceberg-planner
+    scale)."""
+    import os
+    import shutil
+
+    base = _c23_scan(spark, root)
+    dv = spark.read.schema("fp string, ri bigint").parquet(f"{root}/deletes")
+    stats = (
+        base.groupBy("fp", "m")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .join(dv.groupBy("fp").agg(F.count(F.lit(1)).alias("n_del")), "fp", "left")
+        .na.fill({"n_del": 0})
+    )
+    # exact integer cross-multiplication — no division, no rounding seam
+    over = stats.filter(
+        F.lit(1_000_000) * F.col("n_del") > F.lit(_C23_THRESH_PPM) * F.col("n_rows")
+    )
+    over_rows = over.select("fp", "m", "n_del").collect()  # file-list-sized
+    over_months = sorted({r["m"] for r in over_rows})
+    over_fps = [r["fp"] for r in over_rows]
+    n_rewritten = len(over_rows)
+    n_kept = stats.count() - n_rewritten
+
+    # retire rewritten files' delete entries FIRST (the retirement plan
+    # must not re-scan data files after the in-place rewrite replaces
+    # them — collected fps, not the lazy `over`, drive the anti-filter)
+    dv_kept = dv.filter(~F.col("fp").isin(over_fps)) if over_fps else dv
+    dv_kept.write.parquet(f"{root}/deletes2")
+    n_dv_remaining = int(
+        spark.read.schema("fp string, ri bigint")
+        .parquet(f"{root}/deletes2")
+        .count()
+    )
+
+    if over_months:
+        # rewrite ONLY the over-threshold months: live rows -> staging,
+        # then per-partition atomic-rename publish (the c18 pattern)
+        live = (
+            base.filter(F.col("m").isin(over_months))
+            .join(dv, ["fp", "ri"], "left_anti")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "m")
+        )
+        (
+            live.repartition(F.col("m"))
+            .sortWithinPartitions("m", "o_orderkey")
+            .write.partitionBy("m")
+            .parquet(f"{root}/rw")
+        )
+        for m in over_months:
+            src = f"{root}/rw/m={m}"
+            dst = f"{root}/data/m={m}"
+            shutil.rmtree(dst)
+            os.replace(src, dst)
+        shutil.rmtree(f"{root}/rw", ignore_errors=True)
+    return {
+        "n_rewritten_files": n_rewritten,
+        "n_kept_files": n_kept,
+        "n_dv_remaining": n_dv_remaining,
+    }
+
+
+def _c23_read(spark: SparkSession, root: str, audit: dict) -> DataFrame:
+    """Merge-on-read over the compacted layout: remaining DV entries only."""
+    dv2 = spark.read.schema("fp string, ri bigint").parquet(f"{root}/deletes2")
+    live = _c23_scan(spark, root).join(dv2, ["fp", "ri"], "left_anti")
+    return (
+        live.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .withColumn(
+            "n_rewritten_files", F.lit(audit["n_rewritten_files"]).cast("bigint")
+        )
+        .withColumn("n_kept_files", F.lit(audit["n_kept_files"]).cast("bigint"))
+        .withColumn(
+            "n_dv_remaining", F.lit(audit["n_dv_remaining"]).cast("bigint")
+        )
+    )
+
+
+@register(
+    "c23_delete_vector_compaction",
+    f"""
+    WITH base AS (
+      SELECT *, (EXTRACT(year FROM o_orderdate) * 100
+                 + EXTRACT(month FROM o_orderdate)) AS m
+      FROM orders WHERE o_orderdate IS NOT NULL
+    ), per_m AS (
+      SELECT m, COUNT(*) AS n_rows,
+             COUNT(*) FILTER ({_C23_PRED_SQL}) AS n_del
+      FROM base GROUP BY 1
+    ), cls AS (
+      SELECT m, 1000000 * n_del > {_C23_THRESH_PPM} * n_rows AS rewritten,
+             n_del
+      FROM per_m
+    ), aud AS (
+      SELECT CAST(COUNT(*) FILTER (rewritten) AS BIGINT) AS n_rewritten_files,
+             CAST(COUNT(*) FILTER (NOT rewritten) AS BIGINT) AS n_kept_files,
+             CAST(COALESCE(SUM(n_del) FILTER (NOT rewritten), 0) AS BIGINT)
+               AS n_dv_remaining
+      FROM cls
+    )
+    SELECT CAST(m AS INT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           aud.n_rewritten_files, aud.n_kept_files, aud.n_dv_remaining
+    FROM base CROSS JOIN aud
+    WHERE NOT ({_C23_PRED_SQL})
+    GROUP BY 1, 4, 5, 6
+    """,
+    "delete-vector compaction (Iceberg rewrite_data_files shape): files "
+    "whose deleted fraction exceeds 40% are rewritten applying their "
+    "positions and their delete entries retired; under-threshold files "
+    "stay byte-untouched with live DVs — post-compaction aggregate "
+    "hash-matches the predicate-filtered oracle, audit columns pin the "
+    "closed-form file classification",
+)
+def c23_delete_vector_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    root = f"{tempfile.gettempdir()}/c23_{uuid.uuid4().hex}"
+    try:
+        _c23_write_layout(spark, sf_dir, root)
+        audit = _c23_compact(spark, root)
+        return _c23_read(spark, root, audit).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

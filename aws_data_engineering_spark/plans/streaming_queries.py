@@ -743,3 +743,105 @@ def st18_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
         F.max("n_events").cast("bigint").alias("n_events"),
         F.max_by("total_cents", "n_events").cast("bigint").alias("total_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# st19 — STREAMING incremental ANN index ingest (round 10, VERDICT r09
+# #6): s16's batch append composed with the st08/st11 foreachBatch
+# pattern — embeddings arrive as a 3-file stream (maxFilesPerTrigger=1 →
+# three genuine micro-batches), each batch is encoded with the EXISTING
+# coarse quantizer + PQ codebook (no retrain — the faiss add() contract)
+# and appended into the list_id-partitioned inverted-list parquet; the
+# probe over the merged cold read-back must hash-match a from-scratch
+# IVFPQ over the full corpus (ivfpq_scores_cte_sql), i.e. STREAMING
+# ingest == rebuild IS the oracle, closing the loop batch-ingest (s16)
+# left open. Appends are batch_id-tagged and the reader dedups per id
+# (replay-safe at-least-once, the st11 pattern). Scale: each micro-batch
+# pays O(|batch|) encode + append; index files stay one-per-list-per-
+# commit; probe work is bounded by the probed lists — identical posture
+# to s16, now with streaming arrival.
+# --------------------------------------------------------------------------
+def _st19_oracle() -> str:
+    from aws_data_engineering_spark.operators import similarity as SIM
+
+    cte = SIM.ivfpq_scores_cte_sql(
+        SIM._hyperplanes(dim=64, n_planes=16, seed=7),  # = s16/s08's planes
+        m_sub=8,
+        k_codes=16,
+        subdim=8,
+        n_probe=4,
+        query_pred="vec_id < 10",
+    )
+    return f"""
+    WITH {cte},
+    topk AS (
+      SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC)
+                    AS rnk
+        FROM scores) WHERE rnk <= 5),
+    audit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed FROM embeddings)
+    SELECT t.query_id, t.neighbor_id, t.adc_dist, t.rnk, a.n_indexed
+    FROM topk t CROSS JOIN audit a
+    """
+
+
+@register(
+    "st19_stream_ann_ingest",
+    _st19_oracle(),
+    "streaming incremental ANN index ingest: embeddings stream in three "
+    "micro-batches, foreachBatch encodes each with the EXISTING codebook "
+    "and appends inverted-list partials (batch_id-tagged, replay-safe); "
+    "the probe over the merged read-back hash-matches a from-scratch "
+    "IVFPQ over the union corpus — streaming ingest == rebuild",
+)
+def st19_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_data_engineering_spark.operators import similarity as SIM
+    from aws_data_engineering_spark.sources.tables import load_table
+    from aws_data_engineering_spark.streaming import (
+        read_embeddings_stream,
+        read_ivfpq_index,
+        stamp_feed_mtimes,
+        stream_ivfpq_ingest_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM._hyperplanes(dim=64, n_planes=16, seed=7)
+    cb = SIM.pq_codebook(m_sub=8, k_codes=16, subdim=8)
+
+    base = os.path.join(tempfile.gettempdir(), "spark_st19", uuid.uuid4().hex[:8])
+    in_dir = os.path.join(base, "in")
+    # three vec_id-class feed files -> a genuinely multi-batch availableNow
+    # run (mtimes stamped: FileStreamSource has no tie-break on equal
+    # modification times); batch order is irrelevant to the final index —
+    # appends are commutative and the audit never reads commit ids
+    seen: set = set()
+    for b in range(3):
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        seen = stamp_feed_mtimes(in_dir, seen, b)
+
+    stream = read_embeddings_stream(spark, in_dir, max_files_per_trigger=1)
+    q = stream_ivfpq_ingest_sink(
+        stream,
+        os.path.join(base, "index"),
+        centroids,
+        cb,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+
+    encoded = read_ivfpq_index(spark, os.path.join(base, "index"))
+    counts = encoded.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_indexed")
+    )
+    probe = SIM.ivfpq_search_encoded(
+        emb.filter(F.col("vec_id") < 10), encoded, centroids, cb, k=5, n_probe=4
+    )
+    return probe.crossJoin(F.broadcast(counts))

@@ -1074,3 +1074,77 @@ def stamp_feed_mtimes(in_dir: str, seen: set, batch_idx: int) -> set:
     for f in sorted(now - seen):
         _os.utime(f, (t, t))
     return now
+
+
+EMB_DDL = "vec_id bigint, embedding array<float>, label int"
+
+
+def read_embeddings_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over a directory of embeddings parquet (explicit
+    schema). ``maxFilesPerTrigger`` bounds per-microbatch input — the
+    backpressure knob a 100 TB embedding landing zone needs."""
+    reader = spark.readStream.schema(EMB_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def stream_ivfpq_ingest_sink(
+    emb_stream: DataFrame,
+    index_dir: str,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    checkpoint_dir: str,
+):
+    """Streaming incremental ANN index ingest — the streaming twin of the
+    batch append (s16, plans/retrieval_queries.py): each micro-batch of
+    embeddings is encoded with the EXISTING coarse quantizer + PQ codebook
+    (never retrained — the faiss add() contract) and its (id, list_id,
+    codes) rows are appended into the list_id-partitioned inverted-list
+    parquet. ``repartition(list_id)`` before the partitioned write keeps
+    the layout at ONE file per list per commit (the s16 lesson: file count
+    stays O(lists x commits), not O(lists x input partitions x commits)).
+
+    Appends are batch_id-tagged; foreachBatch is at-least-once, so readers
+    collapse replays with a per-id dedup (:func:`read_ivfpq_index` — the
+    st11 replay-safety pattern).
+
+    Returns the started StreamingQuery (caller awaits)."""
+    from aws_data_engineering_spark.operators import similarity as SIM
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        enc = SIM.ivfpq_encode(batch_df, centroids, codebook).withColumn(
+            "commit", F.lit(batch_id)
+        )
+        (
+            enc.repartition(F.col("list_id"))
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(index_dir)
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ivfpq_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Cold read-back of the streamed inverted lists (partition column
+    recovered from directory names, cast explicitly). ``dropDuplicates``
+    on the vector id makes a replayed at-least-once batch idempotent: a
+    re-appended (id, commit) row is byte-identical, so any copy serves."""
+    return (
+        spark.read.parquet(index_dir)
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("list_id").cast("int").alias("list_id"),
+            "codes",
+            F.col("commit").cast("int").alias("commit"),
+        )
+        .dropDuplicates(["id"])
+    )
