@@ -2704,6 +2704,15 @@ def e07_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle equi-join on token — no driver-side LM, no second corpus scan.
 # Smoothed ratio stays in integer space ((c+1)*(N+V) products are exact
 # in float64) so both engines take ln() of bit-identical inputs.
+#
+# Round 10: the original ROUND(AVG(w), 3) final op hit the documented
+# .5-boundary class at sf0.1 (src7's true mean ≈ -0.0005; DuckDB's
+# parallel double sum lands on either side run-to-run). Rewritten to the
+# e21 exact-mean pattern: per-token log-ratios FLOOR-quantized to integer
+# MICRO-nats, integer-summed (order-free), per-doc mean by truncating
+# integer division (both engines truncate toward zero — verified), and
+# the per-source mean emitted as two deterministic IEEE divisions of
+# exact integers. No round anywhere near a boundary.
 # --------------------------------------------------------------------------
 @register(
     "t20_dsir_importance",
@@ -2724,15 +2733,17 @@ def e07_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rc LEFT JOIN tc USING (token)),
     doc_w AS (
       SELECT t2.doc_id, t2.source,
-             AVG(ln((voc.ct + 1) * (voc.nr + voc.vsz))
-               - ln((voc.cr + 1) * (voc.nt + voc.vsz))) AS w
+             SUM(CAST(FLOOR(CAST(1000000 AS DOUBLE) * (
+                   ln((voc.ct + 1) * (voc.nr + voc.vsz))
+                 - ln((voc.cr + 1) * (voc.nt + voc.vsz)))) AS BIGINT))
+               // COUNT(*) AS dm
       FROM t2 JOIN voc USING (token)
       GROUP BY t2.doc_id, t2.source)
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(w), 3) AS avg_logratio,
-           ROUND(MIN(w), 3) AS min_logratio,
-           ROUND(MAX(w), 3) AS max_logratio
+           CAST(SUM(dm) AS DOUBLE) / COUNT(*) / 1e6 AS avg_logratio,
+           CAST(MIN(dm) AS DOUBLE) / 1e6 AS min_logratio,
+           CAST(MAX(dm) AS DOUBLE) / 1e6 AS max_logratio
     FROM doc_w GROUP BY source
     """,
     "DSIR importance weights: smoothed target-vs-raw unigram LM log-ratio "
@@ -2767,17 +2778,27 @@ def t20_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = toks.join(voc, "token").select(
         "doc_id", "source",
-        (
-            F.log((F.col("ct") + 1) * (F.col("nr") + F.col("vsz")))
-            - F.log((F.col("cr") + 1) * (F.col("nt") + F.col("vsz")))
-        ).alias("lr"),
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.log((F.col("ct") + 1) * (F.col("nr") + F.col("vsz")))
+                - F.log((F.col("cr") + 1) * (F.col("nt") + F.col("vsz")))
+            )
+        ).cast("bigint").alias("lr_micro"),
     )
-    doc_w = scored.groupBy("doc_id", "source").agg(F.avg("lr").alias("w"))
+    # per-doc mean in micro-nats by truncating integer division (matches
+    # DuckDB //); integer sums are order-free, so no double ever crosses
+    # an aggregation
+    doc_w = scored.groupBy("doc_id", "source").agg(
+        F.expr("sum(lr_micro) div count(1)").alias("dm")
+    )
     return doc_w.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("w"), 3).alias("avg_logratio"),
-        F.round(F.min("w"), 3).alias("min_logratio"),
-        F.round(F.max("w"), 3).alias("max_logratio"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dm").cast("double") / F.count(F.lit(1)) / F.lit(1e6)).alias(
+            "avg_logratio"
+        ),
+        (F.min("dm").cast("double") / F.lit(1e6)).alias("min_logratio"),
+        (F.max("dm").cast("double") / F.lit(1e6)).alias("max_logratio"),
     )
 
 

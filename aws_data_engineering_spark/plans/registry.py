@@ -122,6 +122,13 @@ _FORM_CHANGED: dict[str, int] = {
     # guard); m24's oracle grp window gained the tie-breaking c column.
     "c20_hidden_partition_pruning": 9,
     "m24_vtt_cue_alignment": 9,
+    # Round-10 change: t20's ROUND(AVG(w), 3) final op hit the documented
+    # .5-boundary class at sf0.1 (found by the round-10 full sf0.1 drive:
+    # src7's true mean ≈ -0.0005, DuckDB's parallel sum lands on either
+    # side run-to-run). Rewritten to integer micro-nat quantization (the
+    # e21 exact-mean pattern) — values changed in the 4th decimal, form
+    # must re-earn evidence.
+    "t20_dsir_importance": 10,
 }
 
 

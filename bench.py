@@ -195,6 +195,14 @@ HEADLINE = [
     # precedent); it is correctness-gated instead.
     "s16_incremental_index_append",
     "t38_unigram_lm_em",
+    # round-10: the web-curation stages — HTML boilerplate extraction
+    # (regex map stage over generated pages, linear in bytes) and the
+    # host-level URL-dup census (canonicalize + two-level agg). c23 DV
+    # compaction and st19 streaming ingest are deliberately NOT benched:
+    # write-bound / state-server-floor demos (c04/c18/st18 precedent);
+    # both are correctness-gated and measured at 100x instead.
+    "t39_html_boilerplate_extract",
+    "d22_url_host_dedup_census",
 ]
 
 
@@ -241,13 +249,16 @@ def main() -> None:
         spark.catalog.clearCache()
         return elapsed
 
-    def best_of(fn) -> float:
+    def best_of_samples(fn) -> list[float]:
         # best-of-2 with a third sample if the two disagree >2x (the host
         # VM shows transient CPU-steal stalls that can hit back-to-back)
         times = [fn(), fn()]
         if max(times) > 2 * min(times):
             times.append(fn())
-        return round(min(times), 3)
+        return [round(t, 3) for t in times]
+
+    def best_of(fn) -> float:
+        return min(best_of_samples(fn))
 
     # --- host-speed calibration (VERDICT r07 #1) ---------------------------
     # Three CONSTANT-WORK probes timed before the headline loop, so
@@ -291,10 +302,14 @@ def main() -> None:
     }
 
     timings: dict[str, float] = {}
+    timings_raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         # best-of-2: the min of two runs reflects the plan's actual cost,
-        # not scheduler noise (third sample on >2x disagreement).
-        timings[name] = best_of(lambda: run_once(name))
+        # not scheduler noise (third sample on >2x disagreement). Raw
+        # samples ride along so round-over-round comparisons can see the
+        # per-query noise band instead of inferring it (VERDICT r09 #2).
+        timings_raw[name] = best_of_samples(lambda: run_once(name))
+        timings[name] = min(timings_raw[name])
 
     total = round(sum(timings.values()), 3)
     print(
@@ -304,6 +319,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_raw_samples": timings_raw,
                 "sf": sf,
                 # host-speed normalizer: cross-round ratios should compare
                 # (value / calibration_sec), not raw values
