@@ -1543,3 +1543,167 @@ def c23_delete_vector_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _c23_read(spark, root, audit).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# c24 — WARC-style crawl-container ingestion (round 10): the missing
+# SOURCE format of the web-pipeline story (t39 extraction, t40/d22 URL
+# stages): crawl corpora arrive as WARC files — multi-record containers
+# with per-record headers and LENGTH-PREFIXED payloads. The writer
+# composes real records (version line, WARC-Record-ID, WARC-Target-URI
+# from t40's URL composer, Content-Length, blank line, payload) grouped
+# into one container file per doc_id%8 class; the reader ingests them via
+# binaryFile + an Arrow map-stage parser that walks each container
+# BYTE-DRIVEN — headers to the blank line, then exactly Content-Length
+# payload bytes — so payload content can never confuse record framing
+# (the property real WARC readers depend on; a marker-split parser would
+# break on a payload containing 'WARC/1.0').
+#
+# The per-record output (doc_id, target URI, payload byte length, payload
+# md5, records-in-my-file) is oracle-checked closed-form from documents +
+# the shared URL composer, so the hash pins header round-tripping, exact
+# length-driven slicing, AND the one-container-per-class layout (a split
+# container would shrink file_records and fail the hash).
+#
+# Scale: the FILE is the unit of parallelism — exactly the production
+# WARC contract (gzip members are non-splittable; crawlers shard into
+# ~1 GB containers). Parse cost is linear in container bytes, zero
+# shuffle until the downstream consumer aggregates.
+# --------------------------------------------------------------------------
+_C24_FILES = 8
+
+
+def _c24_parser_fn():
+    """Factory: the parser closure carries everything by value (cloudpickle
+    ships it whole — the mapInPandas import-path rule)."""
+
+    def parse(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "target_uri": [],
+                "content_length": [],
+                "payload_fp": [],
+                "file_records": [],
+            }
+            for content in pdf["content"]:
+                data = bytes(content)
+                pos = 0
+                recs = []
+                while pos < len(data):
+                    hdr_end = data.index(b"\n\n", pos)
+                    lines = data[pos:hdr_end].decode("utf-8").split("\n")
+                    if lines[0] != "WARC/1.0":
+                        raise ValueError(f"bad record header: {lines[0]!r}")
+                    fields = dict(ln.split(": ", 1) for ln in lines[1:])
+                    clen = int(fields["Content-Length"])
+                    payload = data[hdr_end + 2 : hdr_end + 2 + clen]
+                    if len(payload) != clen:
+                        raise ValueError("truncated payload")
+                    pos = hdr_end + 2 + clen
+                    if data[pos : pos + 1] != b"\n":
+                        raise ValueError("missing record terminator")
+                    pos += 1
+                    recs.append(
+                        (
+                            int(fields["WARC-Record-ID"].rsplit(":", 1)[1]),
+                            fields["WARC-Target-URI"],
+                            clen,
+                            hashlib.md5(payload).hexdigest()[:8],
+                        )
+                    )
+                for d, u, c, f in recs:
+                    out["doc_id"].append(d)
+                    out["target_uri"].append(u)
+                    out["content_length"].append(c)
+                    out["payload_fp"].append(f)
+                    out["file_records"].append(len(recs))
+            yield pd.DataFrame(out)
+
+    return parse
+
+
+def _c24_oracle() -> str:
+    from aws_data_engineering_spark.operators import web as W
+
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+             regexp_replace(text, '[\\r\\n]', '', 'g') AS payload,
+             {W.synth_url_sql()} AS uri,
+             doc_id % {_C24_FILES} AS fid
+      FROM documents
+    ), pf AS (
+      SELECT fid, CAST(COUNT(*) AS INT) AS file_records FROM u GROUP BY 1
+    )
+    SELECT u.doc_id, u.uri AS target_uri,
+           CAST(strlen(payload) AS BIGINT) AS content_length,
+           substr(md5(payload), 1, 8) AS payload_fp,
+           pf.file_records
+    FROM u JOIN pf USING (fid)
+    """
+
+
+@register(
+    "c24_warc_container_ingest",
+    _c24_oracle(),
+    "WARC-style crawl-container round-trip: length-prefixed multi-record "
+    "container files written one per doc class, ingested via binaryFile + "
+    "a byte-driven Arrow parser (headers to the blank line, then exactly "
+    "Content-Length payload bytes — framing immune to payload content); "
+    "per-record census oracle-checked closed-form, container layout "
+    "pinned by the records-per-file column",
+)
+def c24_warc_container_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from aws_data_engineering_spark.operators import web as W
+
+    docs = _t(spark, sf_dir, "documents")
+    # CR/LF guard (the t22 bracket precedent): header parsing is
+    # line-based, so payloads are normalized on BOTH engines; fixture
+    # text has neither, so outputs are unchanged
+    payload = F.regexp_replace(F.col("text"), "[\\r\\n]", "")
+    rec = F.concat(
+        F.lit("WARC/1.0\nWARC-Type: response\nWARC-Record-ID: urn:doc:"),
+        F.col("doc_id").cast("string"),
+        F.lit("\nWARC-Target-URI: "),
+        W.synth_url(F.col("doc_id")),
+        F.lit("\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\n\n"),
+        payload,
+    )
+    root = f"{tempfile.gettempdir()}/c24_{uuid.uuid4().hex}"
+    try:
+        # one container file per class: repartition(fid) routes each class
+        # wholly into one task, partitionBy splits directories -> exactly
+        # one part file per fid (the s16/c20 layout trick); the text
+        # sink's row separator doubles as the record terminator
+        (
+            docs.select(
+                (F.col("doc_id") % _C24_FILES).cast("int").alias("fid"),
+                rec.alias("value"),
+            )
+            .repartition(F.col("fid"))
+            .write.partitionBy("fid")
+            .mode("overwrite")
+            .text(root)
+        )
+        containers = spark.read.format("binaryFile").load(f"{root}/fid=*/")
+        parsed = containers.select("content").mapInPandas(
+            _c24_parser_fn(),
+            schema=(
+                "doc_id bigint, target_uri string, content_length bigint, "
+                "payload_fp string, file_records int"
+            ),
+        )
+        return parsed.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

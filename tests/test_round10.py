@@ -258,3 +258,37 @@ def test_st19_reader_collapses_replayed_batch(spark, sf_dir, tmp_path):
         per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
     for q, ns in per_q.items():
         assert len(ns) == len(set(ns)) == 5
+
+
+# --------------------------------------------------------------------------
+# c24 — WARC container framing
+# --------------------------------------------------------------------------
+
+
+def test_c24_framing_immune_to_payload_content(spark, tmp_path):
+    """A payload containing the record marker and fake header text must not
+    confuse the byte-driven parser (a marker-split reader would break)."""
+    evil = "see WARC/1.0 WARC-Record-ID: urn:doc:999 Content-Length: 3 done"
+    sf = _write_docs(
+        tmp_path,
+        [(7, evil, "en", "web", 0), (15, "plain text here", "en", "web", 0)],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["c24_warc_container_ingest"].spark(spark, sf).collect()
+    }
+    import hashlib
+
+    assert rows[7]["content_length"] == len(evil)
+    assert rows[7]["payload_fp"] == hashlib.md5(evil.encode()).hexdigest()[:8]
+    assert rows[7]["file_records"] == 2  # 7 % 8 == 15 % 8 -> same container
+    assert rows[15]["file_records"] == 2
+
+
+def test_c24_crlf_guard_normalizes_payload(spark, tmp_path):
+    """Embedded CR/LF would break line-based header parsing; the writer
+    normalizes them on both engines (fixture text has none)."""
+    sf = _write_docs(tmp_path, [(3, "line one\r\nline two\nend", "en", "web", 0)])
+    row = QUERIES["c24_warc_container_ingest"].spark(spark, sf).collect()[0]
+    clean = "line oneline twoend"
+    assert row["content_length"] == len(clean)
