@@ -286,15 +286,22 @@ def canonicalize_url_sql(url_expr: str) -> str:
 
 def registrable_host(canon_url: Column) -> Column:
     """Registrable domain (eTLD+1) under the vendored simplified PSL:
-    hosts ending in a 2-label suffix keep 3 labels, else 2 labels."""
+    hosts ending in a 2-label suffix keep 3 labels, else 2 labels.
+    Single-label hosts (e.g. ``localhost``) pass through unchanged — the
+    size guard runs FIRST because ANSI ``element_at(-2)`` throws on a
+    1-element array (CASE branches evaluate lazily per row)."""
     host = F.regexp_extract(canon_url, "^[a-z]+://([^:/?#]*)", 1)
     parts = F.split(host, "\\.")
     last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
     two_label = last2.isin(*PSL_2LABEL)
-    return F.when(
-        two_label & (F.size(parts) >= 3),
-        F.concat_ws(".", F.element_at(parts, -3), last2),
-    ).otherwise(last2)
+    return (
+        F.when(F.size(parts) <= 1, host)
+        .when(
+            two_label & (F.size(parts) >= 3),
+            F.concat_ws(".", F.element_at(parts, -3), last2),
+        )
+        .otherwise(last2)
+    )
 
 
 def registrable_host_sql(canon_expr: str) -> str:
@@ -303,6 +310,7 @@ def registrable_host_sql(canon_expr: str) -> str:
     last2 = f"({parts}[-2] || '.' || {parts}[-1])"
     in2 = " OR ".join(f"{last2} = '{s}'" for s in PSL_2LABEL)
     return (
-        f"CASE WHEN ({in2}) AND len({parts}) >= 3 "
+        f"CASE WHEN len({parts}) <= 1 THEN {host} "
+        f"WHEN ({in2}) AND len({parts}) >= 3 "
         f"THEN {parts}[-3] || '.' || {last2} ELSE {last2} END"
     )

@@ -1435,8 +1435,15 @@ def _c23_compact(spark: SparkSession, root: str) -> dict:
 
     # retire rewritten files' delete entries FIRST (the retirement plan
     # must not re-scan data files after the in-place rewrite replaces
-    # them — collected fps, not the lazy `over`, drive the anti-filter)
-    dv_kept = dv.filter(~F.col("fp").isin(over_fps)) if over_fps else dv
+    # them — collected fps, not the lazy `over`, drive the anti-join).
+    # Broadcast anti-join, not isin(): a literal IN-list over the file
+    # list is the big-literal codegen anti-pattern once tables have
+    # thousands of files
+    if over_fps:
+        over_df = spark.createDataFrame([(fp,) for fp in over_fps], "fp string")
+        dv_kept = dv.join(F.broadcast(over_df), "fp", "left_anti")
+    else:
+        dv_kept = dv
     dv_kept.write.parquet(f"{root}/deletes2")
     n_dv_remaining = int(
         spark.read.schema("fp string, ri bigint")

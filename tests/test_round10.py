@@ -115,6 +115,7 @@ def test_registrable_host_psl_rules(spark):
         ("http://blog.example.co.uk/x", "example.co.uk"),
         ("http://site.io/x", "site.io"),
         ("http://co.uk/x", "co.uk"),  # bare suffix: no 3rd label to keep
+        ("http://localhost/x", "localhost"),  # 1-label: ANSI-safe passthrough
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [
