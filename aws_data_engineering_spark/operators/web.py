@@ -198,24 +198,45 @@ def _pick_sql(doc_id: str, options: tuple[str, ...]) -> str:
     return f"CASE {doc_id} % {n} {whens} ELSE '{options[-1]}' END"
 
 
-def synth_url(doc_id: Column) -> Column:
+# optional per-page path segment (pp03): '/p<doc_id % 420>' appended to the
+# base path makes most raw URLs page-unique while PRESERVING rule-made
+# canonical collisions at doc_id distance 420 (420 ≡ 0 mod 4, 7, and 5, so
+# every other component repeats too) — a realistic mix of mostly-unique
+# pages with a controlled dup tail, instead of t40/d22's deliberately
+# collision-dense census corpus.
+PAGE_SEG_MOD = 420
+
+
+def synth_url(doc_id: Column, page_seg: bool = False) -> Column:
     """Deterministic raw URL for a fixture doc."""
+    seg = (
+        F.concat(F.lit("/p"), (doc_id % PAGE_SEG_MOD).cast("string"))
+        if page_seg
+        else F.lit("")
+    )
     return F.concat(
         _pick(doc_id, URL_SCHEMES),
         F.lit("://"),
         _pick(doc_id, URL_HOSTS),
         _pick(doc_id, URL_PORTS),
         _pick(doc_id, URL_PATHS),
+        seg,
         _pick(doc_id, URL_QUERIES),
         _pick(doc_id, URL_FRAGS),
     )
 
 
-def synth_url_sql(doc_id: str = "doc_id") -> str:
+def synth_url_sql(doc_id: str = "doc_id", page_seg: bool = False) -> str:
+    seg = (
+        f" || '/p' || CAST({doc_id} % {PAGE_SEG_MOD} AS VARCHAR)"
+        if page_seg
+        else ""
+    )
     return (
         f"{_pick_sql(doc_id, URL_SCHEMES)} || '://' || "
         f"{_pick_sql(doc_id, URL_HOSTS)} || {_pick_sql(doc_id, URL_PORTS)} || "
-        f"{_pick_sql(doc_id, URL_PATHS)} || {_pick_sql(doc_id, URL_QUERIES)} || "
+        f"{_pick_sql(doc_id, URL_PATHS)}{seg} || "
+        f"{_pick_sql(doc_id, URL_QUERIES)} || "
         f"{_pick_sql(doc_id, URL_FRAGS)}"
     )
 

@@ -1410,3 +1410,149 @@ def s14_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.mips_topk(queries, emb, k=5)
+
+
+# --------------------------------------------------------------------------
+# pp03 — the WEB-CURATION front end as ONE plan (round 10): the CCNet-style
+# composition of the round-10 stages — synthetic crawl pages (t39's HTML
+# wrapper + t40's URL composer with per-page path segments) flow through
+# extract -> boilerplate gate -> canonical-URL dedup (first-crawled wins)
+# -> quality gate -> per-host accounting, with pp01/pp02's FIRST-MATCH-WINS
+# drop attribution. The URL-dedup keeper is a NULL-skipping min over the
+# canonical-URL window (min of CASE WHEN boiler-survivor THEN doc_id END),
+# so boilerplate casualties never claim a canonical slot yet the whole
+# waterfall stays one labeled row set — one window + one census shuffle.
+#
+# Gates (all exact-integer, both engines): boilerplate fraction
+# > 500000 ppm drops ~11% of pages; canonical collisions at doc_id
+# distance 420 (PAGE_SEG_MOD — rule-made, raw URLs page-unique) drop the
+# crawl-dup tail; extracted word count < 25 (the Gopher word-count rule
+# on EXTRACTED text, not raw HTML) drops short pages. Tokenization is a
+# plain split-on-space of the paragraph join — identical on both engines
+# by construction, no \\s class anywhere.
+#
+# Scale: every scalar stage fuses into the scan; the canon-URL window
+# partitions are dup-cluster-sized (≤ corpus/420 + 1); the census keys on
+# registrable host (bounded). Linear in page bytes end-to-end.
+# --------------------------------------------------------------------------
+_PP03_BOILER_PPM = 500_000
+_PP03_MIN_TOKENS = 25
+
+
+def _pp03_oracle() -> str:
+    from aws_data_engineering_spark.operators import web as W
+
+    paras = W.html_paragraphs_sql("html")
+    total = W.html_all_text_chars_sql("html")
+    canon = W.canonicalize_url_sql("url")
+    return f"""
+    WITH h AS (
+      SELECT doc_id, {W.html_wrap_sql()} AS html,
+             {W.synth_url_sql(page_seg=True)} AS url
+      FROM documents
+    ), p AS (
+      SELECT doc_id, url,
+             array_to_string({paras}, ' ') AS content,
+             {total} AS tc
+      FROM h
+    ), m AS (
+      SELECT doc_id,
+             {canon} AS canon_url,
+             {W.registrable_host_sql(canon)} AS reg_host,
+             (1000000 * (tc - length(array_to_string(
+                 list_filter(string_split(content, ' '), t -> t <> ''), ''))))
+               // tc AS ppm,
+             len(list_filter(string_split(content, ' '), t -> t <> ''))
+               AS n_tok
+      FROM p
+    ), w AS (
+      SELECT *,
+             MIN(CASE WHEN ppm <= {_PP03_BOILER_PPM} THEN doc_id END)
+               OVER (PARTITION BY canon_url) AS keeper
+      FROM m
+    ), lab AS (
+      SELECT reg_host, n_tok,
+             CASE WHEN ppm > {_PP03_BOILER_PPM} THEN 'boiler'
+                  WHEN doc_id <> keeper THEN 'urldup'
+                  WHEN n_tok < {_PP03_MIN_TOKENS} THEN 'quality'
+                  ELSE 'kept' END AS label
+      FROM w
+    )
+    SELECT reg_host,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(*) FILTER (label = 'boiler') AS BIGINT) AS drop_boiler,
+           CAST(COUNT(*) FILTER (label = 'urldup') AS BIGINT) AS drop_urldup,
+           CAST(COUNT(*) FILTER (label = 'quality') AS BIGINT) AS drop_quality,
+           CAST(COUNT(*) FILTER (label = 'kept') AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(n_tok) FILTER (label = 'kept'), 0) AS BIGINT)
+             AS kept_tokens
+    FROM lab GROUP BY 1
+    """
+
+
+@register(
+    "pp03_web_curation_pipeline",
+    _pp03_oracle(),
+    "the web-curation front end as ONE plan: synthetic crawl pages -> "
+    "HTML boilerplate extraction -> boilerplate-fraction gate -> "
+    "canonical-URL dedup (first-crawled wins, rule-made collisions) -> "
+    "Gopher word-count gate on EXTRACTED text -> per-host drop/keep/token "
+    "census with first-match-wins attribution",
+)
+def pp03_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from aws_data_engineering_spark.operators import web as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        W.html_wrap(F.col("doc_id"), F.col("text")).alias("html"),
+        W.synth_url(F.col("doc_id"), page_seg=True).alias("url"),
+    ).select(
+        "doc_id",
+        "url",
+        F.array_join(W.html_paragraphs(F.col("html")), " ").alias("content"),
+        W.html_all_text_chars(F.col("html")).alias("tc"),
+    )
+    toks = F.filter(F.split(F.col("content"), " "), lambda t: t != "")
+    m = p.select(
+        "doc_id",
+        W.canonicalize_url(F.col("url")).alias("canon_url"),
+        (
+            F.lit(1_000_000)
+            * (F.col("tc") - F.length(F.array_join(toks, "")))
+        ).cast("bigint").alias("boiler_chars_ppm_num"),
+        F.col("tc").cast("bigint").alias("tc"),
+        F.size(toks).alias("n_tok"),
+    ).select(
+        "doc_id",
+        "canon_url",
+        W.registrable_host(F.col("canon_url")).alias("reg_host"),
+        F.expr("boiler_chars_ppm_num div tc").alias("ppm"),
+        "n_tok",
+    )
+    w = m.withColumn(
+        "keeper",
+        F.min(
+            F.when(F.col("ppm") <= _PP03_BOILER_PPM, F.col("doc_id"))
+        ).over(Window.partitionBy("canon_url")),
+    )
+    lab = w.select(
+        "reg_host",
+        "n_tok",
+        F.when(F.col("ppm") > _PP03_BOILER_PPM, F.lit("boiler"))
+        .when(F.col("doc_id") != F.col("keeper"), F.lit("urldup"))
+        .when(F.col("n_tok") < _PP03_MIN_TOKENS, F.lit("quality"))
+        .otherwise(F.lit("kept"))
+        .alias("label"),
+    )
+    kept = F.col("label") == "kept"
+    return lab.groupBy("reg_host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+        F.sum((F.col("label") == "boiler").cast("long")).cast("bigint").alias("drop_boiler"),
+        F.sum((F.col("label") == "urldup").cast("long")).cast("bigint").alias("drop_urldup"),
+        F.sum((F.col("label") == "quality").cast("long")).cast("bigint").alias("drop_quality"),
+        F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("bigint").alias("kept_tokens"),
+    )

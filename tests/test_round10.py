@@ -293,3 +293,44 @@ def test_c24_crlf_guard_normalizes_payload(spark, tmp_path):
     row = QUERIES["c24_warc_container_ingest"].spark(spark, sf).collect()[0]
     clean = "line oneline twoend"
     assert row["content_length"] == len(clean)
+
+
+# --------------------------------------------------------------------------
+# pp03 — web-curation waterfall semantics
+# --------------------------------------------------------------------------
+
+_LONG = " ".join(["alpha beta gamma delta epsilon"] * 8)  # 40 tokens
+
+
+def test_pp03_stages_all_nonvacuous(spark, sf_dir):
+    census = QUERIES["pp03_web_curation_pipeline"].spark(spark, sf_dir)
+    tot = census.agg(
+        F.sum("drop_boiler"), F.sum("drop_urldup"), F.sum("drop_quality"),
+        F.sum("n_kept"), F.sum("n_pages"),
+    ).collect()[0]
+    assert all(v > 0 for v in tot), tot
+    assert tot[4] == tot[0] + tot[1] + tot[2] + tot[3]  # conservation
+
+
+def test_pp03_first_match_wins_and_keeper_skips_boiler(spark, tmp_path):
+    """Docs 0/420 share a canonical URL (PAGE_SEG_MOD cluster); doc 0 is
+    boilerplate-heavy (tiny text) so it must count as 'boiler', NOT claim
+    the canonical slot — 420 is kept. Docs 1/421 both survive extraction:
+    1 keeps the slot, 421 drops as 'urldup'."""
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "tiny", "en", "web", 0),  # high boiler ppm
+            (420, _LONG, "en", "web", 0),
+            (1, _LONG, "en", "web", 0),
+            (421, _LONG, "en", "web", 0),
+        ],
+    )
+    census = QUERIES["pp03_web_curation_pipeline"].spark(spark, sf)
+    tot = census.agg(
+        F.sum("drop_boiler").alias("b"),
+        F.sum("drop_urldup").alias("u"),
+        F.sum("drop_quality").alias("q"),
+        F.sum("n_kept").alias("k"),
+    ).collect()[0]
+    assert (tot["b"], tot["u"], tot["q"], tot["k"]) == (1, 1, 0, 2)
