@@ -203,6 +203,11 @@ HEADLINE = [
     # both are correctness-gated and measured at 100x instead.
     "t39_html_boilerplate_extract",
     "d22_url_host_dedup_census",
+    # pp03 joins pp01/pp02 as the third benched pipeline composition (the
+    # web-curation front end). c24 is write-bound (c04/c18/c19 precedent)
+    # and st19 rides the streaming floor (st18 precedent) — both
+    # correctness-gated and measured at 100x in SCALING_r10 instead.
+    "pp03_web_curation_pipeline",
 ]
 
 
