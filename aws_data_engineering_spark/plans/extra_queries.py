@@ -2712,7 +2712,12 @@ def e07_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MICRO-nats, integer-summed (order-free), per-doc mean by truncating
 # integer division (both engines truncate toward zero — verified), and
 # the per-source mean emitted as two deterministic IEEE divisions of
-# exact integers. No round anywhere near a boundary.
+# exact integers. No round anywhere near a boundary. Residual seam
+# (accepted, the t15/t34 precedent): floor(1e6 * ln-difference) can
+# still flip by one micro-nat if JVM Math.log and DuckDB's libm log
+# disagree by an ulp on an input whose scaled value sits within ~1e-8
+# of an integer — far narrower than the old per-aggregate .5 boundary,
+# and the ln() inputs themselves are bit-identical integer products.
 # --------------------------------------------------------------------------
 @register(
     "t20_dsir_importance",

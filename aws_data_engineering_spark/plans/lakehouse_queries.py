@@ -1423,19 +1423,30 @@ def _c23_compact(spark: SparkSession, root: str) -> dict:
         .join(dv.groupBy("fp").agg(F.count(F.lit(1)).alias("n_del")), "fp", "left")
         .na.fill({"n_del": 0})
     )
+    # ONE Spark job computes the whole classification: stats is bounded
+    # by file count (Iceberg-planner scale), so collect it once and
+    # derive the over-threshold list, the kept count, AND the surviving
+    # delete-entry count from the same rows (code-review round 10: the
+    # earlier form paid two extra jobs — a stats.count() and a deletes2
+    # read-back — for numbers already in hand)
+    stat_rows = stats.select("fp", "m", "n_rows", "n_del").collect()
     # exact integer cross-multiplication — no division, no rounding seam
-    over = stats.filter(
-        F.lit(1_000_000) * F.col("n_del") > F.lit(_C23_THRESH_PPM) * F.col("n_rows")
-    )
-    over_rows = over.select("fp", "m", "n_del").collect()  # file-list-sized
+    over_rows = [
+        r
+        for r in stat_rows
+        if 1_000_000 * r["n_del"] > _C23_THRESH_PPM * r["n_rows"]
+    ]
     over_months = sorted({r["m"] for r in over_rows})
     over_fps = [r["fp"] for r in over_rows]
     n_rewritten = len(over_rows)
-    n_kept = stats.count() - n_rewritten
+    n_kept = len(stat_rows) - n_rewritten
+    n_dv_remaining = sum(r["n_del"] for r in stat_rows) - sum(
+        r["n_del"] for r in over_rows
+    )
 
     # retire rewritten files' delete entries FIRST (the retirement plan
     # must not re-scan data files after the in-place rewrite replaces
-    # them — collected fps, not the lazy `over`, drive the anti-join).
+    # them — collected fps, not a lazy plan, drive the anti-join).
     # Broadcast anti-join, not isin(): a literal IN-list over the file
     # list is the big-literal codegen anti-pattern once tables have
     # thousands of files
@@ -1445,11 +1456,6 @@ def _c23_compact(spark: SparkSession, root: str) -> dict:
     else:
         dv_kept = dv
     dv_kept.write.parquet(f"{root}/deletes2")
-    n_dv_remaining = int(
-        spark.read.schema("fp string, ri bigint")
-        .parquet(f"{root}/deletes2")
-        .count()
-    )
 
     if over_months:
         # rewrite ONLY the over-threshold months: live rows -> staging,
@@ -1468,8 +1474,15 @@ def _c23_compact(spark: SparkSession, root: str) -> dict:
         for m in over_months:
             src = f"{root}/rw/m={m}"
             dst = f"{root}/data/m={m}"
-            shutil.rmtree(dst)
-            os.replace(src, dst)
+            # a 100%-deleted month writes NO staging dir (zero live
+            # rows): the compacted form of that file is its absence —
+            # remove the original, publish nothing (guard ordered so
+            # the data dir is only removed when the publish can finish)
+            if os.path.isdir(src):
+                shutil.rmtree(dst)
+                os.replace(src, dst)
+            else:
+                shutil.rmtree(dst)
         shutil.rmtree(f"{root}/rw", ignore_errors=True)
     return {
         "n_rewritten_files": n_rewritten,

@@ -1519,10 +1519,12 @@ def pp03_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = p.select(
         "doc_id",
         W.canonicalize_url(F.col("url")).alias("canon_url"),
+        # cast BEFORE the multiply: 1e6 * an int32 char count overflows
+        # int32 past ~2147 boilerplate chars (the oracle computes BIGINT)
         (
             F.lit(1_000_000)
-            * (F.col("tc") - F.length(F.array_join(toks, "")))
-        ).cast("bigint").alias("boiler_chars_ppm_num"),
+            * (F.col("tc") - F.length(F.array_join(toks, ""))).cast("bigint")
+        ).alias("boiler_chars_ppm_num"),
         F.col("tc").cast("bigint").alias("tc"),
         F.size(toks).alias("n_tok"),
     ).select(

@@ -334,3 +334,51 @@ def test_pp03_first_match_wins_and_keeper_skips_boiler(spark, tmp_path):
         F.sum("n_kept").alias("k"),
     ).collect()[0]
     assert (tot["b"], tot["u"], tot["q"], tot["k"]) == (1, 1, 0, 2)
+
+
+def test_c23_fully_deleted_month_compacts_to_absence(spark, tmp_path):
+    """A 100%-deleted over-threshold month writes no staging dir; its
+    compacted form is ABSENCE — the publish loop must remove the original
+    without crashing (code-review round 10), and the month vanishes from
+    the read-back on both engines."""
+    import datetime
+    import glob
+
+    from aws_data_engineering_spark.plans import lakehouse_queries as LK
+
+    rows = []
+    # 1996-01: all custkeys even -> pred (month in (1,2) and %2==0) deletes all
+    for i, ck in enumerate([2, 4, 6, 8]):
+        rows.append((100 + i, ck, "O", 10.0, datetime.date(1996, 1, 5 + i), "3-MEDIUM"))
+    # 1996-03: one of four matches custkey%4==0 -> 25%, under threshold
+    for i, ck in enumerate([1, 3, 5, 4]):
+        rows.append((200 + i, ck, "O", 10.0, datetime.date(1996, 3, 5 + i), "3-MEDIUM"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    root = str(tmp_path / "c23")
+    LK._c23_write_layout(spark, str(tmp_path), root)
+    audit = LK._c23_compact(spark, root)
+    assert audit["n_rewritten_files"] == 1
+    assert audit["n_kept_files"] == 1
+    assert audit["n_dv_remaining"] == 1  # the one deleted row in 1996-03
+    # the fully-deleted month directory is gone
+    assert glob.glob(f"{root}/data/m=199601*") == []
+    res = {r["m"]: r["n_orders"] for r in LK._c23_read(spark, root, audit).collect()}
+    assert res == {199603: 3}
+
+
+def test_pp03_long_document_no_int32_overflow(spark, tmp_path):
+    """1e6 * boilerplate-char count must be computed in BIGINT: a ~2500-word
+    page carries >2147 space/boiler chars, overflowing an int32 product
+    (ANSI throws; non-ANSI wraps) — code-review round 10."""
+    long_doc = " ".join(["word"] * 2500)
+    sf = _write_docs(
+        tmp_path, [(0, long_doc, "en", "web", 0), (1, _LONG, "en", "web", 0)]
+    )
+    census = QUERIES["pp03_web_curation_pipeline"].spark(spark, sf)
+    tot = census.agg(F.sum("n_pages"), F.sum("n_kept")).collect()[0]
+    assert tot[0] == 2 and tot[1] == 2
