@@ -382,3 +382,17 @@ def test_pp03_long_document_no_int32_overflow(spark, tmp_path):
     census = QUERIES["pp03_web_curation_pipeline"].spark(spark, sf)
     tot = census.agg(F.sum("n_pages"), F.sum("n_kept")).collect()[0]
     assert tot[0] == 2 and tot[1] == 2
+
+
+def test_t40_canonicalization_idempotent(spark, sf_dir):
+    """Canonicalization must be a FIXED POINT: re-canonicalizing its own
+    output changes nothing, over every synthetic URL (both composers)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for seg in (False, True):
+        u = docs.select(W.synth_url(F.col("doc_id"), page_seg=seg).alias("url"))
+        once = u.select(W.canonicalize_url(F.col("url")).alias("c1"))
+        twice = once.select(
+            "c1", W.canonicalize_url(F.col("c1")).alias("c2")
+        )
+        bad = twice.filter(F.col("c1") != F.col("c2")).count()
+        assert bad == 0, f"non-idempotent canonicalization (page_seg={seg})"
