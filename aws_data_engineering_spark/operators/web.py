@@ -335,3 +335,69 @@ def registrable_host_sql(canon_expr: str) -> str:
         f"WHEN ({in2}) AND len({parts}) >= 3 "
         f"THEN {parts}[-3] || '.' || {last2} ELSE {last2} END"
     )
+
+
+# --------------------------------------------------------------------------
+# robots.txt-style URL filtering (the crawl-frontier politeness stage).
+# Rules are a vendored literal table per registrable host — in production
+# they are fetched and parsed per host; the MATCHING semantics are what
+# the engine implements: RFC 9309 / Google longest-match-wins — the rule
+# with the longest matching path prefix decides, allow wins ties, and a
+# URL matching no rule is allowed by default.
+# --------------------------------------------------------------------------
+ROBOTS_RULES = (
+    # (registrable host, type, path prefix)
+    ("example.com", "disallow", "/x/"),
+    ("example.com", "disallow", "/a/b/p1"),  # blocks the p1xx page slice
+    ("site.org", "disallow", "/"),
+    ("site.org", "allow", "/a/"),  # carve-out: longer match wins
+    ("example.co.uk", "disallow", "/x/"),
+    # site.io: no rules -> default allow
+)
+
+
+def robots_rules_df(spark):
+    return spark.createDataFrame(
+        list(ROBOTS_RULES), "rule_host string, rule_type string, prefix string"
+    )
+
+
+def robots_rules_values_sql() -> str:
+    rows = ", ".join(f"('{h}', '{t}', '{p}')" for h, t, p in ROBOTS_RULES)
+    return f"(VALUES {rows}) AS rules(rule_host, rule_type, prefix)"
+
+
+def robots_verdict(reg_host: Column, path: Column) -> Column:
+    """RFC 9309 longest-match-wins verdict, unrolled over the literal rule
+    table into a SHUFFLE-FREE scan-stage expression: per rule, a matching
+    (host, path-prefix) contributes its prefix length, else -1; the
+    longest disallow must strictly beat the longest allow to block (ties
+    -> allow, no matching rule -> both -1 -> allow). Integer sentinels
+    instead of NULLs so both engines' GREATEST agree by construction."""
+    allow_terms = [F.lit(-1)]
+    dis_terms = [F.lit(-1)]
+    for h, t, p in ROBOTS_RULES:
+        term = F.when(
+            (reg_host == h) & path.startswith(p), F.lit(len(p))
+        ).otherwise(F.lit(-1))
+        (allow_terms if t == "allow" else dis_terms).append(term)
+    allow_s = F.greatest(*allow_terms)
+    dis_s = F.greatest(*dis_terms)
+    return F.when(dis_s > allow_s, F.lit("blocked")).otherwise(F.lit("allowed"))
+
+
+def robots_verdict_sql(host_expr: str, path_expr: str) -> str:
+    def terms(kind: str) -> str:
+        ts = ["-1"]
+        for h, t, p in ROBOTS_RULES:
+            if t != kind:
+                continue
+            ts.append(
+                f"CASE WHEN {host_expr} = '{h}' AND "
+                f"starts_with({path_expr}, '{p}') THEN {len(p)} ELSE -1 END"
+            )
+        return ", ".join(ts)
+
+    allow_s = f"GREATEST({terms('allow')})"
+    dis_s = f"GREATEST({terms('disallow')})"
+    return f"CASE WHEN {dis_s} > {allow_s} THEN 'blocked' ELSE 'allowed' END"

@@ -1911,3 +1911,86 @@ def t40_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canon_url",
         W.registrable_host(F.col("canon_url")).alias("reg_host"),
     )
+
+
+# --------------------------------------------------------------------------
+# t41 — robots-rules URL filtering (round 10): the crawl-frontier
+# politeness stage between t40's canonicalization and the fetch. Rules
+# are a vendored literal table per registrable host (in production they
+# are fetched per host; the MATCHING semantics are what the engine
+# implements): RFC 9309 / Google longest-match-wins — the longest
+# matching path prefix decides, allow wins ties, no match means allowed.
+# The verdict unrolls the literal table into a scan-stage expression
+# (per-rule prefix-length scores folded through GREATEST with -1
+# sentinels — no NULL semantics, no join, no shuffle), so filtering is
+# free at any corpus size; the only shuffle is the bounded per-host
+# census. The rule set exercises every semantic: a blanket disallow '/'
+# with a longer allow carve-out (site.org), a sliced disallow inside an
+# allowed section (example.com /a/b/p1*), and a rule-free default-allow
+# host (site.io).
+# --------------------------------------------------------------------------
+def _t41_oracle() -> str:
+    from aws_data_engineering_spark.operators import web as W
+
+    canon = W.canonicalize_url_sql("url")
+    return f"""
+    WITH u AS (
+      SELECT doc_id, {W.synth_url_sql(page_seg=True)} AS url FROM documents
+    ), c AS (
+      SELECT doc_id, {canon} AS canon_url FROM u
+    ), r AS (
+      SELECT doc_id,
+             {W.registrable_host_sql('canon_url')} AS reg_host,
+             regexp_extract(canon_url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path
+      FROM c
+    ), v AS (
+      SELECT reg_host,
+             {W.robots_verdict_sql('reg_host', 'path')} AS verdict
+      FROM r
+    )
+    SELECT reg_host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(*) FILTER (verdict = 'allowed') AS BIGINT) AS n_allowed,
+           CAST(COUNT(*) FILTER (verdict = 'blocked') AS BIGINT) AS n_blocked
+    FROM v GROUP BY 1
+    """
+
+
+@register(
+    "t41_robots_url_filter",
+    _t41_oracle(),
+    "robots-rules URL filtering (RFC 9309 longest-match-wins, allow wins "
+    "ties, default allow): vendored per-host rule table unrolled into a "
+    "shuffle-free scan-stage verdict; per-host allowed/blocked census "
+    "oracle-checked closed-form",
+)
+def t41_robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.operators import web as W
+
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        W.canonicalize_url(W.synth_url(F.col("doc_id"), page_seg=True)).alias(
+            "canon_url"
+        ),
+    )
+    r = c.select(
+        "doc_id",
+        W.registrable_host(F.col("canon_url")).alias("reg_host"),
+        F.regexp_extract(
+            F.col("canon_url"), "^[a-z]+://[^/?#]*([^?#]*)", 1
+        ).alias("path"),
+    )
+    v = r.select(
+        "reg_host",
+        W.robots_verdict(F.col("reg_host"), F.col("path")).alias("verdict"),
+    )
+    return v.groupBy("reg_host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.sum((F.col("verdict") == "allowed").cast("long"))
+        .cast("bigint")
+        .alias("n_allowed"),
+        F.sum((F.col("verdict") == "blocked").cast("long"))
+        .cast("bigint")
+        .alias("n_blocked"),
+    )

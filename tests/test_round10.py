@@ -396,3 +396,50 @@ def test_t40_canonicalization_idempotent(spark, sf_dir):
         )
         bad = twice.filter(F.col("c1") != F.col("c2")).count()
         assert bad == 0, f"non-idempotent canonicalization (page_seg={seg})"
+
+
+# --------------------------------------------------------------------------
+# t41 — robots matching semantics
+# --------------------------------------------------------------------------
+
+
+def test_t41_longest_match_semantics(spark, sf_dir):
+    """Unit-pin the RFC 9309 rules: blanket disallow beaten by a longer
+    allow carve-out, sliced disallow inside an allowed section, tie ->
+    allow, no rule -> allow."""
+    cases = [
+        # (host, path, verdict)
+        ("site.org", "/a/b/p7", "allowed"),   # allow '/a/' beats disallow '/'
+        ("site.org", "/p7", "blocked"),        # only disallow '/' matches
+        ("site.org", "//p7", "blocked"),
+        ("example.com", "/x/y/z/p3", "blocked"),
+        ("example.com", "/a/b/p17", "blocked"),  # sliced disallow '/a/b/p1'
+        ("example.com", "/a/b/p27", "allowed"),  # outside the p1* slice
+        ("site.io", "/x/y/z/p3", "allowed"),   # no rules -> default allow
+        ("example.co.uk", "/x/p1", "blocked"),
+        ("example.co.uk", "/a/b", "allowed"),
+    ]
+    df = spark.createDataFrame(
+        [(h, p) for h, p, _ in cases], "reg_host string, path string"
+    )
+    got = [
+        r["v"]
+        for r in df.select(
+            W.robots_verdict(F.col("reg_host"), F.col("path")).alias("v")
+        ).collect()
+    ]
+    assert got == [v for _, _, v in cases]
+    # SQL twin agrees rule-for-rule
+    import duckdb
+
+    con = duckdb.connect()
+    for h, p, want in cases:
+        (g,) = con.sql(
+            f"SELECT {W.robots_verdict_sql(repr(h), repr(p))}"
+        ).fetchone()
+        assert g == want, (h, p, g, want)
+
+    # census non-vacuous both ways at the fixture SF
+    census = QUERIES["t41_robots_url_filter"].spark(spark, sf_dir)
+    tot = census.agg(F.sum("n_allowed"), F.sum("n_blocked")).collect()[0]
+    assert tot[0] > 0 and tot[1] > 0
