@@ -440,6 +440,14 @@ def ivf_topk(
     bucket-local — the same equi-join-on-list-id shape faiss shards across
     machines — so cost scales with corpus/n_centroids × n_probe, not the
     full cross product.
+
+    Exactness contract: with ``n_probe == n_centroids`` the scored set is
+    the whole corpus and the kernel cosine is the ``_seq_cosine_fns``
+    IEEE sequence with (sim desc, id asc) tie-breaks — output is
+    BIT-identical to ``brute_force_topk`` regardless of where k-means put
+    the centroids, which is what lets the trained path carry the exact
+    oracle (s04) while partial probing stays a recall-tested
+    approximation.
     """
     # orderBy before limit → TakeOrdered: the training sample is the same
     # rows regardless of partitioning/scan order (a bare limit() samples
@@ -485,6 +493,8 @@ def ivf_topk(
                     lids.append(int(lid))
             yield pd_w.DataFrame({"id": ids, "v": vs, "list_id": lids})
 
+    seq_cos = _seq_cosine_fns()
+
     def score_group(pdf):
         import numpy as np_w
         import pandas as pd_w
@@ -497,20 +507,29 @@ def ivf_topk(
             ).astype({"query_id": "int64", "neighbor_id": "int64", "sim": "float64"})
         qm = np_w.array(list(qs["v"]), dtype=np_w.float64)
         cm = np_w.array(list(cs["v"]), dtype=np_w.float64)
-        qn = qm / np_w.maximum(np_w.sqrt((qm * qm).sum(1))[:, None], 1e-300)
-        cn = cm / np_w.maximum(np_w.sqrt((cm * cm).sum(1))[:, None], 1e-300)
-        sims = qn @ cn.T
+        # seq_cos = the brute_force_topk / DuckDB list_cosine_similarity
+        # IEEE sequence, so with n_probe == n_centroids this path is
+        # BIT-identical to exact search (s04's oracle identity); lexsort
+        # breaks sim ties by neighbor_id asc, matching the global window
+        sims = seq_cos(cm, qm)  # (C, Q)
         out_q, out_c, out_s = [], [], []
         qids = qs["id"].to_numpy()
         cids = cs["id"].to_numpy()
-        # per-query local top-k inside this list (global k resolved later)
+        # per-query local top-k inside this list (global k resolved later);
+        # a global top-k neighbor precedes < k candidates in the total
+        # (sim desc, id asc) order, hence < k within its own list — so the
+        # union of per-list top-k always contains the global top-k
         for i in range(len(qids)):
-            order = np_w.argsort(-sims[i])[: np_k + 1]
-            for j in order:
-                if cids[j] != qids[i]:
-                    out_q.append(qids[i])
-                    out_c.append(cids[j])
-                    out_s.append(round(float(sims[i, j]), 4))
+            col = sims[:, i]
+            mask = cids != qids[i]
+            cand_ids, cand_sims = cids[mask], col[mask]
+            take = min(np_k, cand_ids.size)
+            if not take:
+                continue
+            order = np_w.lexsort((cand_ids, -cand_sims))[:take]
+            out_q.extend([qids[i]] * take)
+            out_c.extend(cand_ids[order])
+            out_s.extend(cand_sims[order])
         return pd_w.DataFrame({"query_id": out_q, "neighbor_id": out_c, "sim": out_s})
 
     q = queries.select(
@@ -532,7 +551,9 @@ def ivf_topk(
     return (
         dedup.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "sim", "rnk")
+        # rank over RAW sims, round only the emitted value — the
+        # brute_force_topk output contract
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rnk")
     )
 
 

@@ -148,11 +148,17 @@ def html_all_text_chars_sql(expr: str) -> str:
 # --------------------------------------------------------------------------
 # URL canonicalization (the CCNet / crawl-frontier stage). The synthetic
 # url column is a deterministic composition over small literal vocabularies
-# indexed by doc_id residues; lcm of the residue moduli exceeds the fixture
-# doc count, so every raw URL is distinct and every canonical collision is
-# produced by the RULES (scheme-case fold, default-port strip, fragment
-# strip, utm removal, param sort) — which is exactly what the dup census
-# must detect.
+# indexed by doc_id residues. For corpora up to the raw-URL cycle length
+# (lcm of the residue moduli = 1260 docs — which covers the 500-doc pinned
+# fixture but NOT sf0.1's 5000 docs) every raw URL is distinct and every
+# canonical collision is produced by the RULES (scheme-case fold,
+# default-port strip, fragment strip, utm removal, param sort). Beyond one
+# cycle, doc_ids 1260 apart repeat the IDENTICAL raw URL — an
+# exact-duplicate re-crawl, which canonicalizes identically and lands in
+# the same census cluster as its rule-made siblings. So at every corpus
+# size the census detects exactly the collisions canonicalization must
+# produce; only the "all collisions are rule-made" distinction is scoped
+# to sub-cycle corpora (pinned by the small-fixture test).
 # --------------------------------------------------------------------------
 URL_SCHEMES = ("http", "HTTP", "https", "HTTPS")  # % 4
 URL_HOSTS = (  # % 7
@@ -174,8 +180,10 @@ URL_QUERIES = (  # % 5
     "?utm_campaign=c",
 )
 # 9 fragment variants (stripped by canonicalization, so they only add RAW
-# diversity): raw-URL cycle = lcm(4,7,5,9) = 1260 > any fixture doc count,
-# so raw URLs are all distinct and every canonical collision is rule-made
+# diversity): raw-URL cycle = lcm(4,7,5,9) = 1260, so raw URLs are all
+# distinct (and every canonical collision rule-made) for corpora up to
+# 1260 docs; past that, ids 1260 apart are identical-raw re-crawls (see
+# the module comment above)
 URL_FRAGS = ("#top", "", "#s2", "#a", "#b", "#c", "#d", "#e", "#f")  # % 9
 
 # simplified public-suffix list, vendored as a literal table (the real PSL

@@ -2708,16 +2708,26 @@ def e07_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 10: the original ROUND(AVG(w), 3) final op hit the documented
 # .5-boundary class at sf0.1 (src7's true mean ≈ -0.0005; DuckDB's
 # parallel double sum lands on either side run-to-run). Rewritten to the
-# e21 exact-mean pattern: per-token log-ratios FLOOR-quantized to integer
-# MICRO-nats, integer-summed (order-free), per-doc mean by truncating
+# e21 exact-mean pattern: per-token log-ratios FLOOR-quantized to
+# integers, integer-summed (order-free), per-doc mean by truncating
 # integer division (both engines truncate toward zero — verified), and
 # the per-source mean emitted as two deterministic IEEE divisions of
-# exact integers. No round anywhere near a boundary. Residual seam
-# (accepted, the t15/t34 precedent): floor(1e6 * ln-difference) can
-# still flip by one micro-nat if JVM Math.log and DuckDB's libm log
-# disagree by an ulp on an input whose scaled value sits within ~1e-8
-# of an integer — far narrower than the old per-aggregate .5 boundary,
-# and the ln() inputs themselves are bit-identical integer products.
+# exact integers.
+#
+# Round 11 (ADVICE r10): the micro-nat floor still had a latent cross-
+# engine seam — floor(1e6·Δln) flips by one if JVM Math.log and DuckDB's
+# libm disagree by an ulp on a value within ~1e-8 of an integer. Two
+# changes shrink that window to effectively zero: (1) MILLI-nat
+# quantization — the absolute error of s·Δln scales with s, so a 1000×
+# coarser scale cuts the per-token boundary-hit probability 1000× (to
+# ~1e-12); (2) an epsilon-snap, floor(x + 1e-6), which moves the decision
+# boundary off the integers entirely — the one systematic attractor
+# (identical raw/target count products ⇒ Δln computes to exactly 0.0 in
+# both engines) now sits 1e-6 INSIDE the bucket instead of ON its edge.
+# eps=1e-6 ≫ any ulp disagreement and ≪ the 1 milli-nat bucket, so both
+# engines floor bit-identically everywhere the true value isn't within
+# ulps of k−1e-6 — an arbitrary non-attractor point. The ln() inputs
+# themselves are bit-identical integer products, as before.
 # --------------------------------------------------------------------------
 @register(
     "t20_dsir_importance",
@@ -2738,17 +2748,17 @@ def e07_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rc LEFT JOIN tc USING (token)),
     doc_w AS (
       SELECT t2.doc_id, t2.source,
-             SUM(CAST(FLOOR(CAST(1000000 AS DOUBLE) * (
+             SUM(CAST(FLOOR(CAST(1000 AS DOUBLE) * (
                    ln((voc.ct + 1) * (voc.nr + voc.vsz))
-                 - ln((voc.cr + 1) * (voc.nt + voc.vsz)))) AS BIGINT))
+                 - ln((voc.cr + 1) * (voc.nt + voc.vsz))) + 1e-6) AS BIGINT))
                // COUNT(*) AS dm
       FROM t2 JOIN voc USING (token)
       GROUP BY t2.doc_id, t2.source)
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(dm) AS DOUBLE) / COUNT(*) / 1e6 AS avg_logratio,
-           CAST(MIN(dm) AS DOUBLE) / 1e6 AS min_logratio,
-           CAST(MAX(dm) AS DOUBLE) / 1e6 AS max_logratio
+           CAST(SUM(dm) AS DOUBLE) / COUNT(*) / 1e3 AS avg_logratio,
+           CAST(MIN(dm) AS DOUBLE) / 1e3 AS min_logratio,
+           CAST(MAX(dm) AS DOUBLE) / 1e3 AS max_logratio
     FROM doc_w GROUP BY source
     """,
     "DSIR importance weights: smoothed target-vs-raw unigram LM log-ratio "
@@ -2784,26 +2794,27 @@ def t20_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = toks.join(voc, "token").select(
         "doc_id", "source",
         F.floor(
-            F.lit(1000000.0)
+            F.lit(1000.0)
             * (
                 F.log((F.col("ct") + 1) * (F.col("nr") + F.col("vsz")))
                 - F.log((F.col("cr") + 1) * (F.col("nt") + F.col("vsz")))
             )
-        ).cast("bigint").alias("lr_micro"),
+            + F.lit(1e-6)
+        ).cast("bigint").alias("lr_milli"),
     )
-    # per-doc mean in micro-nats by truncating integer division (matches
+    # per-doc mean in milli-nats by truncating integer division (matches
     # DuckDB //); integer sums are order-free, so no double ever crosses
     # an aggregation
     doc_w = scored.groupBy("doc_id", "source").agg(
-        F.expr("sum(lr_micro) div count(1)").alias("dm")
+        F.expr("sum(lr_milli) div count(1)").alias("dm")
     )
     return doc_w.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        (F.sum("dm").cast("double") / F.count(F.lit(1)) / F.lit(1e6)).alias(
+        (F.sum("dm").cast("double") / F.count(F.lit(1)) / F.lit(1e3)).alias(
             "avg_logratio"
         ),
-        (F.min("dm").cast("double") / F.lit(1e6)).alias("min_logratio"),
-        (F.max("dm").cast("double") / F.lit(1e6)).alias("max_logratio"),
+        (F.min("dm").cast("double") / F.lit(1e3)).alias("min_logratio"),
+        (F.max("dm").cast("double") / F.lit(1e3)).alias("max_logratio"),
     )
 
 

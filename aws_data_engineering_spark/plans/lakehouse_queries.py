@@ -1476,11 +1476,16 @@ def _c23_compact(spark: SparkSession, root: str) -> dict:
             dst = f"{root}/data/m={m}"
             # a 100%-deleted month writes NO staging dir (zero live
             # rows): the compacted form of that file is its absence —
-            # remove the original, publish nothing (guard ordered so
-            # the data dir is only removed when the publish can finish)
+            # remove the original, publish nothing. The publish itself
+            # is two atomic renames (old aside, staging in) so a crash
+            # at any point leaves the month recoverable — either dst or
+            # dst.old still holds a complete copy; the lossy rmtree runs
+            # only after the new data is in place
             if os.path.isdir(src):
-                shutil.rmtree(dst)
+                old = f"{dst}.old"
+                os.replace(dst, old)
                 os.replace(src, dst)
+                shutil.rmtree(old)
             else:
                 shutil.rmtree(dst)
         shutil.rmtree(f"{root}/rw", ignore_errors=True)

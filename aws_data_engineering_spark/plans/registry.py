@@ -127,8 +127,17 @@ _FORM_CHANGED: dict[str, int] = {
     # src7's true mean ≈ -0.0005, DuckDB's parallel sum lands on either
     # side run-to-run). Rewritten to integer micro-nat quantization (the
     # e21 exact-mean pattern) — values changed in the 4th decimal, form
-    # must re-earn evidence.
-    "t20_dsir_importance": 10,
+    # must re-earn evidence. (The t20: 10 entry is superseded by the
+    # round-11 re-quantization below — one dict key, latest round wins.)
+    # Round-11 changes (ADVICE r10): t20 re-quantized micro→MILLI-nats with
+    # an epsilon-snapped floor (values changed in the 3rd decimal); c23's
+    # per-month publish became two atomic renames (crash-recoverable swap —
+    # same result, different file mechanics); s04 graduated from rows-only
+    # to the exhaustive-probe identity (n_probe = n_lists ⇒ exactly brute
+    # force) with the s01 exact-cosine oracle.
+    "t20_dsir_importance": 11,
+    "c23_delete_vector_compaction": 11,
+    "s04_ann_ivf_topk": 11,
 }
 
 

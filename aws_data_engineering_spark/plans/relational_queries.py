@@ -1273,15 +1273,21 @@ def q42_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q43_salted_skew_join",
-    """
+# Shared by q43 (manual salting) and q104 (Spark-native AQE skew split):
+# the two answers to the #1 100 TB join hazard, hash-checked against the
+# SAME oracle so the skew machinery is proven result-neutral both ways.
+_Q43_ORACLE = """
     SELECT o_orderpriority,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
-    """,
+    """
+
+
+@register(
+    "q43_salted_skew_join",
+    _Q43_ORACLE,
     "skew-resistant salted equi-join (deterministic per-row salt spreads "
     "hot keys over n reducers) — result-identical to the plain join, so "
     "fully oracle-checked",
@@ -1302,6 +1308,117 @@ def q43_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --------------------------------------------------------------------------
+# q104 — AQE skew-join twin of q43 (round 11, VERDICT r10 #6): the
+# Spark-NATIVE answer to the hazard q43 solves by hand. The skew is
+# planted by the join key itself: after the orderkey equi-join, the 6M-row
+# fact stream is shuffle-joined to a 5-row priority dim ON
+# o_orderpriority — five distinct keys, so five hash partitions hold the
+# whole fact table (the worst key distribution a shuffle join can see) —
+# and spark.sql.adaptive.skewJoin splits those partitions at runtime
+# (SortMergeJoin(skew=true), plan-asserted in tests/test_plans.py).
+# Because the dim is DERIVED (distinct priorities) the extra join is
+# result-neutral: the aggregate hash-matches q43's oracle verbatim, which
+# is the point — both the hand-rolled salt and the built-in skew split
+# are proven to leave answers untouched.
+#
+# Conf handling: AQE reads its confs at ACTION time, not plan time, so
+# the skewed join is materialized to a temp parquet inside the
+# conf-scoped block and the registered callable returns a plain scan —
+# the tuned thresholds never leak into the shared driver session (the
+# c23/c18 temp-dir pattern). At 100 TB the same plan needs no tuned
+# thresholds at all: the defaults (256MB / 5x median) trigger on real
+# skew; the tiny thresholds here only scale the mechanism down to
+# fixture-sized partitions.
+# --------------------------------------------------------------------------
+_Q104_SKEW_CONFS = {
+    # force the 5-key join to shuffle (both static and AQE broadcast off);
+    # thresholds scaled to fixture partitions so the split actually fires
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "24KB",
+    # the post-join aggregate re-shuffles on the same key; without force,
+    # AQE declines to split a partitioning a downstream stage could reuse
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    # CoalesceShufflePartitions runs BEFORE OptimizeSkewedJoin: with it on,
+    # the 11 empty partitions of the 5-key shuffle merge into the hot ones
+    # and the partition-size MEDIAN rises to the hot size itself, so the
+    # "size > factor * median" skew test can never pass — the planted skew
+    # becomes invisible to the rule (probed; the debug log shows 0 skewed
+    # partitions with coalescing on). Real clusters hit this too when a
+    # shuffle has few distinct keys; off for the scoped materialization.
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    # the skew test is size > max(factor * MEDIAN, threshold): with 5 hot
+    # keys the shuffle needs enough empty partitions to keep the median at
+    # zero (5 hot of 8 ⇒ the median is itself hot-sized and nothing is
+    # ever "2x the median") — pin a partition count that leaves the hot
+    # keys a clear minority, as any real cluster's thousands-of-partitions
+    # shuffle would
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def _q104_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative plan: orderkey equi-join -> 5-key dim shuffle join
+    (the planted skew) -> priority aggregate. Shared by the registered
+    query and the plan-assertion test so both see the same shape."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    fact = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select("o_orderpriority", "l_extendedprice", "l_discount")
+    # coalesce(1) (free on 5 rows) breaks the distinct's hash(prio)
+    # partitioning so the join plans a fresh ENSURE_REQUIREMENTS shuffle on
+    # BOTH sides — OptimizeSkewedJoin only matches SortMergeJoin whose sort
+    # children sit directly on ENSURE_REQUIREMENTS shuffle stages; a dim
+    # whose distinct already satisfies the join distribution leaves an
+    # aggregate between shuffle and join and the skew rule skips it
+    dim = orders.select("o_orderpriority").distinct().coalesce(1)
+    j = fact.join(dim, "o_orderpriority")
+    return j.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q104_aqe_skew_join",
+    _Q43_ORACLE,
+    "AQE skew-join twin of q43: the fact stream shuffle-joined to a 5-row "
+    "dim ON o_orderpriority (five keys = maximal planted partition skew) "
+    "with spark.sql.adaptive.skewJoin splitting the hot partitions at "
+    "runtime (SortMergeJoin(skew=true), plan-asserted); the derived dim "
+    "makes the join result-neutral, so the aggregate hash-matches q43's "
+    "oracle verbatim — the built-in and the hand-salted answer to the "
+    "same 100 TB hazard, proven equivalent",
+)
+def q104_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    out = f"{tempfile.gettempdir()}/q104_{uuid.uuid4().hex}"
+    saved = {k: spark.conf.get(k, None) for k in _Q104_SKEW_CONFS}
+    try:
+        for k, v in _Q104_SKEW_CONFS.items():
+            spark.conf.set(k, v)
+        _q104_skewed_agg(spark, sf_dir).write.parquet(out)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(out)
 
 
 @register(

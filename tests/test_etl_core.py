@@ -893,10 +893,13 @@ def test_delta_merge_branch_executes_against_stub(spark, tmp_path, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
-# Rows-only quartet (q26/q39/q71/s04): their driver rows can't hash-match by
-# nature (sketch internals / iterative k-means), so the LOCAL evidence must
-# be strong — error bounds asserted at BOTH the pytest sf and sf0.1, and
-# sketch mergeability across repartitionings (VERDICT r05 #7).
+# Rows-only trio (q26/q39/q71): their driver rows can't hash-match by
+# nature (sketch internals), so the LOCAL evidence must be strong — error
+# bounds asserted at BOTH the pytest sf and sf0.1, and sketch mergeability
+# across repartitionings (VERDICT r05 #7). s04 left the quartet in round
+# 11: registered at n_probe = n_lists (exhaustive probing == brute force)
+# it is hash-checked against the s01 oracle; the partial-probe recall
+# tests below still guard the approximation.
 # ---------------------------------------------------------------------------
 _SF01_DIR = "/root/testdata/sf0.1"
 

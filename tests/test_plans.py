@@ -311,6 +311,43 @@ def test_e11_centroids_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q104_aqe_skew_split_fires(spark):
+    """q104's planted 5-key skew must be split by AQE at runtime — the
+    EXECUTED plan (AQE finalizes only after an action) carries
+    SortMergeJoin(skew=true) — and the skew-split aggregate must equal the
+    plain q43 oracle aggregate row-for-row. Pinned to sf0.01: at sf0.001
+    the hot partitions sit under the 16KB skew threshold by design (the
+    thresholds model real-cluster defaults scaled to fixture bytes)."""
+    from aws_data_engineering_spark.plans.relational_queries import (
+        _Q104_SKEW_CONFS,
+        _q104_skewed_agg,
+    )
+
+    sfd = "/root/testdata/sf0.01"
+    saved = {k: spark.conf.get(k, None) for k in _Q104_SKEW_CONFS}
+    try:
+        for k, v in _Q104_SKEW_CONFS.items():
+            spark.conf.set(k, v)
+        df = _q104_skewed_agg(spark, sfd)
+        got = {
+            (r["o_orderpriority"], r["revenue"], r["n_items"])
+            for r in df.collect()
+        }
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+    want = {
+        (r["o_orderpriority"], r["revenue"], r["n_items"])
+        for r in queries()["q43_salted_skew_join"](spark, sfd).collect()
+    }
+    assert got == want
+
+
 # Queries whose *construction* has side effects (writes, stream drains,
 # checkpoint jobs) — excluded from the whole-registry plan audit to keep it
 # fast and hermetic; each has its own dedicated tests above / in the suite.
@@ -327,6 +364,9 @@ _AUDIT_SKIP = {
     "g05_bfs_copurchase_hops", "g06_clustering_coefficient",
     "g03_label_propagation", "s04_ann_ivf_topk", "e06_semdedup",
     "e07_kmeans_lloyd", "m06_wav_decode_features", "m07_jpeg_decode_features",
+    # q104 materializes under conf-scoped AQE thresholds at construction
+    # (its skew plan is asserted by test_q104_aqe_skew_split_fires)
+    "q104_aqe_skew_join",
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY as a broadcast scalar/constant

@@ -125,10 +125,16 @@ def test_registrable_host_psl_rules(spark):
 
 
 def test_d22_dup_clusters_are_rule_made(spark, sf_dir):
-    """Raw URLs are all distinct (residue moduli lcm > fixture size), so
-    every canonical dup cluster is produced by the rules — and clusters
-    must exist (doc_id and doc_id+105/+140 collide by construction)."""
+    """For a SUB-CYCLE corpus (raw-URL cycle = lcm of the residue moduli
+    = 1260 > this 500-doc fixture) raw URLs are all distinct, so every
+    canonical dup cluster is produced by the rules — and clusters must
+    exist (doc_id and doc_id+105/+140 collide by construction). Larger
+    corpora (e.g. sf0.1's 5000 docs) additionally repeat identical raw
+    URLs every 1260 doc_ids — exact re-crawl dups, not rule-made; this
+    test's distinctness claim is scoped to the small fixture on purpose
+    (see operators/web.py module comment)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.count() <= 1260, "distinctness claim only holds sub-cycle"
     u = docs.select(W.synth_url(F.col("doc_id")).alias("url"))
     assert u.distinct().count() == docs.count()
     census = QUERIES["d22_url_host_dedup_census"].spark(spark, sf_dir)

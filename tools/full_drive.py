@@ -14,6 +14,15 @@ Usage:
 Defaults: /root/testdata/sf0.01, /tmp/full_drive.json, all queries.
 Output: one JSON object {name: {rows_match, schema_match, hash_match,
 spark_rows, oracle_rows, err, spark_sec, oracle_sec}} plus a _meta entry.
+
+Cross-round perf tripwire (VERDICT r10 #4): when a full (un-filtered) run
+completes, the newest committed FULLDRIVE_r*.json at the repo root whose
+sf_dir matches is diffed per-query; any query whose spark_sec grew >3x
+(and is slow enough to be signal, >= 1s) lands in _meta["regressions"]
+with its owning plan module and a code_changed bit (git-diff of that
+module against the baseline artifact's commit) — so "slower because the
+code changed" and "slower for no code reason" (noise or environment) are
+told apart mechanically instead of by judge archaeology.
 """
 
 from __future__ import annotations
@@ -29,6 +38,94 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+
+def _git(repo: str, *args: str) -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "-C", repo, *args],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001 — tripwire is best-effort
+        return ""
+
+
+def _find_baseline(repo: str, sf_dir: str, out_path: str) -> tuple[str, dict] | None:
+    """Newest committed FULLDRIVE_r*.json at the repo root with the same
+    sf_dir (a sf0.01 run must not be compared against a sf0.1 artifact)."""
+    import glob
+    import re
+
+    best: tuple[int, str, dict] | None = None
+    for p in glob.glob(os.path.join(repo, "FULLDRIVE_r*.json")):
+        if os.path.abspath(p) == os.path.abspath(out_path):
+            continue
+        m = re.search(r"FULLDRIVE_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if data.get("_meta", {}).get("sf_dir") != sf_dir:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, p, data)
+    return (best[1], best[2]) if best else None
+
+
+def _perf_regressions(
+    repo: str, sf_dir: str, out_path: str, results: dict, qs: dict
+) -> dict:
+    """Diff per-query spark_sec against the prior round's artifact; flag
+    >3x deltas (current >= 1s — sub-second jitter is not signal) with the
+    owning plan module and whether that module's code changed since the
+    baseline artifact's commit."""
+    base = _find_baseline(repo, sf_dir, out_path)
+    if base is None:
+        return {"baseline": None, "items": []}
+    base_path, base_data = base
+    # the baseline's code state: its recorded commit if stamped, else the
+    # commit that added the artifact file itself
+    base_commit = base_data.get("_meta", {}).get("commit") or _git(
+        repo, "log", "-n1", "--format=%H", "--", os.path.basename(base_path)
+    )
+    items = []
+    for name, row in results.items():
+        if name.startswith("_"):
+            continue
+        cur = row.get("spark_sec")
+        prev = (base_data.get(name) or {}).get("spark_sec")
+        if not cur or not prev or cur < 1.0 or cur <= 3.0 * prev:
+            continue
+        fn = qs.get(name)
+        mod = getattr(fn, "__module__", "") or ""
+        mod_path = mod.replace(".", "/") + ".py" if mod else ""
+        changed = None
+        if base_commit and mod_path:
+            diff = _git(repo, "diff", "--name-only", f"{base_commit}..HEAD", "--", mod_path)
+            dirty = _git(repo, "status", "--porcelain", "--", mod_path)
+            changed = bool(diff or dirty)
+        items.append(
+            {
+                "name": name,
+                "prev_sec": prev,
+                "cur_sec": cur,
+                "ratio": round(cur / prev, 2),
+                "module": mod_path,
+                "code_changed": changed,
+            }
+        )
+    items.sort(key=lambda i: -i["ratio"])
+    return {
+        "baseline": os.path.basename(base_path),
+        "baseline_commit": base_commit or None,
+        "items": items,
+    }
 
 
 def _canon_rows(rows: list[dict], cols: list[str]) -> list[tuple]:
@@ -133,15 +230,32 @@ def main() -> None:
         results[name] = row
         spark.catalog.clearCache()
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     results["_meta"] = {
         "sf_dir": sf_dir,
         "n_queries": len(results),
         "n_fail": n_fail,
         "total_sec": round(time.time() - t_start, 1),
+        "commit": _git(repo, "rev-parse", "HEAD") or None,
     }
+    # perf tripwire only on full runs — a filtered rerun's timings carry
+    # different session-warmup context and would false-flag
+    if not only:
+        results["_meta"]["regressions"] = _perf_regressions(
+            repo, sf_dir, out_path, results, qs
+        )
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out_path}: {len(results) - 1} queries, {n_fail} failures")
+    reg = results["_meta"].get("regressions")
+    if reg and reg["items"]:
+        print(f"PERF TRIPWIRE vs {reg['baseline']}:")
+        for it in reg["items"]:
+            print(
+                f"  {it['name']}: {it['prev_sec']}s -> {it['cur_sec']}s "
+                f"({it['ratio']}x) code_changed={it['code_changed']} "
+                f"[{it['module']}]"
+            )
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
