@@ -1732,3 +1732,224 @@ def c24_warc_container_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return parsed.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# c25 — snapshot expiration + orphan-file vacuum (round 11, VERDICT r10
+# #2): the missing maintenance verb of the c18 (manifests / time travel),
+# c22 (delete files), c23 (compaction) lakehouse lifecycle — and the
+# counterpart of the reference's one retention touch
+# (generic_load_script.py:151 disables Delta's retentionDurationCheck at
+# upsert precisely because vacuum is how old files get reclaimed).
+#
+# Table lifecycle under test: commit v1 writes the pre-cutoff orders
+# (4 files), commit v2 appends the rest (superset manifest, 8 files),
+# commit v3 is a COMPACTION — the full snapshot rewritten into 3 fresh
+# files and a manifest referencing ONLY those — after which the 8 original
+# files are referenced exclusively by expired history. A crashed commit is
+# simulated by planting an orphan parquet in the data directory that no
+# manifest ever references.
+#
+# Vacuum = expire manifests beyond the retention window (keep the latest),
+# then classify every file in ONE distributed plan: explode every
+# manifest's file list, take max(referencing version) per file, and label
+# the physical listing by left join — max_v >= live floor → live (byte
+# untouched), max_v < live floor → expired-only → delete, no manifest at
+# all → orphan → delete. The classification output is file-count-sized
+# (Iceberg-planner scale — the same bounded driver state c23's rewrite
+# planner holds); data rows are never read during vacuum. At 100 TB:
+# manifests are KB-sized metadata, the classification join scales with
+# file count not bytes, and the post-vacuum read plans exactly the pinned
+# live files — deleting history never touches them (pytest pins
+# mtime/size byte-identity and before == after aggregates).
+#
+# Oracle: the post-vacuum read through v3 must still be the FULL orders
+# aggregate (v3 is the compacted full snapshot), and the audit columns pin
+# the closed-form classification census (2 expired manifests, 8 expired
+# files, 1 orphan, 3 live files).
+# --------------------------------------------------------------------------
+_C25_CUTOFF = "1996-01-01"
+_C25_FILES_PER_COMMIT = 4
+_C25_COMPACT_FILES = 3
+
+
+@register(
+    "c25_snapshot_expire_vacuum",
+    f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(2 AS BIGINT) AS n_expired_manifests,
+           CAST({2 * _C25_FILES_PER_COMMIT} AS BIGINT) AS n_expired_files_deleted,
+           CAST(1 AS BIGINT) AS n_orphans_deleted,
+           CAST({_C25_COMPACT_FILES} AS BIGINT) AS n_live_files
+    FROM orders GROUP BY 1
+    """,
+    "snapshot expiration + orphan-file vacuum on the manifest lakehouse: "
+    "append, append, compact, then expire all but the latest snapshot and "
+    "GC — files referenced only by expired manifests and a planted "
+    "uncommitted orphan are deleted via one distributed "
+    "manifest-classification join (never a data scan); the post-vacuum "
+    "read through the surviving snapshot hash-matches the full-table "
+    "oracle and the audit columns pin the file census",
+)
+def c25_snapshot_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    root = f"{tempfile.gettempdir()}/c25_{uuid.uuid4().hex}"
+    _c25_build_table(spark, sf_dir, root)
+    audit = _c25_vacuum(spark, root)
+    return _c25_read(spark, root, audit)
+
+
+def _c25_data_files(data_dir: str) -> set[str]:
+    import os
+
+    return {
+        f for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    }
+
+
+def _c25_build_table(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """append (v1) -> append (v2) -> compact (v3) + one uncommitted orphan."""
+    import json
+    import os
+    import uuid
+
+    orders = _t(spark, sf_dir, "orders")
+    data_dir = f"{root}/data"
+    manifest_dir = f"{root}/manifests"
+    os.makedirs(manifest_dir, exist_ok=True)
+
+    def _commit(version: int, files: set[str]) -> None:
+        # single-line JSON → spark.read.json reads the manifest set
+        # directly as a DataFrame (one row per manifest)
+        tmp = f"{manifest_dir}/.v{version}.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": sorted(files)}, fh)
+        os.replace(tmp, f"{manifest_dir}/v{version}.json")
+
+    # v1: pre-cutoff snapshot; v2: append the rest (c18 append semantics)
+    (
+        orders.filter(F.col("o_orderdate") < F.lit(_C25_CUTOFF))
+        .repartition(_C25_FILES_PER_COMMIT)
+        .write.mode("overwrite")
+        .parquet(data_dir)
+    )
+    _commit(1, _c25_data_files(data_dir))
+    (
+        orders.filter(F.col("o_orderdate") >= F.lit(_C25_CUTOFF))
+        .repartition(_C25_FILES_PER_COMMIT)
+        .write.mode("append")
+        .parquet(data_dir)
+    )
+    v2_files = _c25_data_files(data_dir)
+    _commit(2, v2_files)
+
+    # v3: compaction — the v2 snapshot rewritten into fresh files; the
+    # manifest lists ONLY the rewrite output, stranding v1/v2's files in
+    # expired history
+    (
+        spark.read.parquet(*[f"{data_dir}/{f}" for f in sorted(v2_files)])
+        .repartition(_C25_COMPACT_FILES)
+        .write.mode("append")
+        .parquet(data_dir)
+    )
+    _commit(3, _c25_data_files(data_dir) - v2_files)
+
+    # a crashed writer's uncommitted file: present on disk, in no manifest
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orphan = f"{data_dir}/part-orphan-{uuid.uuid4().hex}.parquet"
+    pq.write_table(pa.table({"o_orderkey": pa.array([-1], type=pa.int64())}), orphan)
+
+
+def _c25_vacuum(spark: SparkSession, root: str) -> dict:
+    """Expire all manifests but the newest, then GC: ONE distributed
+    classification plan (explode manifests -> max referencing version per
+    file -> left-join the physical listing) labels every file live /
+    expired-only / orphan; non-live files and expired manifests are
+    removed. Returns the audit census (file-count-sized driver state —
+    Iceberg-planner scale; data rows are never read)."""
+    import os
+
+    data_dir = f"{root}/data"
+    manifest_dir = f"{root}/manifests"
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(manifest_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    live_floor = versions[-1]  # Iceberg expire_snapshots retain-last=1
+    manifests = spark.read.json(
+        [f"{manifest_dir}/v{v}.json" for v in versions]
+    ).select("version", F.explode("files").alias("f"))
+    phys = spark.createDataFrame(
+        [(f,) for f in sorted(_c25_data_files(data_dir))], "f string"
+    )
+    labeled = (
+        phys.join(
+            manifests.groupBy("f").agg(F.max("version").alias("max_v")),
+            "f",
+            "left",
+        )
+        .select(
+            "f",
+            F.when(F.col("max_v").isNull(), F.lit("orphan"))
+            .when(F.col("max_v") < live_floor, F.lit("expired"))
+            .otherwise(F.lit("live"))
+            .alias("state"),
+        )
+        .collect()  # file-count-sized driver state (planner scale)
+    )
+    for r in labeled:
+        if r["state"] != "live":
+            os.remove(f"{data_dir}/{r['f']}")
+    expired_manifests = [v for v in versions if v < live_floor]
+    for v in expired_manifests:
+        os.remove(f"{manifest_dir}/v{v}.json")
+    return {
+        "live_floor": live_floor,
+        "n_expired_manifests": len(expired_manifests),
+        "n_expired_files_deleted": sum(
+            1 for r in labeled if r["state"] == "expired"
+        ),
+        "n_orphans_deleted": sum(1 for r in labeled if r["state"] == "orphan"),
+        "n_live_files": sum(1 for r in labeled if r["state"] == "live"),
+    }
+
+
+def _c25_read(spark: SparkSession, root: str, audit: dict) -> DataFrame:
+    """Read through the surviving snapshot's manifest (c18's pinned-file
+    read path) and append the vacuum audit census."""
+    import json
+
+    with open(f"{root}/manifests/v{audit['live_floor']}.json") as fh:
+        live_manifest = json.load(fh)
+    live_df = spark.read.parquet(
+        *[f"{root}/data/{f}" for f in live_manifest["files"]]
+    )
+    return (
+        live_df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .withColumn(
+            "n_expired_manifests",
+            F.lit(audit["n_expired_manifests"]).cast("bigint"),
+        )
+        .withColumn(
+            "n_expired_files_deleted",
+            F.lit(audit["n_expired_files_deleted"]).cast("bigint"),
+        )
+        .withColumn(
+            "n_orphans_deleted", F.lit(audit["n_orphans_deleted"]).cast("bigint")
+        )
+        .withColumn("n_live_files", F.lit(audit["n_live_files"]).cast("bigint"))
+    )

@@ -1574,3 +1574,170 @@ def pp03_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
         F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("bigint").alias("kept_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# pp04 — image-text pair curation gate (round 11, VERDICT r10 #5): the
+# LAION-shaped composition — the one LLM-pipeline stage family pp01/pp02/
+# pp03 did not yet cover. Each (caption, image) pair flows through three
+# gate families in ONE plan with the pp01/pp03 FIRST-MATCH-WINS drop
+# attribution: (m) REAL image decode stats — the pair's image bytes are
+# synthesized and decoded through the m02 Arrow mapInPandas path, and
+# pairs whose min dimension is under 6px are dropped (the LAION size
+# floor); (t) caption quality — exact whitespace token count (the t02
+# splitter), captions under 15 tokens dropped; (s) embedding similarity —
+# the CLIP-score analog, sequential-fold cosine between the pair's text
+# embedding (vec_id = doc_id) and image embedding (vec_id = doc_id XOR 1,
+# the deterministic partner pairing), negative-similarity pairs dropped.
+# Survivor statistics carry all three families: token mass, pixel mass,
+# and integer-quantized similarity / channel-mean sums (floor-quantized
+# per row BEFORE the aggregate, so the sums are order-free integers).
+#
+# Oracle: the fake-image pixels are a closed form of doc_id (m02's
+# contract), the splitter is the t02 SQL twin, and DuckDB's
+# list_cosine_similarity is the same IEEE fold as the Spark-side cosine —
+# so the whole multimodal waterfall is hash-checked, decode path
+# included. Scale: decode is one Arrow map stage over the pair set (blobs
+# die inside the worker), the embedding joins are equi-joins on vec_id,
+# and the census shuffles only (lang)-keyed partials — linear in pairs.
+# --------------------------------------------------------------------------
+_PP04_MIN_DIM = 6
+_PP04_MIN_TOKENS = 15
+
+
+def _pp04_oracle() -> str:
+    ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    return f"""
+    WITH p AS (
+      SELECT d.doc_id, d.lang,
+             CAST(4 + d.doc_id % 16 AS INT) AS w,
+             CAST(4 + d.doc_id % 12 AS INT) AS h,
+             LEN(string_split_regex(trim(d.text, {ws}),
+                                    '[ \\t\\n\\x0b\\f\\r]+')) AS n_tok,
+             list_cosine_similarity(CAST(et.embedding AS DOUBLE[]),
+                                    CAST(ei.embedding AS DOUBLE[])) AS sim
+      FROM documents d
+      JOIN embeddings et ON d.doc_id = et.vec_id
+      JOIN embeddings ei ON xor(d.doc_id, 1) = ei.vec_id
+    ), f AS (
+      SELECT lang, n_tok, sim,
+             CAST(w AS BIGINT) * h AS n_px,
+             CAST(list_aggregate(
+                    [CAST((doc_id + k) * 31 % 256 AS DOUBLE)
+                     FOR k IN generate_series(0, w * h - 1)],
+                    'sum') AS DOUBLE) / (w * h) AS mean_px,
+             CASE WHEN LEAST(w, h) < {_PP04_MIN_DIM} THEN 'img_small'
+                  WHEN n_tok < {_PP04_MIN_TOKENS} THEN 'caption_short'
+                  WHEN sim < CAST(0.0 AS DOUBLE) THEN 'low_sim'
+                  ELSE 'kept' END AS label
+      FROM p
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (label = 'img_small') AS BIGINT)
+             AS drop_img_small,
+           CAST(COUNT(*) FILTER (label = 'caption_short') AS BIGINT)
+             AS drop_caption,
+           CAST(COUNT(*) FILTER (label = 'low_sim') AS BIGINT) AS drop_low_sim,
+           CAST(COUNT(*) FILTER (label = 'kept') AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(n_tok) FILTER (label = 'kept'), 0) AS BIGINT)
+             AS kept_tokens,
+           CAST(COALESCE(SUM(n_px) FILTER (label = 'kept'), 0) AS BIGINT)
+             AS kept_pixels,
+           CAST(COALESCE(SUM(CAST(FLOOR(sim * 10000) AS BIGINT))
+                         FILTER (label = 'kept'), 0) AS BIGINT) AS kept_sim_e4,
+           CAST(COALESCE(SUM(CAST(FLOOR(mean_px * 100) AS BIGINT))
+                         FILTER (label = 'kept'), 0) AS BIGINT)
+             AS kept_meanpx_e2
+    FROM f GROUP BY 1
+    """
+
+
+@register(
+    "pp04_image_text_curation",
+    _pp04_oracle(),
+    "LAION-shaped image-text pair curation as ONE plan: real image decode "
+    "stats (m02 Arrow path) -> min-dimension gate -> caption token-count "
+    "gate (t02 splitter) -> embedding-cosine CLIP-score gate (text vs "
+    "image embedding, XOR-partner pairing) -> per-lang keep/drop census "
+    "with first-match-wins attribution and integer-quantized survivor "
+    "stats across all three gate families",
+)
+def pp04_image_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_engineering_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    et = emb.select(
+        F.col("vec_id").alias("t_id"),
+        F.col("embedding").cast("array<double>").alias("t_emb"),
+    )
+    ei = emb.select(
+        F.col("vec_id").alias("i_id"),
+        F.col("embedding").cast("array<double>").alias("i_emb"),
+    )
+    pairs = (
+        docs.join(et, F.col("doc_id") == F.col("t_id"))
+        .join(ei, F.expr("doc_id ^ 1") == F.col("i_id"))
+        .select(
+            "doc_id",
+            "lang",
+            T.token_count("text").alias("n_tok"),
+            S.cosine(F.col("t_emb"), F.col("i_emb")).alias("sim"),
+        )
+    )
+    # the REAL decode path: synthesize the pair's image bytes, decode via
+    # the m02 Arrow kernel, join the scalar stats back (blobs never leave
+    # the worker)
+    stats = M.decode_images(
+        M.synthesize_fake_images(pairs, "doc_id"), "id", "data", "mime"
+    ).select("id", "width", "height", "n_pixels", "mean_pixel")
+    m = pairs.join(stats, pairs["doc_id"] == stats["id"]).select(
+        "lang",
+        "n_tok",
+        "sim",
+        F.col("n_pixels").cast("bigint").alias("n_px"),
+        "mean_pixel",
+        F.when(
+            F.least(F.col("width"), F.col("height")) < _PP04_MIN_DIM,
+            F.lit("img_small"),
+        )
+        .when(F.col("n_tok") < _PP04_MIN_TOKENS, F.lit("caption_short"))
+        .when(F.col("sim") < F.lit(0.0), F.lit("low_sim"))
+        .otherwise(F.lit("kept"))
+        .alias("label"),
+    )
+    kept = F.col("label") == "kept"
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count(F.when(F.col("label") == "img_small", 1))
+        .cast("bigint")
+        .alias("drop_img_small"),
+        F.count(F.when(F.col("label") == "caption_short", 1))
+        .cast("bigint")
+        .alias("drop_caption"),
+        F.count(F.when(F.col("label") == "low_sim", 1))
+        .cast("bigint")
+        .alias("drop_low_sim"),
+        F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_px"))), F.lit(0))
+        .cast("bigint")
+        .alias("kept_pixels"),
+        F.coalesce(
+            F.sum(F.when(kept, F.floor(F.col("sim") * 10000).cast("bigint"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("kept_sim_e4"),
+        F.coalesce(
+            F.sum(
+                F.when(kept, F.floor(F.col("mean_pixel") * 100).cast("bigint"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("kept_meanpx_e2"),
+    )

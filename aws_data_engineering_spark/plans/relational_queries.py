@@ -1342,7 +1342,6 @@ _Q104_SKEW_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "24KB",
     # the post-join aggregate re-shuffles on the same key; without force,
     # AQE declines to split a partitioning a downstream stage could reuse
     "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
@@ -1362,6 +1361,32 @@ _Q104_SKEW_CONFS = {
     # shuffle would
     "spark.sql.shuffle.partitions": "32",
 }
+
+
+def _q104_skew_confs(sf_dir: str) -> dict[str, str]:
+    """_Q104_SKEW_CONFS plus a DATA-ADAPTIVE advisory (split-target) size:
+    a fixed tiny advisory would shatter a 100x corpus's hot partitions
+    into tens of thousands of splits (each a task), while a fixed large
+    one would never split the fixture — scale it with the fact table's
+    bytes so every SF splits its hot partitions into a sane handful, the
+    ratio production defaults (256MB advisory vs multi-GB skew) achieve
+    on real clusters."""
+    import os
+
+    path = f"{sf_dir}/lineitem.parquet"
+    if os.path.isdir(path):
+        nbytes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        nbytes = os.path.getsize(path)
+    confs = dict(_Q104_SKEW_CONFS)
+    confs["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = str(
+        max(24 * 1024, nbytes // 128)
+    )
+    return confs
 
 
 def _q104_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1407,9 +1432,10 @@ def q104_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     out = f"{tempfile.gettempdir()}/q104_{uuid.uuid4().hex}"
-    saved = {k: spark.conf.get(k, None) for k in _Q104_SKEW_CONFS}
+    confs = _q104_skew_confs(sf_dir)
+    saved = {k: spark.conf.get(k, None) for k in confs}
     try:
-        for k, v in _Q104_SKEW_CONFS.items():
+        for k, v in confs.items():
             spark.conf.set(k, v)
         _q104_skewed_agg(spark, sf_dir).write.parquet(out)
     finally:

@@ -208,6 +208,14 @@ HEADLINE = [
     # and st19 rides the streaming floor (st18 precedent) — both
     # correctness-gated and measured at 100x in SCALING_r10 instead.
     "pp03_web_curation_pipeline",
+    # round-11: pp04 joins the pipeline compositions (the LAION-shaped
+    # image-text gate: decode + caption + cosine families in one plan) and
+    # q104 gives the AQE skew-split join a round-over-round number (its
+    # 5-row temp-parquet materialization is negligible next to the two
+    # joins). c25 vacuum is write-bound maintenance (c04/c18 precedent) —
+    # correctness-gated and measured at 100x in SCALING_r11 instead.
+    "pp04_image_text_curation",
+    "q104_aqe_skew_join",
 ]
 
 

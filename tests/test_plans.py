@@ -319,14 +319,15 @@ def test_q104_aqe_skew_split_fires(spark):
     the hot partitions sit under the 16KB skew threshold by design (the
     thresholds model real-cluster defaults scaled to fixture bytes)."""
     from aws_data_engineering_spark.plans.relational_queries import (
-        _Q104_SKEW_CONFS,
+        _q104_skew_confs,
         _q104_skewed_agg,
     )
 
     sfd = "/root/testdata/sf0.01"
-    saved = {k: spark.conf.get(k, None) for k in _Q104_SKEW_CONFS}
+    confs = _q104_skew_confs(sfd)
+    saved = {k: spark.conf.get(k, None) for k in confs}
     try:
-        for k, v in _Q104_SKEW_CONFS.items():
+        for k, v in confs.items():
             spark.conf.set(k, v)
         df = _q104_skewed_agg(spark, sfd)
         got = {
@@ -367,6 +368,9 @@ _AUDIT_SKIP = {
     # q104 materializes under conf-scoped AQE thresholds at construction
     # (its skew plan is asserted by test_q104_aqe_skew_split_fires)
     "q104_aqe_skew_join",
+    # c25 builds its 3-commit manifest table (writes) at construction; its
+    # file mechanics are pinned by tests/test_round11.py
+    "c25_snapshot_expire_vacuum",
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY as a broadcast scalar/constant
