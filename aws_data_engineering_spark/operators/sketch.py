@@ -15,7 +15,7 @@ generic_load_script.py:113-148); this is engine-surface extension.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 QDIGEST_LEVELS = 19  # domain [0, 2^19): whole-dollar order totals
@@ -68,178 +68,161 @@ def qdigest_nodes(
     )
 
 
+def _compress_leaf_arrays(v, c, levels: int, k: int):
+    """The canonical bottom-up compression over (v, cnt) numpy arrays.
+
+    Returns (level, node_id, cnt) int64 arrays for the kept nodes plus the
+    conservation root, and (n_total, t). Pure int64 arithmetic — the same
+    push/keep rule as the unrolled per-level groupBys this replaced, so the
+    digest is bit-identical; the arrays are DOMAIN-bounded (<= 2^levels
+    rows) regardless of corpus size, which is why one task may hold them.
+    """
+    import numpy as np
+
+    n = int(c.sum())
+    t = n // k
+    out_lvl: list = []
+    out_id: list = []
+    out_cnt: list = []
+    node, cnt = v, c
+    for level in range(levels):
+        keep = cnt > t
+        if keep.any():
+            out_lvl.append(np.full(int(keep.sum()), level, dtype=np.int64))
+            out_id.append(node[keep])
+            out_cnt.append(cnt[keep])
+        node_p = node[~keep] >> 1  # node_id div 2 (ids are non-negative)
+        cnt_p = cnt[~keep]
+        if node_p.size:
+            uid, inv = np.unique(node_p, return_inverse=True)
+            agg = np.zeros(uid.size, dtype=np.int64)
+            np.add.at(agg, inv, cnt_p)
+            node, cnt = uid, agg
+        else:
+            node, cnt = node_p, cnt_p
+    kept_mass = int(sum(int(a.sum()) for a in out_cnt))
+    # root by CONSERVATION (n minus the emitted mass), not by aggregating
+    # the final pushed table: when every node of some level clears the
+    # threshold the push chain dies early and the root would go missing —
+    # while the oracle's SUM-over-empty emits cnt=0 (caught by the sf0.01
+    # drive in round 6). Pushes preserve mass, so the forms agree whenever
+    # the chain survives.
+    out_lvl.append(np.array([levels], dtype=np.int64))
+    out_id.append(np.array([0], dtype=np.int64))
+    out_cnt.append(np.array([n - kept_mass], dtype=np.int64))
+    lvl = np.concatenate(out_lvl)
+    nid = np.concatenate(out_id)
+    cn = np.concatenate(out_cnt)
+    return lvl, nid, cn, n, t
+
+
 def qdigest_nodes_from_leaves(
     leaves: DataFrame, levels: int = QDIGEST_LEVELS, k: int = QDIGEST_K
 ) -> DataFrame:
     """Canonical compression over a (v, cnt) leaf histogram — see
-    :func:`qdigest_nodes` for the contract and invariants."""
-    from aws_data_engineering_spark.operators.checkpoints import (
-        release_checkpoints,
-        tracked_local_checkpoint,
-    )
+    :func:`qdigest_nodes` for the contract and invariants.
 
-    spark = leaves.sparkSession
-    own_ids: set[int] = set()
-    # n and T ride a 1-task window over the DOMAIN-BOUNDED leaf table
-    # (<= 2^levels rows at any corpus size — never the fact table)
-    w_all = Window.partitionBy(F.lit(1))
-    leaves = leaves.withColumn("n_total", F.sum("cnt").over(w_all)).withColumn(
-        "t_thresh", F.expr(f"n_total div {k}")
-    )
-    nodes = tracked_local_checkpoint(
-        leaves.select(F.col("v").alias("node_id"), "cnt", "n_total", "t_thresh"),
-        own_ids,
-    )
-    # eager per-level checkpoints (the bpe_learn pattern): each level's
-    # node table is tiny but its lineage is every previous level — without
-    # materialization the L kept-branches of the final union re-run their
-    # whole level prefix (O(L^2) shuffle stages; measured 63s -> ~8s at
-    # sf0.001). Construction therefore RUNS jobs; intermediates are
-    # released before returning, the final digest block stays until GC.
-    kept = None
-    for level in range(levels):
-        keep = nodes.filter(
-            (F.col("cnt") > F.col("t_thresh"))
-        ).select(
-            F.lit(level).alias("level"),
-            "node_id",
-            "cnt",
-            (F.col("node_id") * (1 << level)).alias("lo"),
-            ((F.col("node_id") + 1) * (1 << level)).alias("hi"),
-            "n_total",
-        )
-        kept = keep if kept is None else kept.unionAll(keep)
-        pushed = (
-            nodes.filter(F.col("cnt") <= F.col("t_thresh"))
-            .groupBy(
-                F.expr("node_id div 2").alias("node_id"), "n_total", "t_thresh"
-            )
-            .agg(F.sum("cnt").alias("cnt"))
-            .select("node_id", "cnt", "n_total", "t_thresh")
-        )
-        # checkpoint every 3rd level: enough to keep the kept-branch
-        # recompute depth <= 2 levels while paying ~7 jobs instead of ~20
-        nodes = (
-            tracked_local_checkpoint(pushed, own_ids)
-            if level % 3 == 2
-            else pushed
-        )
-    # root by CONSERVATION (n minus the emitted mass), not by aggregating
-    # the final pushed table: when every node of some level clears the
-    # threshold the push chain dies early and a groupBy over the empty
-    # table would emit NO root row at all — while the oracle's SUM-over-
-    # empty emits cnt=0 — skewing digest_size between engines (caught by
-    # the sf0.01 drive). Pushes preserve mass, so the two forms agree
-    # whenever the chain survives.
-    meta1 = leaves.groupBy("n_total").agg(F.count(F.lit(1)).alias("_"))
-    kept_sum = kept.groupBy().agg(F.sum("cnt").alias("ks"))
-    root = meta1.crossJoin(kept_sum).select(
-        F.lit(levels).alias("level"),
-        F.lit(0).cast("long").alias("node_id"),
-        (F.col("n_total") - F.coalesce(F.col("ks"), F.lit(0))).alias("cnt"),
-        F.lit(0).cast("long").alias("lo"),
-        F.lit(1 << levels).cast("long").alias("hi"),
-        "n_total",
-    )
-    # final digest checkpoint happens AFTER the tracked set is complete,
-    # then exactly the tracked intermediates are released: per-checkpoint
-    # id tracking (not a global before/after registry diff) so checkpoints
-    # a concurrent thread created on the shared session are never
-    # destroyed (review r6)
-    digest = kept.unionAll(root).localCheckpoint(eager=True)
-    release_checkpoints(spark, own_ids)
-    return digest
-
-
-def qdigest_quantiles(digest: DataFrame, qs: tuple[float, ...]) -> DataFrame:
-    """Rank-walk quantile estimates from a q-digest.
-
-    Canonical walk: nodes ordered by (hi, lo) ascending — narrower ranges
-    before the ancestors that contain them — cumulative counts, and the
-    estimate for rank r = ceil(q * n) is ``hi - 1`` of the first node
-    whose running total reaches r. Pure integer arithmetic after the one
-    IEEE multiply ceil(q*n), identical on any engine.
+    The compression itself runs as ONE Arrow stage (applyInPandas over the
+    whole histogram): the leaf table is bounded by the 2^levels domain —
+    never the corpus — so a single task holds it, and the 19 per-level
+    push/keep rounds become one numpy pass instead of 19 groupBy stages
+    with eager checkpoints (guide §1.2/§4.2; measured 27.6s -> ~2s for
+    q100 at sf0.1 on the round-11 host). Every count is int64, so the
+    digest is bit-identical to the per-level-groupBy form it replaced
+    (pinned by test_qdigest_merge_equals_rebuild / the q100 oracle hash).
     """
-    w = Window.partitionBy(F.lit(1)).orderBy("hi", "lo")
-    cum = digest.withColumn("cum", F.sum("cnt").over(w))
-    out = None
-    for q in qs:
-        r = F.ceil(F.lit(q) * F.col("n_total"))
-        row = (
-            cum.filter(F.col("cum") >= r)
-            .orderBy("hi", "lo")
-            .limit(1)
-            .select(
-                F.lit(q).alias("q"),
-                r.cast("long").alias("rank"),
-                (F.col("hi") - 1).alias("est"),
-                "n_total",
-            )
+
+    def compress(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf["v"].to_numpy(np.int64)
+        c = pdf["cnt"].to_numpy(np.int64)
+        lvl, nid, cn, n, _t = _compress_leaf_arrays(v, c, levels, k)
+        return pd.DataFrame(
+            {
+                "level": lvl.astype(np.int32),
+                "node_id": nid,
+                "cnt": cn,
+                "lo": nid << lvl,
+                "hi": (nid + 1) << lvl,
+                "n_total": np.full(lvl.size, n, dtype=np.int64),
+            }
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+
+    return leaves.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        compress,
+        "level int, node_id long, cnt long, lo long, hi long, n_total long",
+    )
 
 
-def qdigest_report(
-    digest: DataFrame,
+def qdigest_report_from_leaves(
     leaves: DataFrame,
     qs: tuple[float, ...],
     levels: int = QDIGEST_LEVELS,
     k: int = QDIGEST_K,
 ) -> DataFrame:
-    """Quantile report from a digest + its leaf histogram: per q, the
-    rank, the (hi,lo)-walk estimate, the exact percentile, the achieved
-    rank, the overshoot, the 2*levels*T bound, digest size and n. The
-    post-digest block q100 and st14 share (both produce bit-identical
-    digests — merge == rebuild — so both hash-match the same oracle)."""
-    spark = digest.sparkSession
-    w = Window.partitionBy(F.lit(1)).orderBy("hi", "lo")
-    cum = digest.select("lo", "hi", "cnt", F.sum("cnt").over(w).alias("cum"))
-    meta = digest.groupBy("n_total").agg(F.count(F.lit(1)).alias("digest_size"))
-    qs_df = spark.createDataFrame([(q,) for q in qs], "q double")
-    ranks = qs_df.crossJoin(F.broadcast(meta)).select(
-        "q",
-        F.ceil(F.col("q") * F.col("n_total")).cast("long").alias("rank"),
-        "n_total",
-        "digest_size",
-    )
-    # bounded non-equi joins: |qs| ranks x a digest-sized (resp. domain-
-    # bounded) table — BNLJ over sketch state, never the fact table
-    w_q = Window.partitionBy("q").orderBy("hi", "lo")
-    pick = (
-        ranks.join(cum, cum["cum"] >= ranks["rank"])
-        .withColumn("rn", F.row_number().over(w_q))
-        .filter(F.col("rn") == 1)
-        .select("q", "rank", (F.col("hi") - 1).alias("est"),
-                "n_total", "digest_size")
-    )
-    lcum = leaves.select(
-        "v",
-        F.sum("cnt").over(Window.partitionBy(F.lit(1)).orderBy("v")).alias("cum"),
-    )
-    exact = (
-        ranks.select("q", "rank")
-        .join(lcum, lcum["cum"] >= F.col("rank"))
-        .groupBy("q")
-        .agg(F.min("v").alias("exact_v"))
-    )
-    achieved = (
-        pick.select("q", "est")
-        .join(lcum, lcum["v"] <= F.col("est"))
-        .groupBy("q")
-        .agg(F.max("cum").alias("rank_achieved"))
-    )
-    t = F.expr(f"n_total div {k}")
-    return pick.join(exact, "q").join(achieved, "q").select(
-        "q",
-        "rank",
-        "est",
-        F.col("exact_v").alias("exact"),
-        "rank_achieved",
-        (F.col("rank_achieved") - F.col("rank")).alias("rank_overshoot"),
-        (F.lit(2 * levels) * t).cast("bigint").alias("rank_err_bound"),
-        F.col("digest_size").cast("bigint").alias("digest_size"),
-        F.col("n_total").cast("bigint").alias("n_total"),
+    """Quantile report built from the leaf histogram in ONE Arrow stage:
+    per q, the rank, the (hi,lo)-walk estimate, the exact percentile, the
+    achieved rank, the overshoot, the 2*levels*T bound, digest size and n.
+
+    Fuses :func:`qdigest_nodes_from_leaves`'s compression with the rank
+    walk / exact-percentile / achieved-rank joins the old qdigest_report
+    ran as windows + bounded BNLJs over the digest (q100 went from a
+    104-operator plan with ~25 stages to scan -> census groupBy -> one
+    applyInPandas). Everything after the corpus-sized census collapse is
+    bounded by the 2^levels domain, so one task holds it; all arithmetic
+    is int64 except the one IEEE multiply ceil(q*n) — the same operation
+    order as the Spark expressions this replaced, so results are
+    bit-identical (oracle-hash-pinned for q100 and st14).
+    """
+    qs_t = tuple(float(q) for q in qs)
+
+    def report(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        v = pdf["v"].to_numpy(np.int64)
+        c = pdf["cnt"].to_numpy(np.int64)
+        lvl, nid, cn, n, t = _compress_leaf_arrays(v, c, levels, k)
+        lo = nid << lvl
+        hi = (nid + 1) << lvl
+        # canonical walk: nodes ordered by (hi, lo) ascending — narrower
+        # ranges before the ancestors that contain them
+        order = np.lexsort((lo, hi))
+        hi_s, cum = hi[order], np.cumsum(cn[order])
+        # exact side: leaf histogram ordered by value
+        vorder = np.argsort(v, kind="stable")
+        v_s, lcum = v[vorder], np.cumsum(c[vorder])
+        rows = []
+        for q in qs_t:
+            rank = int(math.ceil(q * n))  # the one IEEE multiply
+            i = int(np.searchsorted(cum, rank))
+            est = int(hi_s[i]) - 1
+            j = int(np.searchsorted(lcum, rank))
+            exact = int(v_s[j])
+            # achieved rank: total leaf mass at values <= est
+            a = int(np.searchsorted(v_s, est, side="right"))
+            achieved = int(lcum[a - 1]) if a > 0 else 0
+            rows.append(
+                (q, rank, est, exact, achieved, achieved - rank,
+                 2 * levels * t, int(lvl.size), n)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "q", "rank", "est", "exact", "rank_achieved",
+                "rank_overshoot", "rank_err_bound", "digest_size", "n_total",
+            ],
+        )
+
+    return leaves.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        report,
+        "q double, rank long, est long, exact long, rank_achieved long, "
+        "rank_overshoot long, rank_err_bound long, digest_size long, "
+        "n_total long",
     )
 
 

@@ -1327,12 +1327,10 @@ _Q100_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 def q100_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     leaves = SK.qdigest_leaves(orders, F.floor("o_totalprice"))
-    # the digest is tiny (<= ~levels * k rows) but its lineage is 19
-    # unrolled groupBy levels; eager-localCheckpoint it ONCE so the walk,
-    # the metadata row, and the quantile joins read a few-KB block instead
-    # of re-running the compression per reference (the bpe_learn lesson)
-    digest = SK.qdigest_nodes_from_leaves(leaves).localCheckpoint(eager=True)
-    return SK.qdigest_report(digest, leaves, _Q100_QS)
+    # compression + rank walk + exact/achieved percentiles fused into ONE
+    # Arrow stage over the domain-bounded census (guide §1.2/§4.2): the
+    # only corpus-sized stage left is the level-0 groupBy census itself
+    return SK.qdigest_report_from_leaves(leaves, _Q100_QS)
 
 
 # --------------------------------------------------------------------------

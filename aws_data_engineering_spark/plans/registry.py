@@ -138,6 +138,14 @@ _FORM_CHANGED: dict[str, int] = {
     "t20_dsir_importance": 11,
     "c23_delete_vector_compaction": 11,
     "s04_ann_ivf_topk": 11,
+    # Round-11 optimization: the q-digest report collapsed from the
+    # 19-level unrolled groupBy chain + window walk into ONE Arrow stage
+    # over the domain-bounded census (bit-identical results — pinned by
+    # tests/test_opt_r11.py — but the plan form is new); q104 gained a
+    # coalesce(1) on its scoped-conf materialization write.
+    "q100_qdigest_quantiles": 11,
+    "st14_stream_qdigest_quantiles": 11,
+    "q104_aqe_skew_join": 11,
 }
 
 

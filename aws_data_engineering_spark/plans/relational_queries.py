@@ -1397,6 +1397,14 @@ def _q104_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # NOT broadcast (probed round 11): hinting the dims-sized orders side
+    # to broadcast here would drop 2 Exchange + 2 Sort, but it also makes
+    # the priority shuffle's map side a single-row-group scan task — and
+    # AQE splits a skewed reduce partition into contiguous MAP-OUTPUT
+    # ranges, so with one non-empty mapper there is no split point and
+    # SortMergeJoin(skew=true) never fires (the plan-asserted mechanism
+    # this query exists to prove). The orderkey SMJ is what gives the
+    # skewed shuffle its many mappers, exactly like a real cluster's scan.
     fact = li.join(
         orders, li["l_orderkey"] == orders["o_orderkey"]
     ).select("o_orderpriority", "l_extendedprice", "l_discount")
@@ -1437,7 +1445,10 @@ def q104_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        _q104_skewed_agg(spark, sf_dir).write.parquet(out)
+        # coalesce(1): the aggregate is 5 rows but the session's
+        # coalescePartitions is OFF inside this scope (see confs), so the
+        # write would otherwise emit shuffle.partitions near-empty files
+        _q104_skewed_agg(spark, sf_dir).coalesce(1).write.parquet(out)
     finally:
         for k, v in saved.items():
             if v is None:

@@ -353,8 +353,9 @@ def st14_stream_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     leaves = read_qdigest_view(spark, os.path.join(base, "partials"))
-    digest = _SK.qdigest_nodes_from_leaves(leaves).localCheckpoint(eager=True)
-    return _SK.qdigest_report(digest, leaves, (0.25, 0.5, 0.75, 0.9, 0.99))
+    # compression + report fused into ONE Arrow stage over the merged
+    # domain-bounded partials (same kernel as q100 — merge == rebuild)
+    return _SK.qdigest_report_from_leaves(leaves, (0.25, 0.5, 0.75, 0.9, 0.99))
 
 
 @register(
