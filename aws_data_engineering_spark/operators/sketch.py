@@ -68,52 +68,68 @@ def qdigest_nodes(
     )
 
 
-def _compress_leaf_arrays(v, c, levels: int, k: int):
-    """The canonical bottom-up compression over (v, cnt) numpy arrays.
+def _compress_leaf_arrays_fn(levels: int, k: int):
+    """Factory for the canonical bottom-up compression over (v, cnt)
+    numpy arrays.
 
-    Returns (level, node_id, cnt) int64 arrays for the kept nodes plus the
-    conservation root, and (n_total, t). Pure int64 arithmetic — the same
-    push/keep rule as the unrolled per-level groupBys this replaced, so the
-    digest is bit-identical; the arrays are DOMAIN-bounded (<= 2^levels
-    rows) regardless of corpus size, which is why one task may hold them.
+    The kernel is DEFINED INSIDE the factory so cloudpickle ships it BY
+    VALUE with any applyInPandas closure that captures it: a module-level
+    helper would be pickled by reference and require
+    aws_data_engineering_spark to be importable inside the Python worker,
+    which the round-driver's sys.path-based import does not guarantee
+    (ModuleNotFoundError on workers when the driver runs from another
+    cwd — the ``_shingle_worker_fns`` lesson from operators/dedup.py).
+
+    The kernel returns (level, node_id, cnt) int64 arrays for the kept
+    nodes plus the conservation root, and (n_total, t). Pure int64
+    arithmetic — the same push/keep rule as the unrolled per-level
+    groupBys this replaced, so the digest is bit-identical; the arrays
+    are DOMAIN-bounded (<= 2^levels rows) regardless of corpus size,
+    which is why one task may hold them.
     """
-    import numpy as np
 
-    n = int(c.sum())
-    t = n // k
-    out_lvl: list = []
-    out_id: list = []
-    out_cnt: list = []
-    node, cnt = v, c
-    for level in range(levels):
-        keep = cnt > t
-        if keep.any():
-            out_lvl.append(np.full(int(keep.sum()), level, dtype=np.int64))
-            out_id.append(node[keep])
-            out_cnt.append(cnt[keep])
-        node_p = node[~keep] >> 1  # node_id div 2 (ids are non-negative)
-        cnt_p = cnt[~keep]
-        if node_p.size:
-            uid, inv = np.unique(node_p, return_inverse=True)
-            agg = np.zeros(uid.size, dtype=np.int64)
-            np.add.at(agg, inv, cnt_p)
-            node, cnt = uid, agg
-        else:
-            node, cnt = node_p, cnt_p
-    kept_mass = int(sum(int(a.sum()) for a in out_cnt))
-    # root by CONSERVATION (n minus the emitted mass), not by aggregating
-    # the final pushed table: when every node of some level clears the
-    # threshold the push chain dies early and the root would go missing —
-    # while the oracle's SUM-over-empty emits cnt=0 (caught by the sf0.01
-    # drive in round 6). Pushes preserve mass, so the forms agree whenever
-    # the chain survives.
-    out_lvl.append(np.array([levels], dtype=np.int64))
-    out_id.append(np.array([0], dtype=np.int64))
-    out_cnt.append(np.array([n - kept_mass], dtype=np.int64))
-    lvl = np.concatenate(out_lvl)
-    nid = np.concatenate(out_id)
-    cn = np.concatenate(out_cnt)
-    return lvl, nid, cn, n, t
+    def compress_leaf_arrays(v, c):
+        import numpy as np
+
+        n = int(c.sum())
+        t = n // k
+        out_lvl: list = []
+        out_id: list = []
+        out_cnt: list = []
+        node, cnt = v, c
+        for level in range(levels):
+            keep = cnt > t
+            if keep.any():
+                out_lvl.append(
+                    np.full(int(keep.sum()), level, dtype=np.int64)
+                )
+                out_id.append(node[keep])
+                out_cnt.append(cnt[keep])
+            node_p = node[~keep] >> 1  # node_id div 2 (ids non-negative)
+            cnt_p = cnt[~keep]
+            if node_p.size:
+                uid, inv = np.unique(node_p, return_inverse=True)
+                agg = np.zeros(uid.size, dtype=np.int64)
+                np.add.at(agg, inv, cnt_p)
+                node, cnt = uid, agg
+            else:
+                node, cnt = node_p, cnt_p
+        kept_mass = int(sum(int(a.sum()) for a in out_cnt))
+        # root by CONSERVATION (n minus the emitted mass), not by
+        # aggregating the final pushed table: when every node of some
+        # level clears the threshold the push chain dies early and the
+        # root would go missing — while the oracle's SUM-over-empty emits
+        # cnt=0 (caught by the sf0.01 drive in round 6). Pushes preserve
+        # mass, so the forms agree whenever the chain survives.
+        out_lvl.append(np.array([levels], dtype=np.int64))
+        out_id.append(np.array([0], dtype=np.int64))
+        out_cnt.append(np.array([n - kept_mass], dtype=np.int64))
+        lvl = np.concatenate(out_lvl)
+        nid = np.concatenate(out_id)
+        cn = np.concatenate(out_cnt)
+        return lvl, nid, cn, n, t
+
+    return compress_leaf_arrays
 
 
 def qdigest_nodes_from_leaves(
@@ -132,13 +148,15 @@ def qdigest_nodes_from_leaves(
     (pinned by test_qdigest_merge_equals_rebuild / the q100 oracle hash).
     """
 
+    kernel = _compress_leaf_arrays_fn(levels, k)  # captured by value
+
     def compress(pdf):
         import numpy as np
         import pandas as pd
 
         v = pdf["v"].to_numpy(np.int64)
         c = pdf["cnt"].to_numpy(np.int64)
-        lvl, nid, cn, n, _t = _compress_leaf_arrays(v, c, levels, k)
+        lvl, nid, cn, n, _t = kernel(v, c)
         return pd.DataFrame(
             {
                 "level": lvl.astype(np.int32),
@@ -177,6 +195,7 @@ def qdigest_report_from_leaves(
     bit-identical (oracle-hash-pinned for q100 and st14).
     """
     qs_t = tuple(float(q) for q in qs)
+    kernel = _compress_leaf_arrays_fn(levels, k)  # captured by value
 
     def report(pdf):
         import math
@@ -186,7 +205,7 @@ def qdigest_report_from_leaves(
 
         v = pdf["v"].to_numpy(np.int64)
         c = pdf["cnt"].to_numpy(np.int64)
-        lvl, nid, cn, n, t = _compress_leaf_arrays(v, c, levels, k)
+        lvl, nid, cn, n, t = kernel(v, c)
         lo = nid << lvl
         hi = (nid + 1) << lvl
         # canonical walk: nodes ordered by (hi, lo) ascending — narrower
