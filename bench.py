@@ -316,51 +316,114 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     timings_raw: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    # Interleaved calibration series (VERDICT r11 #7): one SINGLE-sample
+    # constant-work probe every 10 queries, so a sustained run's
+    # burst-credit cliff (last ~10 positions reading 2-7x slow on this VM)
+    # is attributable to the committed host-state series instead of being
+    # misread as a code regression. Single sample by design — min-of-N
+    # would mask exactly the throttle this series exists to record.
+    cal_series: list[dict] = []
+    for idx, name in enumerate(HEADLINE):
+        if idx % 10 == 0:
+            cal_series.append(
+                {"pos": idx, "spark_range_agg_sec": round(_probe_spark(), 3)}
+            )
         # best-of-2: the min of two runs reflects the plan's actual cost,
         # not scheduler noise (third sample on >2x disagreement). Raw
         # samples ride along so round-over-round comparisons can see the
         # per-query noise band instead of inferring it (VERDICT r09 #2).
         timings_raw[name] = best_of_samples(lambda: run_once(name))
         timings[name] = min(timings_raw[name])
+    cal_series.append(
+        {"pos": len(HEADLINE), "spark_range_agg_sec": round(_probe_spark(), 3)}
+    )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_raw_samples": timings_raw,
-                "sf": sf,
-                # host-speed normalizer: cross-round ratios should compare
-                # (value / calibration_sec), not raw values
-                "calibration_sec": calibration["spark_range_agg_sec"],
-                "calibration": calibration,
-            }
+
+    # Throttle-normalized total reported ALONGSIDE raw (never replacing
+    # it): each query's seconds scaled by (series minimum / nearest probe)
+    # — the series minimum is the least-throttled host state seen this
+    # run, so the normalized total answers "what would this run read on
+    # the run's own best host state". Raw `value` stays the metric.
+    cal_min = min(c["spark_range_agg_sec"] for c in cal_series)
+
+    def _nearest_cal(pos: int) -> float:
+        best = min(cal_series, key=lambda c: abs(c["pos"] - pos))
+        return best["spark_range_agg_sec"]
+
+    total_normalized = round(
+        sum(
+            t * (cal_min / _nearest_cal(i))
+            for i, t in enumerate(timings.values())
         ),
-        flush=True,
+        3,
     )
-    # Truncation-proof headline (VERDICT r08 #3): the driver captures only
-    # the TAIL of bench output, and the long per-query line above can lose
-    # its head (BENCH_r08 lost headline_queries_total_sec + 18 timings). A
-    # second SHORT totals line printed LAST guarantees the tail always
-    # carries the headline even when the long line is truncated.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "sf": sf,
-                "calibration_sec": calibration["spark_range_agg_sec"],
-                "calibration": calibration,
-            }
-        ),
-        flush=True,
-    )
+    full_payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_raw_samples": timings_raw,
+        "sf": sf,
+        # host-speed normalizer: cross-round ratios should compare
+        # (value / calibration_sec), not raw values
+        "calibration_sec": calibration["spark_range_agg_sec"],
+        "calibration": calibration,
+        "calibration_series": cal_series,
+        "value_throttle_normalized": total_normalized,
+    }
+    print(json.dumps(full_payload), flush=True)
+    # Sidecar with the complete per-query record (VERDICT r11 #2), so the
+    # full dict survives any stdout truncation.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_per_query.json"), "w"
+        ) as fh:
+            json.dump(full_payload, fh, indent=1)
+    except OSError:
+        pass
+    # Driver-parseable per-query contract (VERDICT r11 #2 / r08 #3): the
+    # driver keeps only the LAST ~2000 chars of stdout and parses the last
+    # COMPLETE JSON line inside them (BENCH_r07 parsed a 1992-char line;
+    # BENCH_r08's 2400-char line lost its head and parsed as None). The 80
+    # query names alone are 1803 chars, so no single tail-parseable line
+    # can carry them all. Instead the contract line is emitted as
+    # self-contained CHUNKS, each a complete <1900-byte JSON line with the
+    # full headline fields plus a slice of `queries` (scalar best-of
+    # seconds): whichever chunk lands last in the tail parses completely,
+    # always carries the headline total, and exposes a real per-query
+    # slice; a parser that merges every line recovers the whole dict. The
+    # union of chunks is exactly the full queries dict — no entry removed
+    # or renamed.
+    base = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf,
+        "calibration_sec": calibration["spark_range_agg_sec"],
+        "calibration": calibration,
+        "value_throttle_normalized": total_normalized,
+    }
+    chunks: list[dict[str, float]] = [{}]
+    budget = 1900 - len(json.dumps({**base, "queries_part": "8/8"}))
+    size = 0
+    for name, sec in timings.items():
+        entry = len(json.dumps({name: sec})) + 2
+        if size + entry > budget and chunks[-1]:
+            chunks.append({})
+            size = 0
+        chunks[-1][name] = sec
+        size += entry
+    for i, chunk in enumerate(chunks):
+        print(
+            json.dumps(
+                {**base, "queries_part": f"{i + 1}/{len(chunks)}",
+                 "queries": chunk}
+            ),
+            flush=True,
+        )
     spark.stop()
 
 

@@ -1151,6 +1151,7 @@ def test_p16_prefix_mixture_property(spark, sf_dir):
         assert max(counts.values()) - min(counts.values()) <= 1, counts
 
 
+@pytest.mark.slow
 def test_st13_probe_scenario(spark, tmp_path):
     """The planted 4-batch watermark probe as a regression pin: drops use a
     one-batch-lagged filter watermark (a row arriving one batch after its

@@ -11,8 +11,15 @@ from __future__ import annotations
 
 import string
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+# Slow tier (VERDICT r11 #1): these model-equivalence replays (~3.5 min)
+# duplicate invariants the focused round tests and the committed
+# full-registry oracle drives also pin; deselected by default so the
+# driver's verify completes. Run with  pytest tests/ -m ""
+pytestmark = pytest.mark.slow
 
 from pyspark.sql import functions as F
 

@@ -1,5 +1,12 @@
 """Oracle-differential tests: every registered query with an oracle must
-hash-match DuckDB at the test scale factor — mirrors the driver's gate."""
+hash-match DuckDB at the test scale factor — mirrors the driver's gate.
+
+Marked `slow` (deselected by default, see pytest.ini): this 322-test replay
+is the bulk of the suite's ~46 min and duplicates the committed
+full-registry drives (tools/full_drive.py -> FULLDRIVE_r*.json) and the
+round-driver's own DuckDB gate. Run it explicitly with  pytest tests/ -m ""
+or  pytest tests/test_queries_oracle.py -m slow.
+"""
 
 from __future__ import annotations
 
@@ -8,6 +15,8 @@ import pytest
 from aws_data_engineering_spark.plans.registry import QUERIES, queries
 
 from tests.oracle_utils import compare
+
+pytestmark = pytest.mark.slow
 
 queries()  # force registration
 

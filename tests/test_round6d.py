@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 from aws_data_engineering_spark.plans.registry import QUERIES, queries
 
@@ -493,6 +494,7 @@ def test_read_minhash_verdicts_drops_replayed_batch(spark, tmp_path):
     assert read_minhash_verdicts(spark, out_dir).count() == 2
 
 
+@pytest.mark.slow
 def test_event_time_queries_null_ts_parity(spark, tmp_path):
     """The NULL-event-time class (review r6, 10 live divergences): Spark
     windows/ntiles order NULLs FIRST and F.window/session_window DROP
@@ -594,6 +596,7 @@ def test_d18_oracle_planes_match_fixture(spark, sf_dir):
         assert SIM.recommended_lsh_planes(n001) == B._D18_ORACLE_PLANES
 
 
+@pytest.mark.slow
 def test_st17_tied_timestamps_and_null_ts_parity(spark, tmp_path):
     """st17 regression corpus for the round-7 review finding: two events
     with an IDENTICAL timestamp right after a gap boundary (the cumulative

@@ -78,13 +78,37 @@ def _find_baseline(repo: str, sf_dir: str, out_path: str) -> tuple[str, dict] | 
     return (best[1], best[2]) if best else None
 
 
+def _fn_source(text: str, fn_name: str) -> str | None:
+    """The source span of the top-level function named fn_name (decorators
+    included) inside a module's text, or None if parsing/lookup fails."""
+    import ast
+
+    try:
+        tree = ast.parse(text)
+    except SyntaxError:
+        return None
+    lines = text.splitlines()
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == fn_name:
+            start = min(
+                [d.lineno for d in node.decorator_list] + [node.lineno]
+            )
+            return "\n".join(lines[start - 1 : node.end_lineno])
+    return None
+
+
 def _perf_regressions(
     repo: str, sf_dir: str, out_path: str, results: dict, qs: dict
 ) -> dict:
     """Diff per-query spark_sec against the prior round's artifact; flag
     >3x deltas (current >= 1s — sub-second jitter is not signal) with the
-    owning plan module and whether that module's code changed since the
-    baseline artifact's commit."""
+    owning plan module and whether the code changed since the baseline
+    artifact's commit — at FUNCTION granularity when the registered
+    callable's source span can be extracted from both versions (VERDICT
+    r11 #4: the module-level bit cried wolf on queries whose module merely
+    contained an unrelated hunk), falling back to the module-level diff
+    otherwise. Function granularity can still false-negative when only a
+    shared helper changed, so the module bit is reported alongside."""
     base = _find_baseline(repo, sf_dir, out_path)
     if base is None:
         return {"baseline": None, "items": []}
@@ -106,10 +130,32 @@ def _perf_regressions(
         mod = getattr(fn, "__module__", "") or ""
         mod_path = mod.replace(".", "/") + ".py" if mod else ""
         changed = None
+        fn_changed = None
+        granularity = None
         if base_commit and mod_path:
             diff = _git(repo, "diff", "--name-only", f"{base_commit}..HEAD", "--", mod_path)
             dirty = _git(repo, "status", "--porcelain", "--", mod_path)
             changed = bool(diff or dirty)
+            if changed:
+                # function-level attribution: compare the registered
+                # callable's source span (working tree, so dirty state
+                # counts) against the baseline commit's version
+                fn_name = getattr(fn, "__name__", "")
+                base_text = _git(repo, "show", f"{base_commit}:{mod_path}")
+                try:
+                    with open(os.path.join(repo, mod_path)) as fh:
+                        cur_text = fh.read()
+                except OSError:
+                    cur_text = ""
+                if fn_name and base_text and cur_text:
+                    a = _fn_source(base_text, fn_name)
+                    b = _fn_source(cur_text, fn_name)
+                    if a is not None and b is not None:
+                        fn_changed = a != b
+                        granularity = "function"
+            else:
+                fn_changed = False
+                granularity = "function"
         items.append(
             {
                 "name": name,
@@ -117,7 +163,11 @@ def _perf_regressions(
                 "cur_sec": cur,
                 "ratio": round(cur / prev, 2),
                 "module": mod_path,
-                "code_changed": changed,
+                # headline bit: function-granularity when extractable,
+                # else the old module-granularity answer
+                "code_changed": fn_changed if fn_changed is not None else changed,
+                "module_changed": changed,
+                "attribution": granularity or "module",
             }
         )
     items.sort(key=lambda i: -i["ratio"])
