@@ -275,15 +275,21 @@ def minhash_candidate_pairs(
                 sigs_out.append(sig.tolist())
             yield pd_w.DataFrame({"id": ids, "sig": sigs_out})
 
-    # No persist(): the signature table feeds both sides of the self-join,
-    # but the Arrow recompute is cheap and an unreleased cache starves the
-    # execution pool for every later query in the session (measured 2-4×
-    # slowdowns). At 100 TB, write the signature table out (checkpoint to
-    # storage) instead of caching in executor memory.
     fanout = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).repartition(spark.sparkContext.defaultParallelism)
     sigs = fanout.mapInPandas(compute_sigs, "id bigint, sig array<bigint>")
+    # LAZY localCheckpoint (VERDICT r11 #4): the signature table feeds the
+    # bucket census AND both sides of the banded self-join, and AQE defeats
+    # plan-level exchange reuse, so the Python signature pass executed 3-4×
+    # per run. A lazy checkpoint pins all consumers to ONE RDD identity —
+    # the first task computes each block, concurrent consumers block-read
+    # it — WITHOUT the build-time barrier that made round 11's EAGER
+    # variant serialize the critical path (measured flat-to-worse then).
+    # Not persist(): nothing could unpersist a lazily-returned operator's
+    # cache; checkpoint blocks are released by the ContextCleaner when the
+    # plan's references drop (the r11 leak audit's bounded-blocks result).
+    sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "id", "sig", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
     ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
@@ -408,11 +414,18 @@ def minhash_probe_pairs(
                 sigs_out.append(sig.tolist())
             yield pd_w.DataFrame({"id": ids, "sig": sigs_out})
 
-    def banded_sigs(df: DataFrame) -> DataFrame:
+    def banded_sigs(df: DataFrame, materialize_once: bool) -> DataFrame:
         fanout = df.select(
             F.col(id_col).alias("id"), F.col(text_col).alias("text")
         ).repartition(spark.sparkContext.defaultParallelism)
         sigs = fanout.mapInPandas(compute_sigs, "id bigint, sig array<bigint>")
+        if materialize_once:
+            # LAZY localCheckpoint (VERDICT r11 #4, the d04 pattern): the
+            # INDEX side feeds the bucket census AND the probe join, so its
+            # signature pass ran twice under AQE; one RDD identity dedups
+            # the work block-by-block with no build-time barrier. The batch
+            # side has a single consumer — no checkpoint there.
+            sigs = sigs.localCheckpoint(eager=False)
         return sigs.select(
             "id",
             "sig",
@@ -423,8 +436,8 @@ def minhash_probe_pairs(
             "id", "sig", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
         )
 
-    idx = banded_sigs(index_df)
-    new = banded_sigs(batch_df)
+    idx = banded_sigs(index_df, materialize_once=True)
+    new = banded_sigs(batch_df, materialize_once=False)
     census = idx.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("__n"))
     idx = idx.join(census.filter(F.col("__n") <= max_bucket), ["band", "band_hash"]).drop(
         "__n"
@@ -986,11 +999,18 @@ def connected_components(
     graph in O(log n) rounds.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # LAZY checkpoint on the raw pair list first (VERDICT r11 #6): the
+    # symmetric union's two branches each carry the (possibly expensive)
+    # pair-generation lineage, and AQE defeats exchange reuse, so the
+    # eager union checkpoint below used to EXECUTE that lineage twice.
+    # One RDD identity makes the union's second branch block-read what the
+    # first computed — half the edge-derivation work, no extra barrier.
+    e = e.localCheckpoint(eager=False)
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # eager: edges are re-joined every round — materialize the (possibly
-    # expensive) pair-generation lineage ONCE instead of re-running it per
-    # iteration (lazy checkpoint only cut lineage after first computation,
-    # so rounds 1..k each re-planned the upstream until something forced it)
+    # eager: edges are re-joined every round — materialize the lineage
+    # ONCE instead of re-running it per iteration (lazy checkpoint only
+    # cut lineage after first computation, so rounds 1..k each re-planned
+    # the upstream until something forced it)
     edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select("a").distinct().select(F.col("a").alias("node"), F.col("a").alias("label"))
@@ -1054,6 +1074,9 @@ def pagerank(
     connected_components.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # lazy checkpoint: the symmetric union would otherwise execute the
+    # pair-generation lineage twice (the connected_components reasoning)
+    e = e.localCheckpoint(eager=False)
     # distinct: duplicate pair rows must not become parallel edges (double
     # degree + double contribution) — edge-set semantics keep the operator
     # idempotent to repeated pair emission (e.g. a pair found via several
@@ -1588,6 +1611,12 @@ def connected_components_star(
         F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
         F.least(F.col(id_a), F.col(id_b)).alias("v"),
     ).filter(F.col("u") != F.col("v")).distinct()
+    # LAZY checkpoint (VERDICT r11 #6): the two eager checkpoints below
+    # (nodes, edges) each executed the full pair-generation lineage — for
+    # g08 that is the whole LSH edge derivation, run twice back-to-back.
+    # Pinning e0 to one RDD identity first makes the second materialization
+    # a block read of the first, without adding a barrier of its own.
+    e0 = e0.localCheckpoint(eager=False)
     nodes = (
         e0.select(F.col("u").alias("node"))
         .union(e0.select(F.col("v").alias("node")))

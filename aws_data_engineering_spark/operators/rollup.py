@@ -31,6 +31,30 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _rollup_hwm(spark: SparkSession, rollup_path: str) -> str | None:
+    """High-water mark = MAX partition value, read from the partition
+    DIRECTORY NAMES (the table's partition metadata) instead of scanning
+    every data file's footer for `max(bucket_start)` — the bucket key is
+    the partition column, so the listing IS the value set, and the
+    `yyyy-MM-dd HH:mm:ss` format makes string max == value max. One
+    O(partitions) metadata listing replaces an O(files) scan per refresh
+    (measured: the footer scan was most of c04's second refresh). Values
+    are URL-decoded (Spark percent-encodes ':' etc. in partition dirs)."""
+    from urllib.parse import unquote
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(rollup_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    best: str | None = None
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(ROLLUP_BUCKET_COL + "="):
+            v = unquote(name.split("=", 1)[1])
+            if v != "__HIVE_DEFAULT_PARTITION__" and (best is None or v > best):
+                best = v
+    return best
+
+
 def rollup_events(events: DataFrame, bucket: str = "hour") -> DataFrame:
     """One aggregate row per (time bucket, event_type): count + value sum.
     ``bucket_start`` is a sortable string key (doubles as the partition
@@ -87,18 +111,17 @@ def incremental_rollup_refresh(
     # guard below.
     hwm = None
     if _path_exists(spark, rollup_path):
-        hwm = read_rollup(spark, rollup_path).agg(F.max(ROLLUP_BUCKET_COL)).first()[0]
+        hwm = _rollup_hwm(spark, rollup_path)
     if hwm is not None:
         stored = None  # pre-marker rollup: accept and stamp below
         if _path_exists(spark, marker):
-            row = spark.read.json(marker).first()
-            if row is None or "bucket" not in row:
+            stored = _read_marker(spark, marker)
+            if stored is None:
                 raise ValueError(
                     f"rollup granularity marker at {marker} exists but is "
                     "unreadable; refusing to refresh a rollup of unknown "
                     "bucket granularity — repair or rebuild into a fresh path"
                 )
-            stored = row["bucket"]
         if stored is not None and stored != bucket:
             raise ValueError(
                 f"rollup at {rollup_path} was built with bucket={stored!r}; "
@@ -117,14 +140,68 @@ def incremental_rollup_refresh(
         src = events.filter(F.col("ts") >= F.to_timestamp(F.lit(hwm)))
     agg = rollup_events(src, bucket)
     (
-        agg.write.mode("overwrite")
+        # repartition on the partition column (the st19/c20 layout lesson,
+        # guide §6): the agg output is hash-distributed by (bucket, type),
+        # so EVERY task holds rows of many buckets and the partitioned
+        # write emits one file per (task, bucket) — one ~720-bucket refresh
+        # wrote tasks×buckets tiny files. Routing each bucket to exactly
+        # one task first costs one shuffle of the (tiny) aggregate and
+        # bounds the layout at one file per bucket per refresh; refresh
+        # parallelism stays = number of buckets being rewritten, which is
+        # exactly the work to distribute at any scale.
+        agg.repartition(F.col(ROLLUP_BUCKET_COL))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(ROLLUP_BUCKET_COL)
         .parquet(rollup_path)
     )
-    spark.createDataFrame([(bucket,)], "bucket string").coalesce(1).write.mode(
-        "overwrite"
-    ).json(marker)
+    _write_marker(spark, marker, bucket)
+
+
+def _write_marker(spark: SparkSession, marker: str, bucket: str) -> None:
+    """One-row granularity marker written through the Hadoop FileSystem
+    API directly (same filesystem portability as the Spark-job form this
+    replaces — s3a/hdfs/local — without paying a full Spark job + commit
+    per refresh for a ~20-byte file)."""
+    import json
+
+    jvm = spark._jvm
+    fs_path = jvm.org.apache.hadoop.fs.Path(f"{marker}/part-00000.json")
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(fs_path, True)
+    try:
+        out.write(bytearray(json.dumps({"bucket": bucket}).encode() + b"\n"))
+    finally:
+        out.close()
+
+
+def _read_marker(spark: SparkSession, marker: str) -> str | None:
+    """Read the granularity marker back; None when missing/unreadable
+    (the caller raises — a corrupt marker must abort, not degrade)."""
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(marker)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if not st.isFile() or name.startswith(("_", ".")):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                raw = bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+            for line in raw.decode("utf-8", errors="strict").splitlines():
+                if line.strip():
+                    row = json.loads(line)
+                    if "bucket" not in row:
+                        return None
+                    return row["bucket"]
+        return None
+    except Exception:  # noqa: BLE001 — unreadable == corrupt == None
+        return None
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:

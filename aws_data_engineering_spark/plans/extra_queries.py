@@ -707,7 +707,10 @@ def st06_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = session_window_counts(stream, gap="30 minutes", watermark="0 seconds")
     name = f"st06_{uuid.uuid4().hex[:8]}"
-    out = run_to_memory_sink(sess, name, "append")
+    from aws_data_engineering_spark.streaming import scaled_stream_shuffle
+
+    with scaled_stream_shuffle(spark, path, sent_dir):
+        out = run_to_memory_sink(sess, name, "append")
     return out.filter(F.col("user_id") >= 0)
 
 
@@ -927,7 +930,10 @@ def st09_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         stream, attribution_minutes=30, watermark="0 seconds", join_type="leftOuter"
     )
     name = f"st09_{uuid.uuid4().hex[:8]}"
-    out = run_to_memory_sink(joined, name, "append")
+    from aws_data_engineering_spark.streaming import scaled_stream_shuffle
+
+    with scaled_stream_shuffle(spark, path, sent_dir):
+        out = run_to_memory_sink(joined, name, "append")
     return out.filter(F.col("user_id") >= 0)
 
 

@@ -371,13 +371,16 @@ def st12_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).coalesce(1).write.mode("append").parquet(in_dir)
         seen = stamp_feed_mtimes(in_dir, seen, i)
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
-    q = stream_minhash_dedup_sink(
-        stream,
-        state_dir=os.path.join(base, "state"),
-        out_dir=os.path.join(base, "out"),
-        checkpoint_dir=os.path.join(base, "ckpt"),
-    )
-    q.awaitTermination()
+    from aws_data_engineering_spark.streaming import scaled_stream_shuffle
+
+    with scaled_stream_shuffle(spark, in_dir):
+        q = stream_minhash_dedup_sink(
+            stream,
+            state_dir=os.path.join(base, "state"),
+            out_dir=os.path.join(base, "out"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
     return read_minhash_verdicts(spark, os.path.join(base, "out"))
 
 

@@ -142,10 +142,48 @@ _FORM_CHANGED: dict[str, int] = {
     # 19-level unrolled groupBy chain + window walk into ONE Arrow stage
     # over the domain-bounded census (bit-identical results — pinned by
     # tests/test_opt_r11.py — but the plan form is new); q104 gained a
-    # coalesce(1) on its scoped-conf materialization write.
-    "q100_qdigest_quantiles": 11,
-    "st14_stream_qdigest_quantiles": 11,
-    "q104_aqe_skew_join": 11,
+    # coalesce(1) on its scoped-conf materialization write. (The q100/
+    # st14/q104: 11 entries are superseded by the round-12 ones below —
+    # one dict key, latest round wins, the t20 precedent.)
+    # Round-12 optimization (results bit-identical, plan/execution form
+    # changed — see OPTIMIZATION_r12.md):
+    # - minhash signature table pinned to one RDD via lazy localCheckpoint
+    #   (d04 + every consumer of minhash_candidate_pairs/probe_pairs);
+    # - connected-components/star/pagerank pair lineage computed once;
+    # - c04 rollup: repartition-by-bucket write, metadata-only hwm,
+    #   direct-FS marker;
+    # - q104: eager localCheckpoint of the 5-row result + scratch cleanup;
+    # - q100/st14: census-bound guard + rank clamp inside the Arrow kernel;
+    # - st*: data-derived shuffle/state partition count scoped to the
+    #   stream's lifetime (scaled_stream_shuffle).
+    "d04_minhash_candidate_pairs": 12,
+    "d10_neardup_clusters": 12,
+    "d13_minhash_estimate_accuracy": 12,
+    "d17_capped_minhash_pairs": 12,
+    "d19_lsh_scurve_audit": 12,
+    "d21_incremental_minhash_probe": 12,
+    "pp02_incremental_curation": 12,
+    "d18_canonical_doc_selection": 12,
+    "g01_pagerank_neardup_graph": 12,
+    "g08_star_components": 12,
+    "g09_dup_cluster_census": 12,
+    "c04_incremental_rollup": 12,
+    "q104_aqe_skew_join": 12,
+    "q100_qdigest_quantiles": 12,
+    "st14_stream_qdigest_quantiles": 12,
+    "st01_stream_tumbling_counts": 12,
+    "st02_stream_attribution_join": 12,
+    "st03_stream_exactly_once_dedup": 12,
+    "st04_stream_static_enrichment": 12,
+    "st05_stream_sliding_counts": 12,
+    "st06_stream_session_window": 12,
+    "st08_stream_cdc_upsert": 12,
+    "st09_stream_outer_attribution": 12,
+    "st11_stream_partial_rollup": 12,
+    "st12_stream_minhash_dedup": 12,
+    "st15_stream_count_min_sketch": 12,
+    "st16_stream_bloom_filter": 12,
+    "st19_stream_ann_ingest": 12,
 }
 
 

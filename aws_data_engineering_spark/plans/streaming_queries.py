@@ -22,6 +22,7 @@ from aws_data_engineering_spark.plans.registry import register
 from aws_data_engineering_spark.streaming import (
     read_events_stream,
     run_to_memory_sink,
+    scaled_stream_shuffle,
     windowed_counts,
 )
 
@@ -41,9 +42,16 @@ _FMT_DUCK = "%Y-%m-%d %H:%M:%S"
     "Structured Streaming tumbling-window counts (readStream → availableNow → memory sink), oracle-checked against batch SQL",
 )
 def st01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = read_events_stream(spark, path)
     name = f"st01_{uuid.uuid4().hex[:8]}"
-    return run_to_memory_sink(windowed_counts(stream, "1 hour"), name, "complete")
+    # data-derived shuffle/state partitions for the stream's lifetime
+    # (micro-batch shuffles can't be AQE-coalesced; see streams.py —
+    # measured 2.2 s -> 0.94 s at sf0.1, no-op at cluster scale)
+    with scaled_stream_shuffle(spark, path):
+        return run_to_memory_sink(
+            windowed_counts(stream, "1 hour"), name, "complete"
+        )
 
 
 @register(
@@ -66,11 +74,15 @@ def st01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st02_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_engineering_spark.streaming import purchase_click_attribution
 
-    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = read_events_stream(spark, path)
     name = f"st02_{uuid.uuid4().hex[:8]}"
-    return run_to_memory_sink(
-        purchase_click_attribution(stream, attribution_minutes=30), name, "append"
-    )
+    with scaled_stream_shuffle(spark, path):
+        return run_to_memory_sink(
+            purchase_click_attribution(stream, attribution_minutes=30),
+            name,
+            "append",
+        )
 
 
 @register(
@@ -106,7 +118,8 @@ def st03_stream_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFram
         "value",
     )
     name = f"st03_{uuid.uuid4().hex[:8]}"
-    return run_to_memory_sink(out, name, "append")
+    with scaled_stream_shuffle(spark, path):
+        return run_to_memory_sink(out, name, "append")
 
 
 @register(
@@ -127,7 +140,8 @@ def st04_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from aws_data_engineering_spark.sources.tables import load_table
 
-    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = read_events_stream(spark, path)
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     enriched = stream.join(
         F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
@@ -137,7 +151,8 @@ def st04_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     name = f"st04_{uuid.uuid4().hex[:8]}"
-    return run_to_memory_sink(agg, name, "complete")
+    with scaled_stream_shuffle(spark, path):
+        return run_to_memory_sink(agg, name, "complete")
 
 
 @register(
@@ -161,11 +176,15 @@ def st04_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     "unioning the two shifted 30-min buckets per event",
 )
 def st05_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = read_events_stream(spark, path)
     name = f"st05_{uuid.uuid4().hex[:8]}"
-    return run_to_memory_sink(
-        windowed_counts(stream, "1 hour", slide="30 minutes"), name, "complete"
-    )
+    with scaled_stream_shuffle(spark, path):
+        return run_to_memory_sink(
+            windowed_counts(stream, "1 hour", slide="30 minutes"),
+            name,
+            "complete",
+        )
 
 
 _ST07_ROWS = 5000
@@ -234,20 +253,22 @@ def st08_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aws_data_engineering_spark.streaming import stream_upsert_sink
 
-    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = read_events_stream(spark, path)
     # uuid-unique run dir (leaks a small table+checkpoint per run — the
     # returned DataFrame reads the target lazily, so deleting it here
     # would break the caller's collect)
     base = os.path.join(tempfile.gettempdir(), "spark_st08", uuid.uuid4().hex[:8])
-    q = stream_upsert_sink(
-        stream,
-        os.path.join(base, "user_latest"),
-        primary_key=["user_id"],
-        order_col="ts",
-        tiebreak_col="event_id",
-        checkpoint_dir=os.path.join(base, "ckpt"),
-    )
-    q.awaitTermination()
+    with scaled_stream_shuffle(spark, path):
+        q = stream_upsert_sink(
+            stream,
+            os.path.join(base, "user_latest"),
+            primary_key=["user_id"],
+            order_col="ts",
+            tiebreak_col="event_id",
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
     table = spark.read.parquet(os.path.join(base, "user_latest"))
     return table.select(
         "user_id",
@@ -283,15 +304,17 @@ def st11_stream_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_partial_rollup_sink,
     )
 
-    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = read_events_stream(spark, path)
     base = os.path.join(tempfile.gettempdir(), "spark_st11", uuid.uuid4().hex[:8])
-    q = stream_partial_rollup_sink(
-        stream,
-        os.path.join(base, "partials"),
-        checkpoint_dir=os.path.join(base, "ckpt"),
-        bucket="hour",
-    )
-    q.awaitTermination()
+    with scaled_stream_shuffle(spark, path):
+        q = stream_partial_rollup_sink(
+            stream,
+            os.path.join(base, "partials"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            bucket="hour",
+        )
+        q.awaitTermination()
     view = read_rollup_view(spark, os.path.join(base, "partials"))
     from pyspark.sql import functions as F
 
@@ -345,13 +368,14 @@ def st14_stream_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         ).parquet(in_dir)
         seen = stamp_feed_mtimes(in_dir, seen, b)
     stream = read_orders_stream(spark, in_dir, max_files_per_trigger=1)
-    q = stream_qdigest_partial_sink(
-        stream,
-        "o_totalprice",
-        partials_dir=os.path.join(base, "partials"),
-        checkpoint_dir=os.path.join(base, "ckpt"),
-    )
-    q.awaitTermination()
+    with scaled_stream_shuffle(spark, in_dir):
+        q = stream_qdigest_partial_sink(
+            stream,
+            "o_totalprice",
+            partials_dir=os.path.join(base, "partials"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
     leaves = read_qdigest_view(spark, os.path.join(base, "partials"))
     # compression + report fused into ONE Arrow stage over the merged
     # domain-bounded partials (same kernel as q100 — merge == rebuild)
@@ -398,14 +422,15 @@ def st15_stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(in_dir)
         seen = stamp_feed_mtimes(in_dir, seen, b)
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
-    q = stream_cms_partial_sink(
-        stream,
-        "text",
-        partials_dir=os.path.join(base, "partials"),
-        checkpoint_dir=os.path.join(base, "ckpt"),
-        depth=depth,
-    )
-    q.awaitTermination()
+    with scaled_stream_shuffle(spark, in_dir):
+        q = stream_cms_partial_sink(
+            stream,
+            "text",
+            partials_dir=os.path.join(base, "partials"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            depth=depth,
+        )
+        q.awaitTermination()
     cells, tc = read_cms_views(spark, os.path.join(base, "partials"))
     # the one shared report definition (operators/text.py) — t28's batch
     # form and this streaming form cannot drift apart
@@ -459,14 +484,15 @@ def st16_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(in_dir)
         seen = stamp_feed_mtimes(in_dir, seen, b)
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
-    q = stream_bloom_partial_sink(
-        stream,
-        "text",
-        partials_dir=os.path.join(base, "partials"),
-        checkpoint_dir=os.path.join(base, "ckpt"),
-        shingle_n=5,
-    )
-    q.awaitTermination()
+    with scaled_stream_shuffle(spark, in_dir):
+        q = stream_bloom_partial_sink(
+            stream,
+            "text",
+            partials_dir=os.path.join(base, "partials"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            shingle_n=5,
+        )
+        q.awaitTermination()
     grams, bits = read_bloom_views(spark, os.path.join(base, "partials"))
     # lazy: bloom_probe is single-pass, so the corpus gram fan-out has one
     # consumer and never needs materializing (the 100×-measured st16 cost)
@@ -829,14 +855,15 @@ def st19_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         seen = stamp_feed_mtimes(in_dir, seen, b)
 
     stream = read_embeddings_stream(spark, in_dir, max_files_per_trigger=1)
-    q = stream_ivfpq_ingest_sink(
-        stream,
-        os.path.join(base, "index"),
-        centroids,
-        cb,
-        checkpoint_dir=os.path.join(base, "ckpt"),
-    )
-    q.awaitTermination()
+    with scaled_stream_shuffle(spark, in_dir):
+        q = stream_ivfpq_ingest_sink(
+            stream,
+            os.path.join(base, "index"),
+            centroids,
+            cb,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
 
     encoded = read_ivfpq_index(spark, os.path.join(base, "index"))
     counts = encoded.groupBy().agg(
