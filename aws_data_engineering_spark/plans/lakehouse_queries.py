@@ -346,30 +346,27 @@ def st12_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_engineering_spark.streaming import (
         read_documents_stream,
         read_minhash_verdicts,
-        stamp_feed_mtimes,
         stream_minhash_dedup_sink,
+        write_bucketed_feed,
     )
 
     docs = _t(spark, sf_dir, "documents")
     base = os.path.join(tempfile.gettempdir(), "spark_st12", uuid.uuid4().hex[:8])
     in_dir = os.path.join(base, "in")
-    # feed the corpus as doc_id-RANGE files written sequentially: the file
+    # feed the corpus as doc_id-RANGE files (bucket = floor(doc_id/step),
+    # identical composition to the sequential filter loop this replaces,
+    # now built in ONE documents scan — write_bucketed_feed): the file
     # source processes oldest-modification-time first, so batch order ==
     # doc_id order and the streaming first-seen rule equals the oracle's
     # global min-id rule (any batch decomposition respecting that order
-    # yields identical verdicts — see stream_minhash_dedup_sink).
-    # stamp_feed_mtimes pins that order explicitly: mtime ties on a
-    # coarse-granularity filesystem would otherwise leave the batch order
-    # to listing luck.
+    # yields identical verdicts — see stream_minhash_dedup_sink). The
+    # helper stamps mtimes in bucket order exactly as before.
     max_id = docs.agg(F.max("doc_id")).first()[0]
     n_files = 4
     step = (int(max_id) + n_files) // n_files
-    seen: set = set()
-    for i in range(n_files):
-        docs.filter(
-            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
-        ).coalesce(1).write.mode("append").parquet(in_dir)
-        seen = stamp_feed_mtimes(in_dir, seen, i)
+    write_bucketed_feed(
+        docs, F.floor(F.col("doc_id") / F.lit(step)), in_dir, n_files
+    )
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
     from aws_data_engineering_spark.streaming import scaled_stream_shuffle
 

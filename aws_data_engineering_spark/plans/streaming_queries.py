@@ -349,24 +349,21 @@ def st14_stream_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     from aws_data_engineering_spark.streaming import (
         read_orders_stream,
         read_qdigest_view,
-        stamp_feed_mtimes,
         stream_qdigest_partial_sink,
+        write_bucketed_feed,
     )
 
     orders = load_table(spark, sf_dir, "orders")
     base = os.path.join(tempfile.gettempdir(), "spark_st14", uuid.uuid4().hex[:8])
     in_dir = os.path.join(base, "in")
     # three orderkey-class files -> a genuinely multi-batch availableNow
-    # run (mtimes stamped: FileStreamSource has no tie-break on equal
-    # modification times)
-    seen: set = set()
-    for b in range(3):
-        orders.filter(
-            F.pmod(F.coalesce(F.col("o_orderkey"), F.lit(0)), F.lit(3)) == b
-        ).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_dir)
-        seen = stamp_feed_mtimes(in_dir, seen, b)
+    # run, built in ONE orders scan (write_bucketed_feed; mtimes stamped:
+    # FileStreamSource has no tie-break on equal modification times)
+    write_bucketed_feed(
+        orders,
+        F.pmod(F.coalesce(F.col("o_orderkey"), F.lit(0)), F.lit(3)),
+        in_dir,
+    )
     stream = read_orders_stream(spark, in_dir, max_files_per_trigger=1)
     with scaled_stream_shuffle(spark, in_dir):
         q = stream_qdigest_partial_sink(
@@ -404,23 +401,21 @@ def st15_stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_engineering_spark.streaming import (
         read_cms_views,
         read_documents_stream,
-        stamp_feed_mtimes,
         stream_cms_partial_sink,
+        write_bucketed_feed,
     )
 
     depth, topk = 4, 20
     docs = load_table(spark, sf_dir, "documents")
     base = os.path.join(tempfile.gettempdir(), "spark_st15", uuid.uuid4().hex[:8])
     in_dir = os.path.join(base, "in")
-    # three doc_id-class files -> a genuinely multi-batch availableNow run
-    seen: set = set()
-    for b in range(3):
-        docs.filter(
-            F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(3)) == b
-        ).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_dir)
-        seen = stamp_feed_mtimes(in_dir, seen, b)
+    # three doc_id-class files -> a genuinely multi-batch availableNow
+    # run, built in ONE documents scan (write_bucketed_feed)
+    write_bucketed_feed(
+        docs,
+        F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(3)),
+        in_dir,
+    )
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
     with scaled_stream_shuffle(spark, in_dir):
         q = stream_cms_partial_sink(
@@ -465,24 +460,21 @@ def st16_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_engineering_spark.streaming import (
         read_bloom_views,
         read_documents_stream,
-        stamp_feed_mtimes,
         stream_bloom_partial_sink,
+        write_bucketed_feed,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     bench_pred = F.col("source").isin(*_ST16_BENCH)
     base = os.path.join(tempfile.gettempdir(), "spark_st16", uuid.uuid4().hex[:8])
     in_dir = os.path.join(base, "in")
-    # three doc_id-class files of BENCHMARK docs -> multi-batch filter build
-    seen: set = set()
-    for b in range(3):
-        docs.filter(
-            bench_pred
-            & (F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(3)) == b)
-        ).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_dir)
-        seen = stamp_feed_mtimes(in_dir, seen, b)
+    # three doc_id-class files of BENCHMARK docs -> multi-batch filter
+    # build, in ONE documents scan (write_bucketed_feed)
+    write_bucketed_feed(
+        docs.filter(bench_pred),
+        F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(3)),
+        in_dir,
+    )
     stream = read_documents_stream(spark, in_dir, max_files_per_trigger=1)
     with scaled_stream_shuffle(spark, in_dir):
         q = stream_bloom_partial_sink(
@@ -833,8 +825,8 @@ def st19_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_engineering_spark.streaming import (
         read_embeddings_stream,
         read_ivfpq_index,
-        stamp_feed_mtimes,
         stream_ivfpq_ingest_sink,
+        write_bucketed_feed,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -844,15 +836,10 @@ def st19_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(tempfile.gettempdir(), "spark_st19", uuid.uuid4().hex[:8])
     in_dir = os.path.join(base, "in")
     # three vec_id-class feed files -> a genuinely multi-batch availableNow
-    # run (mtimes stamped: FileStreamSource has no tie-break on equal
-    # modification times); batch order is irrelevant to the final index —
-    # appends are commutative and the audit never reads commit ids
-    seen: set = set()
-    for b in range(3):
-        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == b).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_dir)
-        seen = stamp_feed_mtimes(in_dir, seen, b)
+    # run, built in ONE embeddings scan (write_bucketed_feed; batch order
+    # is irrelevant to the final index — appends are commutative and the
+    # audit never reads commit ids)
+    write_bucketed_feed(emb, F.pmod(F.col("vec_id"), F.lit(3)), in_dir)
 
     stream = read_embeddings_stream(spark, in_dir, max_files_per_trigger=1)
     with scaled_stream_shuffle(spark, in_dir):
