@@ -184,6 +184,11 @@ _FORM_CHANGED: dict[str, int] = {
     "st15_stream_count_min_sketch": 12,
     "st16_stream_bloom_filter": 12,
     "st19_stream_ann_ingest": 12,
+    # Round-12 session 2: micro-batch feeds built in ONE source scan
+    # (write_bucketed_feed — composition/order identical, execution form
+    # new) for st12/st14/st15/st16/st19 above plus st17; st16's
+    # foreachBatch sink writes one unified partial table per batch.
+    "st17_stream_stateful_sessions": 12,
 }
 
 

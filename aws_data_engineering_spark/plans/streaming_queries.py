@@ -513,32 +513,6 @@ _ST17_SENTINEL_NS = 1_740_787_200_000_000_000  # 2025-03-01 UTC, past any fixtur
 _ST17_FEED_FILES = 8  # files per time-range feed batch (parallel write)
 
 
-def _pad_empty_feed_files(in_dir: str, batch_idx: int, n: int) -> None:
-    """Write ``n`` schema-only empty parquet files matching the st17 feed
-    schema (raw nanos-bigint ts), so every time-range batch holds exactly
-    _ST17_FEED_FILES files regardless of corpus size."""
-    if n <= 0:
-        return
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    schema = pa.schema(
-        [
-            ("event_id", pa.int64()),
-            ("ts", pa.int64()),
-            ("user_id", pa.int64()),
-            ("event_type", pa.string()),
-            ("value", pa.float64()),
-            ("props", pa.string()),
-        ]
-    )
-    for i in range(n):
-        pq.write_table(
-            pa.table({f.name: pa.array([], f.type) for f in schema}, schema=schema),
-            os.path.join(in_dir, f"pad-{batch_idx}-{i}.parquet"),
-        )
-
-
 @register(
     "st17_stream_stateful_sessions",
     """
@@ -584,6 +558,7 @@ def st17_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     from aws_data_engineering_spark.streaming import (
         sessionize_with_state,
         stamp_feed_mtimes,
+        write_bucketed_feed,
     )
 
     events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
@@ -595,42 +570,29 @@ def st17_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     # integer DIV, not double /: double division loses precision above
     # 2^53 ns — the exact pitfall read_events_stream's docstring calls out
     t = F.timestamp_micros(F.expr("ts DIV 1000"))
-    ranges = [t < lo, (t >= lo) & (t < hi), t >= hi]
-    seen: set = set()
-    for b, pred in enumerate(ranges):
-        # round 8: repartition(K) instead of coalesce(1) — coalesce
-        # collapsed the whole scan+filter+write into ONE task (3 single-
-        # threaded passes over the corpus, the dominant share of the 100×
-        # wall-clock). K files per range keeps micro-batch alignment via
-        # max_files_per_trigger=K below; within-batch file order is free
-        # (the state fn sorts each batch), across-batch order is the
-        # time-range construction. A range emitting != K files would break
-        # alignment (a later range's file pulled into an earlier batch can
-        # deliver a user's events out of time order), so it is asserted.
-        feed.filter(pred).repartition(_ST17_FEED_FILES).write.mode(
-            "append"
-        ).parquet(in_dir)
-        prev = seen
-        import glob as _glob
+    # ONE events scan builds all three time-range batches (the round-8
+    # form paid 3 scan+filter+write passes; write_bucketed_feed keeps the
+    # K-files-per-range micro-batch alignment via a deterministic
+    # event_id sub-split, pads short ranges to exactly K schema-only
+    # files, and raises if a range would exceed K — a later range's file
+    # pulled into an earlier batch could deliver a user's events out of
+    # time order, so the count invariant stays asserted). Within-batch
+    # file order/row placement is free: the state fn sorts each batch.
+    bucket = F.when(t < lo, 0).when(t < hi, 1).otherwise(2)
+    write_bucketed_feed(
+        feed,
+        bucket,
+        in_dir,
+        n_batches=3,
+        files_per_bucket=_ST17_FEED_FILES,
+        sub_expr=F.pmod(
+            F.xxhash64(F.coalesce(F.col("event_id"), F.lit(0))),
+            F.lit(_ST17_FEED_FILES),
+        ),
+    )
+    import glob as _glob
 
-        n_new = sum(
-            1
-            for f in set(_glob.glob(os.path.join(in_dir, "*"))) - prev
-            if f.endswith(".parquet")
-        )
-        if n_new > _ST17_FEED_FILES:
-            raise RuntimeError(
-                f"st17 feed range {b} wrote {n_new} files > "
-                f"{_ST17_FEED_FILES} — micro-batch alignment would break"
-            )
-        # pad to EXACTLY K files: repartition leaves empty partitions
-        # unwritten on tiny corpora, and a short range would let the
-        # fixed max_files_per_trigger pull a LATER range's file into
-        # this batch (delivering a user's events out of time order).
-        # Schema-only empty parquet files keep the count invariant at
-        # any corpus size and contribute zero rows.
-        _pad_empty_feed_files(in_dir, b, _ST17_FEED_FILES - n_new)
-        seen = stamp_feed_mtimes(in_dir, seen, b)
+    seen: set = set(_glob.glob(os.path.join(in_dir, "*")))
     # sentinel: one far-future event for user -1 — the final batch advances
     # the watermark past every real session's (last + gap), so the
     # event-time timeout flushes ALL open sessions; user -1's own session
@@ -640,7 +602,7 @@ def st17_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id bigint, ts bigint, user_id bigint, event_type string, "
         "value double, props string",
     ).coalesce(1).write.mode("append").parquet(in_dir)
-    seen = stamp_feed_mtimes(in_dir, seen, len(ranges))
+    seen = stamp_feed_mtimes(in_dir, seen, 3)
 
     stream = read_events_stream(
         spark, in_dir, max_files_per_trigger=_ST17_FEED_FILES

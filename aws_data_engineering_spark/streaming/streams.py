@@ -1161,9 +1161,14 @@ def stamp_feed_mtimes(in_dir: str, seen: set, batch_idx: int) -> set:
 
 
 def write_bucketed_feed(
-    df: DataFrame, bucket_expr, in_dir: str, n_batches: int = 3
+    df: DataFrame,
+    bucket_expr,
+    in_dir: str,
+    n_batches: int = 3,
+    files_per_bucket: int = 1,
+    sub_expr=None,
 ) -> None:
-    """Build an n-file micro-batch feed in ONE source scan instead of n.
+    """Build an n-batch micro-batch feed in ONE source scan instead of n.
 
     The per-bucket append loop this replaces (``for b in range(n):
     df.filter(expr == b).coalesce(1).write.append(...)``) scanned the
@@ -1177,33 +1182,43 @@ def write_bucketed_feed(
     are bit-identical to the loop form (rows where ``bucket_expr`` is
     null matched no ``== b`` filter and stay excluded).
 
-    Buckets empty at tiny SFs get the schema-only pad file the old loop's
-    empty ``coalesce(1)`` write produced, so the batch count stays
-    corpus-independent. Raises if a bucket ever yields more than one file
-    (can't happen under hash partitioning; fail loud rather than silently
-    change the batch decomposition some oracles pin)."""
+    ``files_per_bucket > 1`` (the st17 K-file-aligned shape, where the
+    reader's ``max_files_per_trigger = K`` needs EXACTLY K files per
+    batch) splits each bucket by the caller-supplied DETERMINISTIC
+    ``sub_expr`` (guide §2.5 — never rand-derived) into at most K files;
+    within-batch row-to-file assignment is free for such readers.
+
+    Buckets short of their file count at tiny SFs get the schema-only pad
+    files the old loop produced, so the batch count stays
+    corpus-independent. Raises if a bucket ever yields more files than
+    expected (fail loud rather than silently change the batch
+    decomposition some oracles pin)."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
 
     scratch = in_dir.rstrip("/") + "__build"
+    staged = df.withColumn("__feed_b", bucket_expr.cast("bigint")).filter(
+        F.col("__feed_b").isNotNull()
+    )
+    if files_per_bucket > 1:
+        staged = staged.withColumn(
+            "__feed_s", sub_expr.cast("bigint")
+        ).repartition(F.col("__feed_b"), F.col("__feed_s")).drop("__feed_s")
+    else:
+        staged = staged.repartition(F.col("__feed_b"))
     (
-        df.withColumn("__feed_b", bucket_expr.cast("bigint"))
-        .filter(F.col("__feed_b").isNotNull())
-        .repartition(F.col("__feed_b"))
-        .write.mode("overwrite")
-        .partitionBy("__feed_b")
-        .parquet(scratch)
+        staged.write.mode("overwrite").partitionBy("__feed_b").parquet(scratch)
     )
     _os.makedirs(in_dir, exist_ok=True)
     seen: set = set()
-    empty = [
-        b
+    short = any(
+        len(_glob.glob(_os.path.join(scratch, f"__feed_b={b}", "*.parquet")))
+        < files_per_bucket
         for b in range(n_batches)
-        if not _glob.glob(_os.path.join(scratch, f"__feed_b={b}", "*.parquet"))
-    ]
-    if empty:
-        # one extra job only in the (corpus-dependent) empty-bucket case
+    )
+    if short:
+        # one extra job only in the (corpus-dependent) short-bucket case
         df.limit(0).coalesce(1).write.mode("overwrite").parquet(
             _os.path.join(scratch, "__empty")
         )
@@ -1211,20 +1226,26 @@ def write_bucketed_feed(
         files = sorted(
             _glob.glob(_os.path.join(scratch, f"__feed_b={b}", "*.parquet"))
         )
-        if len(files) > 1:
+        if len(files) > files_per_bucket:
             raise RuntimeError(
                 f"bucketed feed wrote {len(files)} files for bucket {b}; "
-                "expected exactly one — batch decomposition would change"
+                f"expected at most {files_per_bucket} — batch "
+                "decomposition would change"
             )
-        if files:
-            _os.rename(files[0], _os.path.join(in_dir, f"feed-{b}.parquet"))
-        else:
-            _shutil.copy(
-                sorted(
-                    _glob.glob(_os.path.join(scratch, "__empty", "*.parquet"))
-                )[0],
-                _os.path.join(in_dir, f"feed-{b}.parquet"),
-            )
+        for j in range(files_per_bucket):
+            suffix = f"-{j}" if files_per_bucket > 1 else ""
+            dst = _os.path.join(in_dir, f"feed-{b}{suffix}.parquet")
+            if j < len(files):
+                _os.rename(files[j], dst)
+            else:
+                _shutil.copy(
+                    sorted(
+                        _glob.glob(
+                            _os.path.join(scratch, "__empty", "*.parquet")
+                        )
+                    )[0],
+                    dst,
+                )
         seen = stamp_feed_mtimes(in_dir, seen, b)
     _shutil.rmtree(scratch, ignore_errors=True)
 
